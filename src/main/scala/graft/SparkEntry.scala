@@ -1,13 +1,232 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.queries.Analytics
+import graft.similarity.Ann
+import graft.streaming.EventStream
+import graft.svm.SvmQueries
+import graft.text.TextOps
+
+/** Driver contract — the full capability inventory of SURVEY.md §2.
+  *
+  * Every entry in [[queries]] is one operator; entries with a matching
+  * key in [[oracleSql]] are hash-verified against DuckDB running the
+  * equivalent ANSI SQL on the same parquet tables; the rest (training /
+  * LSH candidate generation, not SQL-expressible) get rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q5MultiJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2a — reference surface (parallel SVM engine)
+    "svm_part_stats" -> SvmQueries.partStats _,
+    "svm_partition" -> SvmQueries.partition _,
+    "svm_linear_train" -> SvmQueries.linearTrain _,
+    "svm_cascade_train" -> SvmQueries.cascadeTrain _,
+    "svm_bagging_train" -> SvmQueries.baggingTrain _,
+    "svm_iterative_train" -> SvmQueries.iterativeTrain _,
+    "svm_predict" -> SvmQueries.predictFixed _,
+    "svm_evaluate" -> SvmQueries.centroidEvaluate _,
+    "svm_model_io" -> SvmQueries.modelIo _,
+    "svm_kernel_gram" -> SvmQueries.kernelGram _,
+    // §2b — analytics surface
+    "q1_agg" -> Analytics.q1Agg _,
+    "q3_join" -> Analytics.q3Join _,
+    "q5_multijoin" -> Analytics.q5MultiJoin _,
+    "q6_filter" -> Analytics.q6Filter _,
+    "q_window" -> Analytics.qWindow _,
+    "q_rollup" -> Analytics.qRollup _,
+    "q_events_sessionize" -> Analytics.qSessionize _,
+    "q_semi_anti" -> Analytics.qSemiAnti _,
+    "q_topk_per_group" -> Analytics.qTopKPerGroup _,
+    "q_percentiles" -> Analytics.qPercentiles _,
+    // §2c — LLM-data-pipeline operators
+    "dedup_exact" -> Dedup.exact _,
+    "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashSummary(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashSummary(s, d)),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardConsecutive(s, d)),
+    "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingSummary(s, d)),
+    "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshSummary(s, d)),
+    "text_langid" -> TextOps.langId _,
+    "text_quality" -> TextOps.qualityScores _,
+    "text_tokens" -> TextOps.tokenStats _,
+    "text_fingerprint" -> TextOps.fingerprints _,
+    "mm_metadata" -> Multimodal.metadataStats _,
+    // §2d — streaming
+    "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d))
+  )
+
+  // DuckDB-dialect equivalents. Notes:
+  //  - integer-sum results are CAST to BIGINT (DuckDB sums ints to
+  //    HUGEINT) and rank/size results to INTEGER to mirror Spark types;
+  //  - list lambdas use 1-based indices; `s[1]`/`s[2]` unpack list_zip;
+  //  - doubles are rounded identically on both sides.
+  def oracleSql: Map[String, String] = Map(
+    "svm_part_stats" ->
+      "SELECT label, count(*) AS n FROM embeddings GROUP BY ROLLUP(label) ORDER BY label NULLS FIRST",
+    "svm_partition" ->
+      "SELECT CAST(vec_id % 8 AS INTEGER) AS subset, label, count(*) AS n FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2",
+    "svm_predict" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(c AS INTEGER) AS c,
+        |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(((c * 64 + (i - 1)) * 2654435761) % 1000 - 500 AS DOUBLE))) AS score
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 9)) AS c)
+        |), b AS (
+        |  SELECT vec_id, c AS pred, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM s
+        |)
+        |SELECT pred, count(*) AS n FROM b WHERE rn = 1 GROUP BY pred ORDER BY pred""".stripMargin,
+    "svm_evaluate" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS x, unnest(generate_series(1, length(embedding))) AS i FROM embeddings
+        |), cent AS (
+        |  SELECT label AS clabel, i, avg(CAST(x AS DOUBLE)) AS c FROM ex GROUP BY 1, 2
+        |), d AS (
+        |  SELECT ex.vec_id, ex.label, cent.clabel,
+        |         sum((CAST(ex.x AS DOUBLE) - cent.c) * (CAST(ex.x AS DOUBLE) - cent.c)) AS dist
+        |  FROM ex JOIN cent ON ex.i = cent.i GROUP BY 1, 2, 3
+        |), b AS (
+        |  SELECT vec_id, label, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM d
+        |)
+        |SELECT label, clabel AS pred, count(*) AS n FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "svm_kernel_gram" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(exp(-(1.0 / 64.0) * list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))))), 6) AS k_rbf,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), 6) AS k_dot
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q6_filter" ->
+      "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk FROM orders
+        |) t WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events
+        |), f AS (
+        |  SELECT user_id, value,
+        |    sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 2) AS total_value FROM f GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events, round(sum(total_value), 2) AS total_value
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT kind, n FROM (
+        |  SELECT 'with_orders' AS kind, count(*) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT 'without_orders' AS kind, count(*) AS n FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |) t ORDER BY kind""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT p_brand, p_partkey, rk FROM (
+        |  SELECT p_brand, p_partkey, CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk FROM part
+        |) t WHERE rk <= 3 ORDER BY p_brand, rk, p_partkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+        |  round(min(l_extendedprice), 2) AS pmin, round(max(l_extendedprice), 2) AS pmax
+        |FROM lineitem""".stripMargin,
+    "dedup_exact" ->
+      """WITH g AS (SELECT md5(lower(text)) AS h, count(*) AS n_copies FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_unique,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed FROM g""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_filter([substring(s, i, 3) FOR i IN generate_series(1, greatest(length(s) - 2, 1))], x -> length(x) = 3)) AS grams
+        |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents) t
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) / length(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(CASE WHEN sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(e.embedding, p.pv), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) END, 6) AS cosine
+        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id
+        |), r AS (
+        |  SELECT probe_id, vec_id, cosine, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM sc
+        |)
+        |SELECT probe_id, rk, vec_id AS neighbor_id, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT lang AS actual, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |s AS (SELECT actual,
+        |  length(list_filter(toks, x -> x IN ('the', 'and', 'of', 'with'))) AS s_en,
+        |  length(list_filter(toks, x -> x IN ('el', 'la', 'los', 'de'))) AS s_es,
+        |  length(list_filter(toks, x -> x IN ('der', 'die', 'und', 'das'))) AS s_de,
+        |  length(list_filter(toks, x -> x IN ('le', 'la', 'les', 'des'))) AS s_fr,
+        |  length(list_filter(toks, x -> x IN ('的', '了', '是', '在'))) AS s_zh
+        |  FROM t),
+        |p AS (SELECT actual, CASE
+        |  WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'unknown'
+        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        |  ELSE 'zh' END AS pred FROM s)
+        |SELECT pred, actual, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_actual,
+        |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |  round(CAST(length(regexp_extract_all(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round(CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1), 4) AS digit_ratio,
+        |  round(CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(length(text), 1), 4) AS upper_ratio,
+        |  round(CAST(length(list_filter(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), x -> lower(x) IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'on'))) AS DOUBLE)
+        |    / greatest(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z]+')) + length(regexp_extract_all(text, '[0-9]+')) + length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS bpeish_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(substring(s, i, 1)) AS BIGINT) FOR i IN generate_series(1, length(s))]), (a, x) -> (a * 31 + x) % 1000000007) AS fp_roll,
+        |  substring(md5(s), 1, 16) AS fp_md5
+        |FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents) t ORDER BY doc_id""".stripMargin,
+    "mm_metadata" ->
+      """SELECT 'fake/image' AS mime, ((doc_id % 16) * 64 + 64) >= 512 AS is_wide, count(*) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+        |  CAST(max((doc_id % 9) * 64 + 64) AS INTEGER) AS max_height
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,318 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2c):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design: every near-dup variant is candidate-generation by
+  * bucketing (LSH bands / simhash bands / shared-shingle inverted
+  * index) followed by verification ONLY on candidate pairs — never an
+  * O(n²) cross join. Bucket joins are plain `groupBy`/self-join on the
+  * bucket key, so at 100 TB they shuffle on a well-distributed key and
+  * every bucket is small; skewed mega-buckets (boilerplate shingles)
+  * are capped explicitly.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // -------------------------------------------------------------- exact
+
+  /** Exact dedup by normalized-text hash: one surviving doc (min id)
+    * per distinct text + group size. A single map-side-combinable
+    * aggregation — the 100 TB-safe formulation (shuffle carries one row
+    * per distinct hash, not the texts).
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(lower(col("text"))).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_unique"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        sum(col("n_copies") - 1).as("n_removed"))
+
+  /** Surviving rows after exact dedup (deterministic keeper = min doc_id). */
+  def exactSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    d.groupBy(md5(lower(col("text"))).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .join(d, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------- shingles
+
+  /** Word n-gram shingles of the lowercased text. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull && length(s) > 0))
+  }
+
+  // -------------------------------------------------------- minhash/LSH
+
+  /** MinHash signature of a shingle set: for hash seed s, the min over
+    * shingles of xxhash64(shingle, s). Computed columnar (transform +
+    * array_min + xxhash64), fully codegen. Good for ad-hoc column use;
+    * the batch pipelines use [[minhashSignatures]], which computes all
+    * hash functions in ONE pass over exploded shingles instead of
+    * numHashes array traversals per row.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, sh => xxhash64(sh, lit(seed))))
+    }: _*)
+
+  /** One row per (doc, distinct shingle) — the scalable substrate for
+    * signature computation: a single narrow pass, then one map-side
+    * combined groupBy carries only the signature through the shuffle.
+    */
+  private def explodedShingles(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+
+  /** MinHash signatures via explode + groupBy with numHashes `min`
+    * aggregates: every hash function is evaluated in the same single
+    * pass over the shingles, partial-aggregated map-side, and only
+    * (doc_id, signature) crosses the shuffle — at corpus scale the
+    * shingle text never leaves the mapper.
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String,
+                        shingleN: Int, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+    explodedShingles(spark, sfDir, shingleN)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup candidate pairs with verified
+    * Jaccard. bands*rowsPerBand hash functions; docs agreeing on all
+    * rows of any band land in one bucket; candidate pairs are verified
+    * with exact Jaccard over shingle sets.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String,
+                 shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                 jaccardThreshold: Double = 0.5): DataFrame =
+    minhashCandidates(spark, sfDir, shingleN, bands, rowsPerBand)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .orderBy("id_a", "id_b")
+
+  /** Candidate pairs with verified Jaccard, pre-threshold — the full
+    * LSH candidate surface (shared by [[minhashLsh]] and the summary).
+    *
+    * Scale shape: the (band, bucket) self-join carries ONLY doc ids —
+    * candidate ids are deduplicated first and the (small) candidate set
+    * is then joined back to the shingle table for exact verification.
+    * Shuffling the shingle arrays through the LSH join, band-multiplied,
+    * is the classic way this pipeline dies at corpus scale.
+    */
+  def minhashCandidates(spark: SparkSession, sfDir: String,
+                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = minhashSignatures(spark, sfDir, shingleN, numHashes)
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val grams = docs(spark, sfDir)
+      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+    cand
+      .join(grams.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Single-row MinHash+LSH pipeline summary — non-empty by construction
+    * (the synthetic corpus may contain zero near-dups, but the pipeline
+    * stats always exist).
+    */
+  def minhashSummary(spark: SparkSession, sfDir: String,
+                     jaccardThreshold: Double = 0.5): DataFrame = {
+    val nDocs = docs(spark, sfDir).count()
+    minhashCandidates(spark, sfDir)
+      .agg(
+        lit(nDocs).as("n_docs"),
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("jaccard") >= jaccardThreshold, 1L).otherwise(0L)).as("n_verified_pairs"),
+        round(coalesce(max("jaccard"), lit(0.0)), 4).as("max_jaccard"))
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash over word shingles: sign-sum of per-shingle hash
+    * bits. Expressed columnar: per-bit popcount-majority via aggregate.
+    */
+  def simhash(shingleCol: Column): Column = {
+    // For each bit position b: count of shingles with bit b set, vs
+    // total; simhash bit b = 1 iff 2*count_set > total. Bit positions
+    // unrolled at plan-build time (64 literal positions) so the whole
+    // computation is one codegen'd expression, no UDF.
+    val hashes = transform(shingleCol, sh => xxhash64(sh))
+    val total = size(shingleCol)
+    val bits = (0 until 64).map { b =>
+      val cnt = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftrightunsigned(h, b).bitwiseAND(1).cast("int"))
+      when(cnt * 2 > total, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** 64-bit SimHash fingerprints for every document, computed the
+    * scalable way: explode shingles, hash once per shingle, then ONE
+    * map-side-combined groupBy with 64 bit-count sums; the majority
+    * vote per bit assembles the fingerprint after the shuffle. (The
+    * columnar [[simhash]] expression does 64 array traversals per row —
+    * fine for a handful of docs, quadratic waste over a corpus.)
+    */
+  def simhashFingerprints(spark: SparkSession, sfDir: String,
+                          shingleN: Int = 2): DataFrame = {
+    val ex = explodedShingles(spark, sfDir, shingleN)
+      .withColumn("h", xxhash64(col("shingle")))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(1)).as(s"b$b"))
+    ex.groupBy("doc_id")
+      .agg(count(lit(1)).as("total"), bitSums: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") * 2 > col("total"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sim"))
+  }
+
+  /** SimHash near-dup candidate pairs: 4 × 16-bit bands; pairs colliding
+    * on ≥1 band, hamming-verified. The fingerprint (8 bytes) is the only
+    * payload through the band join.
+    */
+  private def simhashCandidates(spark: SparkSession, sfDir: String,
+                                shingleN: Int): DataFrame = {
+    val fp = simhashFingerprints(spark, sfDir, shingleN)
+    val banded = fp.select(
+      col("doc_id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+  }
+
+  def simhashDedup(spark: SparkSession, sfDir: String,
+                   shingleN: Int = 2, maxHamming: Int = 8): DataFrame =
+    simhashCandidates(spark, sfDir, shingleN)
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+
+  /** Single-row SimHash pipeline summary (banded candidates + hamming
+    * verification) — non-empty even on a dup-free corpus.
+    */
+  def simhashSummary(spark: SparkSession, sfDir: String,
+                     shingleN: Int = 2, maxHamming: Int = 8): DataFrame = {
+    val nDocs = docs(spark, sfDir).count()
+    simhashCandidates(spark, sfDir, shingleN).agg(
+      lit(nDocs).as("n_docs"),
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L)).as("n_dup_pairs"),
+      coalesce(min("hamming"), lit(64)).as("min_hamming"))
+  }
+
+  /** Single-row embedding-cosine near-dup summary: LSH-bucketed
+    * candidates verified with exact cosine against the threshold.
+    */
+  def embeddingSummary(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.95, nPlanes: Int = 12): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim = 64)
+    val withBucket = emb.withColumn("bucket",
+      graft.similarity.Ann.signBucket(col("embedding"), planes))
+    val l = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val r = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val nVecs = emb.count()
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorOps.cosine(col("e_a"), col("e_b")), 4))
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+      .agg(
+        lit(nVecs).as("n_vecs"),
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("cosine") >= threshold, 1L).otherwise(0L)).as("n_near_dup_pairs"),
+        round(coalesce(max("cosine"), lit(0.0)), 4).as("max_cosine"))
+  }
+
+  // ------------------------------------------------- n-gram jaccard (oracle-able)
+
+  /** Character-3-gram Jaccard for consecutive doc pairs (doc_id,
+    * doc_id+1) — a linear, fully deterministic slice of the pairwise
+    * similarity surface that an external SQL oracle can verify; the
+    * scalable all-pairs path is [[minhashLsh]].
+    */
+  def ngramJaccardConsecutive(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    def grams(c: Column): Column = {
+      val s = lower(regexp_replace(c, "\\s+", " "))
+      array_distinct(
+        filter(transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+          i => s.substr(i, lit(n))),
+          g => length(g) === n))
+    }
+    val d = docs(spark, sfDir).select(col("doc_id"), grams(col("text")).as("g"))
+    val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("g").as("g_b"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))), 4).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  // --------------------------------------------------- embedding cosine
+
+  /** Embedding-cosine near-dup pairs: candidates from random-hyperplane
+    * LSH buckets, verified with exact cosine ≥ threshold.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.95, nPlanes: Int = 12): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim = 64)
+    val withBucket = emb.withColumn("bucket",
+      graft.similarity.Ann.signBucket(col("embedding"), planes))
+    val l = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val r = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorOps.cosine(col("e_a"), col("e_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+}

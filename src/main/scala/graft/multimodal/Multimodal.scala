@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2c): media as opaque `binary`
+  * columns with a typed metadata struct, and per-batch decode /
+  * feature-extract operators.
+  *
+  * The DECODE STEP IS A STUB: the container has no image/audio codecs,
+  * so `decodeStub` derives a deterministic fake feature vector from the
+  * raw bytes (byte histogram). The Spark-side contract — schema, binary
+  * column handling, partition-batched processing via `mapPartitions`,
+  * metadata pruning so scans never fetch payloads when only metadata is
+  * selected — is real and what matters at 100 TB (payload bytes
+  * dominate; column pruning must keep them out of every plan that
+  * doesn't decode).
+  */
+object Multimodal {
+
+  /** Fabricate a deterministic media table from `documents`: payload =
+    * utf8 bytes of the text (stand-in for an image blob), plus typed
+    * metadata derived from it.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("fake/image").as("mime"),
+          length(col("text")).as("n_bytes"),
+          (pmod(col("doc_id"), lit(16)) * 64 + 64).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(9)) * 64 + 64).cast("int").as("height"),
+          col("source").as("origin")).as("meta"))
+
+  /** Metadata-only projection — must never read the payload bytes
+    * (verify with .explain: ReadSchema excludes `payload`).
+    */
+  def metadataStats(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .groupBy(col("meta.mime").as("mime"), (col("meta.width") >= 512).as("is_wide"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        max(col("meta.height")).as("max_height"))
+      .orderBy("mime", "is_wide")
+
+  /** STUB decode: real systems would decode image bytes here (JPEG →
+    * pixels → model features). Deterministic fake: 16-bin byte
+    * histogram, L1-normalized — preserves the operator's shape
+    * (binary => fixed-width float vector) and batch structure.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xFF) / 16) += 1f; i += 1 }
+    val total = math.max(payload.length, 1).toFloat
+    hist.map(_ / total)
+  }
+
+  /** Batched feature extraction over the binary column — the Scala
+    * analogue of `mapInPandas`: one JVM-side pass per partition, rows
+    * processed in a tight loop, output a typed (media_id, features)
+    * frame ready for the ANN/dedup operators.
+    */
+  def extractFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => (id, decodeStub(bytes)) }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** Summary row set for the verify contract: per-media feature stats. */
+  def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = extractFeatures(spark, sfDir)
+    feats.select(
+      col("media_id"),
+      round(aggregate(col("features"), lit(0.0d), (a, v) => a + v.cast("double")), 4).as("l1"),
+      round(array_max(col("features")).cast("double"), 4).as("peak"))
+      .orderBy("media_id")
+  }
+}

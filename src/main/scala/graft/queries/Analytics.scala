@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytics query surface (SURVEY.md §2b).
+  *
+  * Every query is pure DataFrame API — declarative plans so Catalyst
+  * performs predicate pushdown, column pruning, join reordering and AQE
+  * re-planning. Small dimension tables are explicitly `broadcast()`ed;
+  * aggregations rely on partial (map-side) aggregation. Doubles in
+  * outputs are rounded so the DuckDB oracle hash-compares cleanly.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table ships with parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy flag) and
+    * convert with integer division — `/ 1000` in double would lose
+    * precision above 2^53 ns. Truncation matches DuckDB's ns→us cast.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** TPC-H Q1-style pricing summary. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: top unshipped-revenue orders; dims broadcast. */
+  def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = t(spark, sfDir, "orders")
+    val lineitem = t(spark, sfDir, "lineitem")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation across a 5-way join. */
+  def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = t(spark, sfDir, "region")
+    val nation = t(spark, sfDir, "nation")
+    val customer = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders")
+    val lineitem = t(spark, sfDir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** TPC-H Q6-style selective filter + agg — predicate-pushdown showcase. */
+  def q6Filter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Window functions: rank each customer's orders by totalprice. */
+  def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("o_custkey", "o_orderkey", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Rollup aggregation over orders. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Sessionization over the events stream table: a new session starts
+    * after a >30 min gap per user; emits per-session stats. Lag/window
+    * based — the standard scalable batch sessionization (single shuffle
+    * by user, no driver state).
+    */
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val events = loadEvents(spark, sfDir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1).otherwise(0))
+      .withColumn("session_seq", sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        round(sum("total_value"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  /** Left-semi + left-anti join: customers with and without orders. */
+  def qSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders")
+    val withOrders = customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+    val withoutOrders = customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+    withOrders.unionByName(withoutOrders).select("kind", "n").orderBy("kind")
+  }
+
+  /** Top-k parts per brand by retailprice (dense_rank). */
+  def qTopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), col("p_partkey"))
+    t(spark, sfDir, "part")
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "p_partkey", "rk")
+      .orderBy("p_brand", "rk", "p_partkey")
+  }
+
+  /** Exact percentiles of l_extendedprice (median/p90/p99). */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"),
+        round(min("l_extendedprice"), 2).as("pmin"),
+        round(max("l_extendedprice"), 2).as("pmax"))
+
+  /** Batch equivalent of the streaming windowed aggregation
+    * (graft.streaming.EventStream) — 1h tumbling windows per event_type.
+    */
+  def qStreamAggBatch(spark: SparkSession, sfDir: String): DataFrame =
+    loadEvents(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+}

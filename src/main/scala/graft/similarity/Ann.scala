@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2c): brute-force cosine top-k as the exact baseline and
+  * a random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design: brute-force is probe-broadcast × data (fine when the
+  * probe set is small — the common "query a corpus" shape; the corpus
+  * side streams, never collected). The LSH path buckets BOTH sides by
+  * sign-pattern so the join shuffles on bucket and each candidate list
+  * is bucket-local; multi-probe (hamming-1 neighbor buckets) recovers
+  * recall lost at bucket boundaries.
+  */
+object Ann {
+
+  /** Deterministic pseudo-random hyperplanes (fixed LCG seed — no RNG
+    * state, reproducible across runs/JVMs).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var state = seed
+    def nextGaussianish(): Double = {
+      // LCG (Numerical Recipes constants) -> [-1, 1): deterministic and
+      // platform-independent; adequate for LSH plane directions.
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    Array.fill(nPlanes, dim)(nextGaussianish())
+  }
+
+  /** Sign-pattern bucket id of a vector against the given planes. */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(VectorOps.dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Exact brute-force cosine top-k: for each probe vector (vec_id %
+    * probeEvery == 0), the k nearest others by cosine. Probes are
+    * broadcast; the corpus side streams through a single scan.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+                     probeEvery: Int = 50): DataFrame = {
+    val data = emb(spark, sfDir)
+    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val scored = data.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** LSH-bucketed ANN: candidates share the probe's sign-bucket (or a
+    * hamming-1 neighbor bucket — multi-probe), then exact cosine + top-k
+    * within candidates. Recall < 1 by construction; the scale path.
+    */
+  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+              probeEvery: Int = 50, nPlanes: Int = 10): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim = 64)
+    val data = emb(spark, sfDir).withColumn("bucket", signBucket(col("embedding"), planes))
+    // multi-probe: each probe also visits the nPlanes hamming-1 buckets
+    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+        explode(array((Seq(lit(0L)) ++ (0 until nPlanes).map(i => shiftleft(lit(1L), i))): _*))
+          .as("flip"))
+      .select(col("probe_id"), col("probe_vec"), col("flip"))
+    val probesB = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"), col("bucket"))
+      .join(probes, Seq("probe_id", "probe_vec"))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
+      .select("probe_id", "probe_vec", "bucket")
+    val cands = data.select(col("bucket"), col("vec_id"), col("embedding"))
+      .join(probesB.hint("broadcast"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
+      .select("probe_id", "vec_id", "cosine")
+      .distinct()
+    val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
+    cands
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Single-row LSH-ANN quality summary: probe count, result count, and
+    * recall against the exact brute-force top-k — the metric that
+    * certifies the scale path is trustworthy before pointing it at the
+    * full corpus.
+    */
+  def lshSummary(spark: SparkSession, sfDir: String, k: Int = 5,
+                 probeEvery: Int = 50, nPlanes: Int = 10): DataFrame = {
+    val brute = bruteForceTopK(spark, sfDir, k, probeEvery)
+      .select(col("probe_id"), col("neighbor_id")).persist()
+    val lsh = lshTopK(spark, sfDir, k, probeEvery, nPlanes)
+      .select(col("probe_id"), col("neighbor_id")).persist()
+    val nBrute = brute.count()
+    val hits = lsh.join(brute, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val nProbes = brute.select("probe_id").distinct().count()
+    val nLsh = lsh.count()
+    brute.unpersist(); lsh.unpersist()
+    import spark.implicits._
+    Seq((nProbes, nLsh, nBrute, hits,
+      math.rint(hits.toDouble / math.max(nBrute, 1L) * 10000) / 10000))
+      .toDF("n_probes", "n_lsh_results", "n_brute_results", "n_hits", "recall")
+  }
+}

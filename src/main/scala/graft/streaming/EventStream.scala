@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2d): the events table as a
+  * stream — watermarked tumbling-window aggregation, the canonical
+  * "readStream → transform → writeStream" shape. The batch-equivalent
+  * query (Analytics.qStreamAggBatch) is the oracle: on a bounded input
+  * the streaming result must converge to the batch result.
+  */
+object EventStream {
+
+  /** Windowed aggregation over a streaming DataFrame (1h tumbling
+    * windows per event_type, 2h watermark for late data).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Run the streaming pipeline over the bounded events parquet via a
+    * file stream, write to an in-memory sink, and return the final
+    * result — used by the spec to assert batch/stream parity.
+    */
+  def runBounded(spark: SparkSession, sfDir: String, queryName: String = "graft_stream"): DataFrame = {
+    // events ships TIMESTAMP(NANOS) parquet: read nanos as long, convert
+    // to a proper timestamp (see Analytics.loadEvents for rationale).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory; the test table is a single
+    // parquet file, so stream from a temp dir holding a symlink to it.
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
+        dir.toFile.deleteOnExit()
+        java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+        dir
+      }
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = windowedAgg(stream)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .orderBy("window_start", "event_type")
+  }
+}

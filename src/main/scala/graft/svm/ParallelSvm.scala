@@ -1,0 +1,262 @@
+package graft.svm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One example routed to a subset; the engine's distributed training row. */
+final case class Ex(id: Long, label: Int, features: Array[Float], subset: Int)
+
+/** Per-(layer, subset) training statistics emitted by the meta-algorithms. */
+final case class LayerStat(stage: String, layer: Int, subset: Int, nIn: Long, nSv: Long, metric: Double)
+
+/** Spark-native re-expression of the reference's three parallel-SVM
+  * meta-algorithms (cascade_svm/, Bagging_svm/, Iterative_svm/).
+  *
+  * Architecture notes (SURVEY.md §4/§5):
+  *  - The only imperative region is the per-group SMO solve inside
+  *    `flatMapGroups` — the same boundary where the reference invokes
+  *    LibSVM inside a mapper/reducer. Everything else (partition
+  *    assignment, SV routing between layers, evaluation) is declarative
+  *    DataFrame/Dataset logic that Catalyst plans and AQE re-plans.
+  *  - Subset assignment is `pmod(id, k)` — deterministic, balanced for
+  *    dense ids, and reproducible by an external oracle. The reference
+  *    uses a random assignment capped at ceil(total/k) per subset
+  *    (cascade_svm/Precascade2.java:18-38), which requires a global
+  *    counter and is not reproducible; at 100 TB a hash/mod assignment
+  *    is the scalable equivalent (single narrow pass, no coordination).
+  *  - Between cascade layers data volume shrinks to the SV set
+  *    (typically 5-20x smaller), so the shuffle per layer is on an
+  *    ever-smaller Dataset — the property that makes the cascade viable
+  *    at scale.
+  *  - Nothing large is ever collected to the driver: only per-layer
+  *    statistics and (for iterative, by the algorithm's own definition)
+  *    the global support-vector set, which is orders of magnitude
+  *    smaller than the data and is broadcast each round exactly like
+  *    the reference's DistributedCache'd global_sv.csv
+  *    (Iterative_svm/Itergsv.java:63-91).
+  */
+object ParallelSvm {
+
+  /** LibSVM-default C and eps (reference: cascade_svm/Midcascade.java:62-94).
+    * Kernel: LINEAR, not the reference's RBF gamma=1/d — the embeddings
+    * table is L2-normalized with near-orthogonal rows (||a-b||^2 ≈ 2 for
+    * every pair), so gamma=1/d RBF degenerates to a constant kernel
+    * K ≈ e^(-2/d) that carries no class signal; the linear kernel keeps
+    * the centroid-direction signal the data actually has. RBF remains a
+    * supported [[Kernel]] (see Smo/kernelGram specs).
+    */
+  def defaultParams(dim: Int): Smo.Params =
+    Smo.Params(c = 1.0, eps = 1e-3, kernel = Kernel.Linear)
+
+  /** Load the embeddings table as the canonical training set. */
+  def loadTraining(spark: SparkSession, sfDir: String, k: Int): Dataset[Ex] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(
+        col("vec_id").as("id"),
+        col("label"),
+        col("embedding").as("features"),
+        pmod(col("vec_id"), lit(k)).cast("int").as("subset"))
+      .as[Ex]
+  }
+
+  private def trainGroup(rows: Array[Ex], params: Smo.Params): (SvmModel, Array[Ex]) = {
+    val model = Smo.train(rows.map(r => LabeledVec(r.label, r.features)), params)
+    (model, model.svGlobalIdx.map(rows))
+  }
+
+  /** Java-serialize a model so it can travel through a Dataset (models
+    * are opaque driver-side objects; only their bytes need an encoder).
+    */
+  private def ser(m: SvmModel): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(m); oos.close()
+    bos.toByteArray
+  }
+  private def deser(b: Array[Byte]): SvmModel = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    try ois.readObject().asInstanceOf[SvmModel] finally ois.close()
+  }
+
+  // ---------------------------------------------------------------- cascade
+
+  /** Cascade SVM: train per subset, keep SVs, halve the subset id to
+    * merge neighbouring subsets, repeat until one subset remains, then
+    * train the final model on the surviving SVs.
+    * Reference: cascade_svm/Driver.java:91-100 (log2(k) layers),
+    * Midcascade.java:101-131 (per-subset train + `floor(taskId/2)`
+    * routing), Lastcascade.java:109-144 (final train on merged SVs).
+    */
+  def cascade(data: Dataset[Ex], k: Int, params: Smo.Params): (Seq[LayerStat], SvmModel) = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    require(k >= 1 && (k & (k - 1)) == 0, s"subset count must be a power of 2, got $k")
+    val layers = (math.log(k) / math.log(2)).round.toInt
+
+    var current = data
+    val stats = Seq.newBuilder[LayerStat]
+    var finalModel: SvmModel = null
+
+    for (layer <- 1 to math.max(layers, 1)) {
+      val isLast = layer == math.max(layers, 1)
+      // Train one SVM per subset; emit its SVs routed to subset/2.
+      val svs = current
+        .groupByKey(_.subset)
+        .flatMapGroups { (subset, it) =>
+          val rows = it.toArray
+          val (_, svRows) = trainGroup(rows, params)
+          svRows.iterator.map(r => r.copy(subset = subset / 2))
+        }
+        .persist()
+      val layerStats = svs.groupBy($"subset").agg(count(lit(1)).as("nSv"))
+        .collect().map(r => LayerStat("cascade", layer, r.getInt(0), -1L, r.getLong(1), 0.0))
+      stats ++= layerStats.sortBy(_.subset)
+      if (isLast) {
+        // Final solve on the merged SV set (small by construction).
+        val svRows = svs.collect()
+        finalModel = Smo.train(svRows.map(r => LabeledVec(r.label, r.features)), params)
+        stats += LayerStat("cascade-final", layer + 1, 0, svRows.length.toLong,
+          finalModel.supportVectors.length.toLong, 0.0)
+      }
+      val prev = current
+      current = svs
+      if (prev ne data) prev.unpersist()
+    }
+
+    // Training accuracy of the final model over the full input.
+    val acc = accuracy(data, finalModel)
+    stats += LayerStat("cascade-final", -1, -1, -1L, -1L, acc)
+    current.unpersist()
+    (stats.result(), finalModel)
+  }
+
+  // ---------------------------------------------------------------- bagging
+
+  /** Bagging SVM: one independent base model per subset; ensemble
+    * prediction is the majority vote of the base models.
+    * Reference: Bagging_svm/Bagging1.java:107-132 (map-only per-subset
+    * training + model save + SV union output).
+    */
+  def bagging(data: Dataset[Ex], k: Int, params: Smo.Params): (Seq[LayerStat], Array[SvmModel]) = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    // Train per subset and ship each base model back as its (subset, model) pair.
+    // Base models consist of SVs only — far smaller than the partitions.
+    val trained: Array[(Int, SvmModel, Long)] = data
+      .groupByKey(_.subset)
+      .mapGroups { (subset, it) =>
+        val rows = it.toArray
+        val (model, _) = trainGroup(rows, params)
+        (subset, ser(model), rows.length.toLong)
+      }
+      .collect()
+      .map { case (s, bytes, n) => (s, deser(bytes), n) }
+      .sortBy(_._1)
+
+    val models = trained.map(_._2)
+    val stats = trained.map { case (s, m, nIn) =>
+      LayerStat("bagging", 1, s, nIn, m.supportVectors.length.toLong, 0.0)
+    }.toSeq
+
+    // Ensemble accuracy: broadcast all base models, majority vote.
+    val bc = spark.sparkContext.broadcast(models)
+    val errors = data.mapPartitions { it =>
+      val ms = bc.value
+      var err = 0L; var n = 0L
+      it.foreach { ex =>
+        val votes = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+        ms.foreach(m => votes(m.predict(ex.features)) += 1)
+        val pred = votes.toSeq.maxBy { case (lbl, v) => (v, -lbl) }._1
+        if (pred != ex.label) err += 1
+        n += 1
+      }
+      Iterator.single((err, n))
+    }.collect()
+    val (err, n) = errors.foldLeft((0L, 0L)) { case ((e, c), (e2, c2)) => (e + e2, c + c2) }
+    val acc = if (n == 0) 0.0 else 1.0 - err.toDouble / n
+    (stats :+ LayerStat("bagging-ensemble", -1, -1, n, -1L, acc), models)
+  }
+
+  // -------------------------------------------------------------- iterative
+
+  /** Iterative SVM: each round trains per subset on (subset ∪ global
+    * SVs), newly found SVs join the global set, and the loop stops when
+    * the total training error stops improving (max 3 rounds).
+    * Reference: Iterative_svm/Driver.java:71-85 (driver loop,
+    * `newerrorsum < olderrorsum && i < 3`), Itergsv.java:51-110
+    * (per-reducer train on subset + cached global_sv.csv, append new SVs).
+    */
+  def iterative(data: Dataset[Ex], k: Int, params: Smo.Params, maxIters: Int = 3): Seq[LayerStat] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    var globalSvs = Map.empty[Long, Ex] // id -> row; SV set << data by design
+    var oldErr = Long.MaxValue
+    var iter = 1
+    var improving = true
+    val stats = Seq.newBuilder[LayerStat]
+
+    while (improving && iter <= maxIters) {
+      val bc = spark.sparkContext.broadcast(globalSvs)
+      val perSubset: Array[(Int, Long, Long, Array[Ex])] = data
+        .groupByKey(_.subset)
+        .flatMapGroups { (subset, it) =>
+          val local = it.toArray
+          val globals = bc.value
+          val merged = local ++ globals.valuesIterator.filterNot(g => local.exists(_.id == g.id))
+          val model = Smo.train(merged.map(r => LabeledVec(r.label, r.features)), params)
+          val errs = merged.count(r => model.predict(r.features) != r.label).toLong
+          val newSvs = model.svGlobalIdx.map(merged).filterNot(r => globals.contains(r.id))
+          Iterator.single((subset, merged.length.toLong, errs, newSvs))
+        }
+        .collect()
+        .sortBy(_._1)
+
+      val errSum = perSubset.map(_._3).sum
+      perSubset.foreach { case (s, nIn, errs, newSvs) =>
+        stats += LayerStat("iterative", iter, s, nIn, newSvs.length.toLong, errs.toDouble)
+      }
+      globalSvs = globalSvs ++ perSubset.iterator.flatMap(_._4).map(r => r.id -> r)
+      stats += LayerStat("iterative-round", iter, -1, globalSvs.size.toLong, -1L, errSum.toDouble)
+      improving = errSum < oldErr
+      oldErr = errSum
+      iter += 1
+      bc.unpersist()
+    }
+    stats.result()
+  }
+
+  // -------------------------------------------------------------- evaluate
+
+  /** Distributed training-set accuracy of a broadcast model. */
+  def accuracy(data: Dataset[Ex], model: SvmModel): Double = {
+    val spark = data.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val (err, n) = data.rdd
+      .mapPartitions { it =>
+        val m = bc.value
+        var e = 0L; var c = 0L
+        it.foreach { ex => if (m.predict(ex.features) != ex.label) e += 1; c += 1 }
+        Iterator.single((e, c))
+      }
+      .reduce { case ((e1, c1), (e2, c2)) => (e1 + e2, c1 + c2) }
+    if (n == 0) 0.0 else 1.0 - err.toDouble / n
+  }
+
+  /** Confusion matrix of a broadcast model as a DataFrame (label, prediction, cnt). */
+  def confusion(data: Dataset[Ex], model: SvmModel): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    data.map(ex => (ex.label, bc.value.predict(ex.features)))
+      .toDF("label", "prediction")
+      .groupBy("label", "prediction").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Stats rows -> DataFrame for the SparkEntry contract. */
+  def statsDf(spark: SparkSession, stats: Seq[LayerStat]): DataFrame = {
+    import spark.implicits._
+    stats.toDF("stage", "layer", "subset", "n_in", "n_sv", "metric")
+      .withColumn("metric", round(col("metric"), 6))
+  }
+}

@@ -1,0 +1,177 @@
+package graft.svm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** DataFrame-shaped query surface for the SVM capability inventory
+  * (SURVEY.md §2a). Each method is one `SparkEntry.queries` entry.
+  *
+  * The deterministic scoring queries (`predictFixed`, `centroidEvaluate`,
+  * `kernelGram`) are pure `functions._` pipelines — fully codegen'd,
+  * verifiable by an external SQL oracle, and the shape a 100 TB scoring
+  * pass would take (single scan, broadcast model constants, no UDF).
+  */
+object SvmQueries {
+
+  /** Subset count used by the partitioned training queries (power of 2,
+    * reference uses 2^k subsets — cascade_svm/Driver.java:37-60).
+    */
+  val K = 8
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ------------------------------------------------------------ 1: stats
+
+  /** Precascade1 re-expressed (reference: cascade_svm/Precascade1.java:20-31
+    * counts total records and per-class records in one MapReduce pass):
+    * a single rollup aggregation — per-class counts plus the grand total
+    * (label = null row), one shuffle, map-side combined.
+    */
+  def partStats(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .rollup("label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label").asc_nulls_first)
+
+  // -------------------------------------------------------- 2: partition
+
+  /** Precascade2 re-expressed (reference: cascade_svm/Precascade2.java:18-45
+    * randomly assigns records to 2^k subsets capped at ceil(total/k)):
+    * deterministic `pmod(vec_id, k)` assignment — balanced for dense ids,
+    * no global counter, reproducible by the oracle. Returns the
+    * per-(subset, class) histogram that certifies balance.
+    */
+  def partition(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .groupBy(pmod(col("vec_id"), lit(K)).cast("int").as("subset"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("subset", "label")
+
+  // ---------------------------------------------------------- 7: predict
+
+  /** Deterministic per-class hyperplane weights: integer arithmetic only,
+    * so any external engine reproduces them bit-for-bit.
+    */
+  def fixedWeights(c: Int, dim: Int = 64): Array[Long] =
+    Array.tabulate(dim)(i => ((c * dim.toLong + i) * 2654435761L) % 1000L - 500L)
+
+  /** Score every embedding against 10 fixed hyperplanes and count
+    * predictions per class (argmax, ties to the smaller class id) — the
+    * linear-model scoring pass: one scan, model broadcast as literals,
+    * whole-stage codegen end-to-end.
+    */
+  def predictFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    val classes = 0 until 10
+    val scores = classes.map { c =>
+      VectorOps.dot(col("embedding"), array(fixedWeights(c).map(lit): _*)).as(s"s_$c")
+    }
+    val scored = emb(spark, sfDir).select(col("vec_id") +: scores: _*)
+    val mx = greatest(classes.map(c => col(s"s_$c")): _*)
+    val pred = classes.foldLeft(lit(null).cast("int")) { (acc, c) =>
+      when(col(s"s_$c") === mx && acc.isNull, lit(c)).otherwise(acc)
+    }
+    // foldLeft with isNull guard keeps the FIRST class achieving the max.
+    scored
+      .withColumn("pred", pred)
+      .groupBy("pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pred")
+  }
+
+  // --------------------------------------------------------- 8: evaluate
+
+  /** Confusion matrix of a nearest-centroid classifier (the reference's
+    * EvaluateDataset role — per-class error accounting,
+    * Iterative_svm/Itergsv.java:95-108) computed fully distributed:
+    * centroids via one partial-aggregated explode pass, then a broadcast
+    * cross join of 10 centroid rows against a single data scan.
+    */
+  def centroidEvaluate(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val ex = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+    val cent = ex.groupBy(col("label").as("clabel"), col("i"))
+      .agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist", VectorOps.distSq(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
+  // ------------------------------------------------------ 10: kernel gram
+
+  /** RBF + linear kernel values for the deterministic pair sample
+    * (vec_id, vec_id + 1) — the kernel computation LibSVM evaluates
+    * inside every solver iteration, surfaced as a verifiable query.
+    */
+  def kernelGram(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.rbf(col("ea"), col("eb"), 1.0 / 64), 6).as("k_rbf"),
+        round(VectorOps.dot(col("ea"), col("eb")), 6).as("k_dot"))
+      .orderBy("id_a")
+  }
+
+  // -------------------------------------------------------- 9: model IO
+
+  /** LibSVM-format serialize→parse round trip on a model trained from a
+    * small deterministic slice; emits model statistics plus a prediction
+    * agreement check between the original and re-parsed model.
+    */
+  def modelIo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = emb(spark, sfDir)
+      .filter(col("vec_id") < 200)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => LabeledVec(r.getInt(2), r.getSeq[Float](1).toArray))
+    val model = Smo.train(slice, ParallelSvm.defaultParams(dim = 64))
+    val text = ModelIO.serialize(model)
+    val parsed = ModelIO.parse(text)
+    val agree = slice.count(s => model.predict(s.features) == parsed.predict(s.features))
+    Seq(
+      ("model_chars", text.length.toDouble),
+      ("n_binaries", model.binaries.length.toDouble),
+      ("nr_class", model.labels.length.toDouble),
+      ("pred_agree", agree.toDouble / slice.length),
+      ("roundtrip_sv", parsed.supportVectors.length.toDouble),
+      ("total_sv", model.supportVectors.length.toDouble)
+    ).toDF("stat", "value").orderBy("stat")
+  }
+
+  // --------------------------------------------------- 3-6: training runs
+
+  def linearTrain(spark: SparkSession, sfDir: String): DataFrame =
+    LinearSvm.trainSummary(spark, sfDir)
+
+  def cascadeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = ParallelSvm.loadTraining(spark, sfDir, K)
+    val (stats, _) = ParallelSvm.cascade(data, K, ParallelSvm.defaultParams(64))
+    ParallelSvm.statsDf(spark, stats)
+  }
+
+  def baggingTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = ParallelSvm.loadTraining(spark, sfDir, K)
+    val (stats, _) = ParallelSvm.bagging(data, K, ParallelSvm.defaultParams(64))
+    ParallelSvm.statsDf(spark, stats)
+  }
+
+  def iterativeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = ParallelSvm.loadTraining(spark, sfDir, K)
+    val stats = ParallelSvm.iterative(data, K, ParallelSvm.defaultParams(64))
+    ParallelSvm.statsDf(spark, stats)
+  }
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run DuckDB on each
+oracle SQL from Verify's oracle_sql.json and diff against the parquet
+written by graft.Verify. Not part of the Scala library."""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+verify_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
+ok, bad = [], []
+for name in sorted(oracle):
+    files = glob.glob(f"{verify_dir}/{name}/*.parquet")
+    if not files:
+        bad.append((name, "NO SPARK OUTPUT"))
+        continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        bad.append((name, f"EXEC FAIL: {e}"))
+        continue
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        bad.append((name, f"SCHEMA: spark={sc} duck={dc}"))
+        continue
+    s = spark_df[sc].sort_values(sc).reset_index(drop=True)
+    d = duck_df[sc].sort_values(sc).reset_index(drop=True)
+    if len(s) != len(d):
+        bad.append((name, f"ROWS: spark={len(s)} duck={len(d)}"))
+        continue
+    mism = []
+    for c in sc:
+        a, b = s[c], d[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            neq = ~((a.isna() & b.isna()) | (a == b))
+            if neq.any():
+                diff = (a[neq].astype(float) - b[neq].astype(float)).abs().max()
+                mism.append(f"{c}: {int(neq.sum())} diff (max abs {diff:.3g})")
+        else:
+            an, bn = a.astype(str), b.astype(str)
+            neq = an != bn
+            if neq.any():
+                i = neq.idxmax()
+                mism.append(f"{c}: {int(neq.sum())} diff (e.g. {an[i]!r} vs {bn[i]!r})")
+    if mism:
+        bad.append((name, "; ".join(mism)))
+    else:
+        ok.append(name)
+
+print(f"OK ({len(ok)}):", " ".join(ok))
+print(f"BAD ({len(bad)}):")
+for n, why in bad:
+    print(f"  {n}: {why}")
+# queries with no oracle: rows-only
+ran = {g.split("/")[-1] for g in glob.glob(f"{verify_dir}/*") if not g.endswith(".json")}
+rows_only = ran - set(oracle)
+for name in sorted(rows_only):
+    files = glob.glob(f"{verify_dir}/{name}/*.parquet")
+    n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+    print(f"  rows-only {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
