@@ -48,29 +48,47 @@ object Dedup {
 
   // ----------------------------------------------------------- shingles
 
-  /** Word n-gram shingles of the lowercased text. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = filter(split(lower(c), "\\s+"), t => length(t) > 0)
+  /** Lowercased whitespace tokens of a text column. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles from a PRE-MATERIALIZED token-array column.
+    *
+    * `toks` must be a bound attribute (a real column), not an expression
+    * tree: higher-order array functions are CodegenFallback, so every
+    * expression referenced inside the lambda is re-evaluated per array
+    * element — an inline `split()` here costs O(tokens) regex splits per
+    * shingle, O(T²) per document.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
         s => s.isNotNull && length(s) > 0))
-  }
+
+  /** Word n-gram shingles of the lowercased text — convenience wrapper;
+    * prefer materializing [[tokens]] first in multi-step pipelines.
+    */
+  def shingles(c: Column, n: Int): Column =
+    shinglesFromTokens(tokens(c), n)
 
   // -------------------------------------------------------- minhash/LSH
 
-  /** MinHash signature of a shingle set: for hash seed s, the min over
-    * shingles of xxhash64(shingle, s). Computed columnar (transform +
-    * array_min + xxhash64), fully codegen. Good for ad-hoc column use;
-    * the batch pipelines use [[minhashSignatures]], which computes all
-    * hash functions in ONE pass over exploded shingles instead of
-    * numHashes array traversals per row.
+  /** MinHash signature of a shingle set: hash each shingle string ONCE
+    * (xxhash64 → long), then hash function i is xxhash64 over the fixed
+    * 12 bytes (h, i) — variable-length string traversal happens once per
+    * shingle instead of numHashes times, and the re-hash can't overflow
+    * under ANSI mode (an affine a*h+b universal hash would). Columnar
+    * variant for ad-hoc use; the batch pipelines use
+    * [[minhashSignatures]] (explode + one map-side-combined groupBy).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val hs = transform(shingleCol, sh => xxhash64(sh))
     array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, sh => xxhash64(sh, lit(seed))))
+      array_min(transform(hs, h => xxhash64(h, lit(seed))))
     }: _*)
+  }
 
   /** One row per (doc, distinct shingle) — the scalable substrate for
     * signature computation: a single narrow pass, then one map-side
@@ -78,19 +96,22 @@ object Dedup {
     */
   private def explodedShingles(spark: SparkSession, sfDir: String, n: Int): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
 
   /** MinHash signatures via explode + groupBy with numHashes `min`
-    * aggregates: every hash function is evaluated in the same single
-    * pass over the shingles, partial-aggregated map-side, and only
+    * aggregates: the shingle string is hashed ONCE per row, every hash
+    * function is a cheap affine transform of that long, all evaluated in
+    * the same single pass, partial-aggregated map-side, and only
     * (doc_id, signature) crosses the shuffle — at corpus scale the
     * shingle text never leaves the mapper.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String,
                         shingleN: Int, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(s =>
-      min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     explodedShingles(spark, sfDir, shingleN)
+      .withColumn("h", xxhash64(col("shingle")))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -137,7 +158,8 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     val grams = docs(spark, sfDir)
-      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleN).as("sh"))
     cand
       .join(grams.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(grams.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -277,14 +299,16 @@ object Dedup {
     * scalable all-pairs path is [[minhashLsh]].
     */
   def ngramJaccardConsecutive(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    def grams(c: Column): Column = {
-      val s = lower(regexp_replace(c, "\\s+", " "))
+    // s materialized as a column before the lambda references it — see
+    // shinglesFromTokens for why (per-element re-evaluation otherwise).
+    def grams(s: Column): Column =
       array_distinct(
         filter(transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
           i => s.substr(i, lit(n))),
           g => length(g) === n))
-    }
-    val d = docs(spark, sfDir).select(col("doc_id"), grams(col("text")).as("g"))
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("s"))
+      .select(col("doc_id"), grams(col("s")).as("g"))
     val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
     val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("g").as("g_b"))
     a.join(b, "id_a")

@@ -101,18 +101,20 @@ object Ann {
     */
   def lshSummary(spark: SparkSession, sfDir: String, k: Int = 5,
                  probeEvery: Int = 50, nPlanes: Int = 10): DataFrame = {
+    // Full-outer join of the two result sets, then ONE aggregation —
+    // a single Spark job instead of four separate count() actions
+    // (each of which would recompute or re-read the pipelines).
     val brute = bruteForceTopK(spark, sfDir, k, probeEvery)
-      .select(col("probe_id"), col("neighbor_id")).persist()
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_brute"))
     val lsh = lshTopK(spark, sfDir, k, probeEvery, nPlanes)
-      .select(col("probe_id"), col("neighbor_id")).persist()
-    val nBrute = brute.count()
-    val hits = lsh.join(brute, Seq("probe_id", "neighbor_id"), "left_semi").count()
-    val nProbes = brute.select("probe_id").distinct().count()
-    val nLsh = lsh.count()
-    brute.unpersist(); lsh.unpersist()
-    import spark.implicits._
-    Seq((nProbes, nLsh, nBrute, hits,
-      math.rint(hits.toDouble / math.max(nBrute, 1L) * 10000) / 10000))
-      .toDF("n_probes", "n_lsh_results", "n_brute_results", "n_hits", "recall")
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_lsh"))
+    brute.join(lsh, Seq("probe_id", "neighbor_id"), "full_outer")
+      .agg(
+        countDistinct(when(col("in_brute") === 1, col("probe_id"))).as("n_probes"),
+        count(col("in_lsh")).as("n_lsh_results"),
+        count(col("in_brute")).as("n_brute_results"),
+        count(when(col("in_brute") === 1 && col("in_lsh") === 1, 1)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / greatest(col("n_brute_results"), lit(1L)), 4))
   }
 }

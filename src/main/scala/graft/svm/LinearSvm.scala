@@ -31,12 +31,17 @@ object LinearSvm {
       .cache()
 
     val svc = new LinearSVC().setMaxIter(maxIter).setRegParam(regParam).setTol(1e-4)
-    val ovr = new OneVsRest().setClassifier(svc)
+    // The 10 one-vs-rest binary problems are independent; train them
+    // concurrently (each solve is itself distributed, so this multiplies
+    // cluster utilization instead of queueing 10 sequential OWLQN runs).
+    val ovr = new OneVsRest().setClassifier(svc).setParallelism(10)
     val model = ovr.fit(df)
 
     val perClass = model.models.zipWithIndex.map { case (m, i) =>
       val lsvc = m.asInstanceOf[org.apache.spark.ml.classification.LinearSVCModel]
-      val coefs = lsvc.coefficients.asInstanceOf[DenseVector].values
+      // toArray, not a DenseVector cast: with regularization a class's
+      // coefficient vector can come back sparse.
+      val coefs = lsvc.coefficients.toArray
       val norm = math.sqrt(coefs.map(c => c * c).sum)
       (i, norm, lsvc.intercept, coefs.count(_ != 0.0).toLong)
     }
