@@ -267,23 +267,38 @@ object Dedup {
       coalesce(min("hamming"), lit(64)).as("min_hamming"))
   }
 
+  /** Candidate pairs for embedding-cosine near-dup with exact cosine:
+    * L-table random-hyperplane LSH (recall ≈ 1-(1-p^b)^L — near-1 for
+    * cosine ≥ 0.95 at 8×8), ids deduplicated across tables BEFORE the
+    * embeddings are joined back for verification.
+    */
+  private def embeddingCandidates(spark: SparkSession, sfDir: String,
+                                  nTables: Int, planesPerTable: Int): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val banded = emb.select(col("vec_id"),
+      explode(graft.similarity.Ann.tableBuckets(col("embedding"), nTables, planesPerTable)).as("tb"))
+      .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
+    val pairIds = banded.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      .join(banded.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairIds
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+      .withColumn("cosine", round(VectorOps.cosine(col("e_a"), col("e_b")), 4))
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Single-row embedding-cosine near-dup summary: LSH-bucketed
     * candidates verified with exact cosine against the threshold.
     */
   def embeddingSummary(spark: SparkSession, sfDir: String,
-                       threshold: Double = 0.95, nPlanes: Int = 12): DataFrame = {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim = 64)
-    val withBucket = emb.withColumn("bucket",
-      graft.similarity.Ann.signBucket(col("embedding"), planes))
-    val l = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val r = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    val nVecs = emb.count()
-    l.join(r, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorOps.cosine(col("e_a"), col("e_b")), 4))
-      .select("id_a", "id_b", "cosine")
-      .distinct()
+                       threshold: Double = 0.95, nTables: Int = 8,
+                       planesPerTable: Int = 8): DataFrame = {
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    embeddingCandidates(spark, sfDir, nTables, planesPerTable)
       .agg(
         lit(nVecs).as("n_vecs"),
         count(lit(1)).as("n_candidate_pairs"),
@@ -320,23 +335,13 @@ object Dedup {
 
   // --------------------------------------------------- embedding cosine
 
-  /** Embedding-cosine near-dup pairs: candidates from random-hyperplane
-    * LSH buckets, verified with exact cosine ≥ threshold.
+  /** Embedding-cosine near-dup pairs: candidates from L-table
+    * random-hyperplane LSH buckets, verified with exact cosine ≥ threshold.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
-                       threshold: Double = 0.95, nPlanes: Int = 12): DataFrame = {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim = 64)
-    val withBucket = emb.withColumn("bucket",
-      graft.similarity.Ann.signBucket(col("embedding"), planes))
-    val l = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val r = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    l.join(r, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorOps.cosine(col("e_a"), col("e_b")), 4))
+                       threshold: Double = 0.95, nTables: Int = 8,
+                       planesPerTable: Int = 8): DataFrame =
+    embeddingCandidates(spark, sfDir, nTables, planesPerTable)
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-      .distinct()
       .orderBy("id_a", "id_b")
-  }
 }

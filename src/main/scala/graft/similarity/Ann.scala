@@ -27,7 +27,10 @@ object Ann {
       // LCG (Numerical Recipes constants) -> [-1, 1): deterministic and
       // platform-independent; adequate for LSH plane directions.
       state = state * 6364136223846793005L + 1442695040888963407L
-      (state >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+      // state >>> 11 keeps 53 bits -> [0, 2^53); divide by 2^53 for
+      // [0, 1) then stretch to [-1, 1). (A 2^52 divisor lands in
+      // [-1, 3): positively-biased planes skew every LSH bucket.)
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
     Array.fill(nPlanes, dim)(nextGaussianish())
   }
@@ -38,6 +41,18 @@ object Ann {
       val planeCol = array(p.map(lit): _*)
       when(VectorOps.dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** One (table, bucket) struct per hash table — the standard L-table
+    * LSH scheme: recall for a pair at angle θ is 1-(1-p^b)^L with
+    * p = 1-θ/π, so L tables multiply recall where a single longer code
+    * only shrinks it. Explode this array and join on (table, bucket).
+    */
+  def tableBuckets(vec: Column, nTables: Int, planesPerTable: Int,
+                   dim: Int = 64): Column =
+    array((0 until nTables).map { t =>
+      val planes = hyperplanes(planesPerTable, dim, seed = 42L + t * 7919L)
+      struct(lit(t).as("table"), signBucket(vec, planes).as("bucket"))
+    }: _*)
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -61,33 +76,37 @@ object Ann {
       .orderBy("probe_id", "rk")
   }
 
-  /** LSH-bucketed ANN: candidates share the probe's sign-bucket (or a
-    * hamming-1 neighbor bucket — multi-probe), then exact cosine + top-k
-    * within candidates. Recall < 1 by construction; the scale path.
+  /** LSH-bucketed ANN: L independent hash tables; candidates share the
+    * probe's bucket in ANY table, then exact cosine + top-k within
+    * candidates. Recall < 1 by construction; the scale path.
+    *
+    * Scale shape: the bucket join carries ONLY ids — candidate pairs are
+    * deduplicated across tables before the embeddings are joined back
+    * for exact scoring, so the L-fold banding never multiplies vector
+    * payload through a shuffle.
     */
   def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5,
-              probeEvery: Int = 50, nPlanes: Int = 10): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim = 64)
-    val data = emb(spark, sfDir).withColumn("bucket", signBucket(col("embedding"), planes))
-    // multi-probe: each probe also visits the nPlanes hamming-1 buckets
-    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
-        explode(array((Seq(lit(0L)) ++ (0 until nPlanes).map(i => shiftleft(lit(1L), i))): _*))
-          .as("flip"))
-      .select(col("probe_id"), col("probe_vec"), col("flip"))
-    val probesB = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"), col("bucket"))
-      .join(probes, Seq("probe_id", "probe_vec"))
-      .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
-      .select("probe_id", "probe_vec", "bucket")
-    val cands = data.select(col("bucket"), col("vec_id"), col("embedding"))
-      .join(probesB.hint("broadcast"), Seq("bucket"))
+              probeEvery: Int = 50, nTables: Int = 8,
+              planesPerTable: Int = 6): DataFrame = {
+    val data = emb(spark, sfDir)
+    val banded = data
+      .select(col("vec_id"),
+        explode(tableBuckets(col("embedding"), nTables, planesPerTable)).as("tb"))
+      .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
+    val probeBands = banded.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("table"), col("bucket"), col("vec_id").as("probe_id"))
+    val pairIds = banded
+      .join(probeBands.hint("broadcast"), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
-      .select("probe_id", "vec_id", "cosine")
+      .select("probe_id", "vec_id")
       .distinct()
+    val probeVecs = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
-    cands
+    pairIds
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(probeVecs), "probe_id")
+      .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
@@ -100,13 +119,14 @@ object Ann {
     * full corpus.
     */
   def lshSummary(spark: SparkSession, sfDir: String, k: Int = 5,
-                 probeEvery: Int = 50, nPlanes: Int = 10): DataFrame = {
+                 probeEvery: Int = 50, nTables: Int = 8,
+                 planesPerTable: Int = 6): DataFrame = {
     // Full-outer join of the two result sets, then ONE aggregation —
     // a single Spark job instead of four separate count() actions
     // (each of which would recompute or re-read the pipelines).
     val brute = bruteForceTopK(spark, sfDir, k, probeEvery)
       .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_brute"))
-    val lsh = lshTopK(spark, sfDir, k, probeEvery, nPlanes)
+    val lsh = lshTopK(spark, sfDir, k, probeEvery, nTables, planesPerTable)
       .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_lsh"))
     brute.join(lsh, Seq("probe_id", "neighbor_id"), "full_outer")
       .agg(

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1 pricing summary: aggregates reconcile with a direct recount") {
+    val rows = Analytics.q1Agg(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalOrders = rows.map(_.getAs[Long]("count_order")).sum
+    val direct = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-01")).count()
+    assert(totalOrders == direct)
+  }
+
+  test("q3: top-10 revenue ranking is descending and limited") {
+    val rows = Analytics.q3Join(spark, sf0001).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q5: every (region, nation) of active customers appears once") {
+    val rows = Analytics.q5MultiJoin(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("semi + anti partition the customer table exactly") {
+    val rows = Analytics.qSemiAnti(spark, sf0001).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n")).toMap
+    val total = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(rows("with_orders") + rows("without_orders") == total)
+  }
+
+  test("window ranking keeps at most 2 orders per customer") {
+    val rows = Analytics.qWindow(spark, sf0001).collect()
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(perCust.values.forall(_.length <= 2))
+    assert(rows.forall(r => r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 2))
+  }
+
+  test("rollup emits grand total + per-status subtotals that reconcile") {
+    val rows = Analytics.qRollup(spark, sf0001).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val leafN = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map(_.getAs[Long]("n")).sum
+    assert(grand(0).getAs[Long]("n") == leafN)
+  }
+
+  test("sessionization: session counts are positive and bounded by events") {
+    val rows = Analytics.qSessionize(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalEvents = Analytics.loadEvents(spark, sf0001).count()
+    val sessions = rows.map(_.getAs[Long]("n_sessions")).sum
+    assert(sessions >= rows.length) // >= 1 session per user
+    assert(sessions <= totalEvents) // <= 1 session per event
+  }
+
+  test("percentiles are ordered: min <= p50 <= p90 <= p99 <= max") {
+    val r = Analytics.qPercentiles(spark, sf0001).collect()(0)
+    val Seq(p50, p90, p99, mn, mx) =
+      Seq("p50", "p90", "p99", "pmin", "pmax").map(r.getAs[Double])
+    assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+  }
+
+  test("top-k per group: dense_rank caps at 3 per brand") {
+    val rows = Analytics.qTopKPerGroup(spark, sf0001).collect()
+    rows.groupBy(_.getAs[String]("p_brand")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rk")).forall(_ <= 3))
+    }
+  }
+}

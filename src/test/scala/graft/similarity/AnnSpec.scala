@@ -1,0 +1,50 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  test("brute-force top-k: k neighbors per probe, ranked by cosine, self excluded") {
+    val res = Ann.bruteForceTopK(spark, sf0001, k = 5, probeEvery = 100).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 5) // vec_ids 0,100,200,300,400
+    byProbe.foreach { case (probe, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == probe), "self must be excluded")
+      val cos = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "ranked descending")
+    }
+  }
+
+  test("LSH top-k is a subset-quality approximation of brute force") {
+    val row = Ann.lshSummary(spark, sf0001, k = 5, probeEvery = 100).collect()(0)
+    assert(row.getAs[Long]("n_probes") == 5)
+    assert(row.getAs[Long]("n_brute_results") == 25)
+    assert(row.getAs[Long]("n_lsh_results") <= 25)
+    // multi-table LSH on near-orthogonal data: recall well above random.
+    // Random top-5 of 499 would land ~1% of brute's list; require >= 20%.
+    assert(row.getAs[Double]("recall") >= 0.2, s"recall ${row.getAs[Double]("recall")}")
+  }
+
+  test("tableBuckets is deterministic and table-distinct") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(10)
+      .select(col("vec_id"), Ann.tableBuckets(col("embedding"), 4, 6).as("tb"))
+    val a = df.collect().map(r => r.getAs[Long](0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq))
+    val b = df.collect().map(r => r.getAs[Long](0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq))
+    assert(a.toSeq == b.toSeq, "bucket assignment must be reproducible")
+    // different tables use different hyperplanes -> bucket patterns differ
+    val perTable = a.toSeq.map(_._2.map(_(1)).toSeq).transpose.map(_.toSet)
+    assert(perTable.distinct.length > 1)
+  }
+
+  test("hyperplanes are seed-deterministic") {
+    val p1 = Ann.hyperplanes(4, 8, seed = 7L)
+    val p2 = Ann.hyperplanes(4, 8, seed = 7L)
+    val p3 = Ann.hyperplanes(4, 8, seed = 8L)
+    assert(p1.flatten.toSeq == p2.flatten.toSeq)
+    assert(p1.flatten.toSeq != p3.flatten.toSeq)
+    assert(p1.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+}
