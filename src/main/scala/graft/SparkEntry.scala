@@ -59,7 +59,8 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprints _,
     "mm_metadata" -> Multimodal.metadataStats _,
     // §2d — streaming
-    "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d))
+    "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
+    "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -227,6 +228,22 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session_window merges events strictly closer than the gap, so a
+    // diff of exactly 1800s starts a NEW session (>= below), unlike the
+    // lag-rule in q_events_sessionize (> 1800).
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events
+        |), f AS (
+        |  SELECT user_id, value,
+        |    sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 2) AS total_value FROM f GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events, round(sum(total_value), 2) AS total_value
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

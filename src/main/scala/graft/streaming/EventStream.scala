@@ -22,6 +22,30 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Gap-based sessionization with the native `session_window` operator
+    * (30-minute inactivity gap), rolled up to per-user session stats.
+    * Works identically over a batch or streaming DataFrame — in
+    * streaming, state is managed by the watermark instead of a window
+    * shuffle, which is the scalable form of "custom session state"
+    * (no flatMapGroupsWithState needed: the built-in operator already
+    * expresses the semantics, and its state store is incremental).
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+
+  /** Batch rollup of [[sessionize]] to (user, n_sessions, max session
+    * size, total value) — the SQL-oracle-checkable surface.
+    */
+  def sessionizeBatch(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(graft.queries.Analytics.loadEvents(spark, sfDir))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        round(sum("total_value"), 2).as("total_value"))
+      .orderBy("user_id")
+
   /** Run the streaming pipeline over the bounded events parquet via a
     * file stream, write to an in-memory sink, and return the final
     * result — used by the spec to assert batch/stream parity.

@@ -62,20 +62,28 @@ object SvmQueries {
     * predictions per class (argmax, ties to the smaller class id) — the
     * linear-model scoring pass: one scan, model broadcast as literals,
     * whole-stage codegen end-to-end.
+    *
+    * The dot product is unrolled to 64 literal multiply-adds per class
+    * instead of `aggregate(zip_with(...))`: higher-order functions are
+    * CodegenFallback (interpreted, boxing every element), while getItem
+    * with literal weights stays inside whole-stage codegen — the shape
+    * a 100 TB scoring pass needs.
     */
   def predictFixed(spark: SparkSession, sfDir: String): DataFrame = {
     val classes = 0 until 10
     val scores = classes.map { c =>
-      VectorOps.dot(col("embedding"), array(fixedWeights(c).map(lit): _*)).as(s"s_$c")
+      val w = fixedWeights(c)
+      w.indices.map(i => col("embedding").getItem(i).cast("double") * lit(w(i).toDouble))
+        .reduce(_ + _)
     }
-    val scored = emb(spark, sfDir).select(col("vec_id") +: scores: _*)
-    val mx = greatest(classes.map(c => col(s"s_$c")): _*)
-    val pred = classes.foldLeft(lit(null).cast("int")) { (acc, c) =>
-      when(col(s"s_$c") === mx && acc.isNull, lit(c)).otherwise(acc)
-    }
-    // foldLeft with isNull guard keeps the FIRST class achieving the max.
-    scored
-      .withColumn("pred", pred)
+    // argmax via array_position(scores, max): first occurrence wins, so
+    // ties resolve to the smaller class id. Two narrow projects — the
+    // scores array is materialized once; a greatest + CASE-chain over 10
+    // named score columns would re-inline each 64-term tree ~4×.
+    emb(spark, sfDir)
+      .select(col("vec_id"), array(scores: _*).as("scores"))
+      .select(col("vec_id"),
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int").as("pred"))
       .groupBy("pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("pred")
