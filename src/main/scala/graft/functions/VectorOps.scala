@@ -3,10 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Column-level vector math over `array<float>` / `array<double>` columns.
+/** Column-level vector math over `array<float>` / `array<double>`
+  * columns, backed by the native codegen expressions in
+  * [[VectorExpressions]] (higher-order-function formulations are
+  * CodegenFallback — interpreted with per-element boxing, the wrong
+  * shape for a 100 TB scoring/similarity pass).
   *
-  * Built from `zip_with` / `aggregate` / `transform` so every expression
-  * stays inside whole-stage codegen — no UDF boxing on the hot path.
   * These are the building blocks for the similarity-search and
   * embedding-dedup operators (SURVEY.md §2c) and for scoring linear SVM
   * models (reference: per-record kernel evaluations in
@@ -14,38 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ a_i * b_i (inputs cast to double element-wise). */
+  private def col2e(c: Column) =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+  private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+
+  /** Σ a_i * b_i in double precision. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+    e2col(DotProductExpr(col2e(a), col2e(b)))
 
   /** Σ a_i^2. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+  def normSq(a: Column): Column = dot(a, a)
 
   /** ||a||_2. */
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** cos(a, b) = a·b / (||a|| ||b||); 0.0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+  /** cos(a, b) = a·b / (||a|| ||b||); 0.0 when either norm is 0.
+    * Single pass: dot and both norms in one loop.
+    */
+  def cosine(a: Column, b: Column): Column =
+    e2col(CosineSimExpr(col2e(a), col2e(b)))
 
   /** ||a - b||^2 (squared euclidean). */
   def distSq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val diff = x.cast("double") - y.cast("double")
-        diff * diff
-      }),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+    e2col(DistSqExpr(col2e(a), col2e(b)))
 
   /** RBF kernel value exp(-gamma * ||a-b||^2). */
   def rbf(a: Column, b: Column, gamma: Double): Column =
