@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.queries.Analytics
-import graft.similarity.Ann
+import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
 import graft.text.TextOps
@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingSummary(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshSummary(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfSummary(s, d)),
     "text_langid" -> TextOps.langId _,
     "text_quality" -> TextOps.qualityScores _,
     "text_tokens" -> TextOps.tokenStats _,

@@ -1,0 +1,120 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path beside [[Ann]]'s LSH: a k-means coarse quantizer partitions the
+  * corpus into nLists inverted lists; a query scans only the lists of
+  * its nProbe nearest centroids.
+  *
+  * Scale design: every per-vector step is a single scan + broadcast
+  * (centroids are k×dim doubles — bytes, not data); assignment uses the
+  * codegen [[VectorOps.distSq]] against a broadcast centroid table and
+  * a min-by window. Centroid updates aggregate by (list, dimension)
+  * with map-side combine, so the shuffle carries k×dim partial sums per
+  * partition regardless of corpus size. Only the k centroids ever reach
+  * the driver. At 100 TB: nLists scales with √n (classic IVF sizing),
+  * keeping list scans bounded; the index build is a handful of linear
+  * passes.
+  */
+object Ivf {
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Deterministic k-means (Lloyd) centroids as a small DataFrame
+    * (list_id, cvec). Init = evenly spaced vec_ids (reproducible, no
+    * RNG); `iters` refinement passes.
+    */
+  def trainCentroids(data: DataFrame, nLists: Int, iters: Int = 3): DataFrame = {
+    val spark = data.sparkSession
+    val n = data.count()
+    val spacing = math.max(n / nLists, 1L)
+    var cent = data
+      .filter(pmod(col("vec_id"), lit(spacing)) === 0 && col("vec_id") < spacing * nLists)
+      .select((col("vec_id") / spacing).cast("int").as("list_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(data, cent)
+      cent = assigned
+        .join(data, "vec_id")
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("list_id", "i")
+        .agg(avg(col("x").cast("double")).as("c"))
+        .groupBy("list_id")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+    }
+    cent
+  }
+
+  /** Nearest-centroid assignment: (vec_id, list_id). Broadcast cross
+    * join + min-by window — one scan of the corpus.
+    */
+  def assign(data: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list_id"))
+    data.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", VectorOps.distSq(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "list_id")
+  }
+
+  /** IVF top-k: probes scan the inverted lists of their nProbe nearest
+    * centroids; exact cosine within candidates.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5,
+              probeEvery: Int = 50, nLists: Int = 16, nProbe: Int = 4,
+              iters: Int = 3): DataFrame = {
+    val data = emb(spark, sfDir)
+    val cent = trainCentroids(data, nLists, iters).persist()
+    val index = assign(data, cent) // inverted lists as (vec_id, list_id)
+    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    // nProbe nearest lists per probe
+    val wp = Window.partitionBy("probe_id").orderBy(col("dist"), col("list_id"))
+    val probeLists = probes
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", VectorOps.distSq(col("probe_vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select("probe_id", "list_id")
+    // candidates = union of the probed lists; ids only through the join
+    val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
+    val out = index
+      .join(probeLists.hint("broadcast"), "list_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id")
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rk")
+    out
+  }
+
+  /** Single-row IVF quality summary vs exact brute force (same shape as
+    * [[Ann.lshSummary]]): one aggregation job.
+    */
+  def ivfSummary(spark: SparkSession, sfDir: String, k: Int = 5,
+                 probeEvery: Int = 50, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val brute = Ann.bruteForceTopK(spark, sfDir, k, probeEvery)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_brute"))
+    val ivf = ivfTopK(spark, sfDir, k, probeEvery, nLists, nProbe)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_ivf"))
+    brute.join(ivf, Seq("probe_id", "neighbor_id"), "full_outer")
+      .agg(
+        countDistinct(when(col("in_brute") === 1, col("probe_id"))).as("n_probes"),
+        count(col("in_ivf")).as("n_ivf_results"),
+        count(col("in_brute")).as("n_brute_results"),
+        count(when(col("in_brute") === 1 && col("in_ivf") === 1, 1)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / greatest(col("n_brute_results"), lit(1L)), 4))
+  }
+}

@@ -15,6 +15,33 @@ import scala.collection.mutable
   */
 object ModelIO {
 
+  /** Persist a model in LibSVM text format through the Hadoop
+    * FileSystem API — the same call shape works for file://, hdfs://
+    * or object stores on a real cluster (reference:
+    * cascade_svm/Lastcascade.java:33-36 writes via FileSystem.create).
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, m: SvmModel, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(serialize(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a model previously written by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): SvmModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      parse(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
   def serialize(m: SvmModel): String = {
     val sb = new StringBuilder
     val nrClass = m.labels.length

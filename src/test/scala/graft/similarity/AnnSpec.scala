@@ -39,6 +39,21 @@ class AnnSpec extends SparkSpec {
     assert(perTable.distinct.length > 1)
   }
 
+  test("IVF: every vector lands in exactly one list; recall beats random") {
+    val data = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cent = Ivf.trainCentroids(data, nLists = 8, iters = 2)
+    assert(cent.count() == 8)
+    val idx = Ivf.assign(data, cent)
+    assert(idx.count() == data.count())
+    assert(idx.select("vec_id").distinct().count() == data.count())
+    val row = Ivf.ivfSummary(spark, sf0001, k = 5, probeEvery = 100,
+      nLists = 8, nProbe = 3).collect()(0)
+    assert(row.getAs[Long]("n_probes") == 5)
+    // scanning 3/8 of the corpus must recover well above the ~1% random
+    // baseline; with near-orthogonal vectors expect roughly >= nProbe/nLists.
+    assert(row.getAs[Double]("recall") >= 0.25, s"recall ${row.getAs[Double]("recall")}")
+  }
+
   test("hyperplanes are seed-deterministic") {
     val p1 = Ann.hyperplanes(4, 8, seed = 7L)
     val p2 = Ann.hyperplanes(4, 8, seed = 7L)

@@ -4,6 +4,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ModelIOSpec extends AnyFunSuite {
 
+  test("save/load through the Hadoop FileSystem API round-trips") {
+    val spark = graft.SparkSpec.session
+    val (data, m) = toyModel()
+    val path = java.nio.file.Files.createTempDirectory("graft-model-").toString + "/model.txt"
+    ModelIO.save(spark, m, path)
+    val loaded = ModelIO.load(spark, path)
+    assert(loaded.supportVectors.length == m.supportVectors.length)
+    data.foreach(d => assert(loaded.predict(d.features) == m.predict(d.features)))
+  }
+
   private def toyModel(): (Array[LabeledVec], SvmModel) = {
     val data = (for {
       c <- 0 until 3
