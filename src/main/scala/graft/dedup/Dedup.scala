@@ -139,18 +139,34 @@ object Dedup {
     * Shuffling the shingle arrays through the LSH join, band-multiplied,
     * is the classic way this pipeline dies at corpus scale.
     */
+  /** Drop (band, bucket) groups larger than `cap` before a bucket
+    * self-join: an adversarial mega-bucket (boilerplate shingles, empty
+    * docs) otherwise generates O(|bucket|²) pairs. Oversized buckets
+    * are few by construction, so they broadcast into an anti-join; real
+    * dup groups that large are still caught by the OTHER bands/tables.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val oversized = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(oversized), keys, "left_anti")
+  }
+
   def minhashCandidates(spark: SparkSession, sfDir: String,
-                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                        bucketCap: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = minhashSignatures(spark, sfDir, shingleN, numHashes)
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded = capBuckets(
+      sigs.select(
+        col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
+      Seq("band", "bucket"), bucketCap)
     val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
@@ -206,39 +222,35 @@ object Dedup {
 
   /** 64-bit SimHash fingerprints for every document, computed the
     * scalable way: explode shingles, hash once per shingle, then ONE
-    * map-side-combined groupBy with 64 bit-count sums; the majority
-    * vote per bit assembles the fingerprint after the shuffle. (The
-    * columnar [[simhash]] expression does 64 array traversals per row —
-    * fine for a handful of docs, quadratic waste over a corpus.)
+    * map-side-combined groupBy with the custom
+    * [[graft.functions.SimHashAgg]] aggregate (a 65-counter buffer —
+    * 520 bytes per group through the partial/final shuffle, versus a
+    * 65-column row for the equivalent per-bit `sum(...)` formulation).
+    * The columnar [[simhash]] expression does 64 array traversals per
+    * row — fine for a handful of docs, quadratic waste over a corpus.
     */
   def simhashFingerprints(spark: SparkSession, sfDir: String,
-                          shingleN: Int = 2): DataFrame = {
-    val ex = explodedShingles(spark, sfDir, shingleN)
-      .withColumn("h", xxhash64(col("shingle")))
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftrightunsigned(col("h"), b).bitwiseAND(1)).as(s"b$b"))
-    ex.groupBy("doc_id")
-      .agg(count(lit(1)).as("total"), bitSums: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") * 2 > col("total"), lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("sim"))
-  }
+                          shingleN: Int = 2): DataFrame =
+    explodedShingles(spark, sfDir, shingleN)
+      .groupBy("doc_id")
+      .agg(graft.functions.GraftFunctions.simhash_agg(xxhash64(col("shingle"))).as("sim"))
 
   /** SimHash near-dup candidate pairs: 4 × 16-bit bands; pairs colliding
     * on ≥1 band, hamming-verified. The fingerprint (8 bytes) is the only
     * payload through the band join.
     */
   private def simhashCandidates(spark: SparkSession, sfDir: String,
-                                shingleN: Int): DataFrame = {
+                                shingleN: Int, bucketCap: Int = 10000): DataFrame = {
     val fp = simhashFingerprints(spark, sfDir, shingleN)
-    val banded = fp.select(
-      col("doc_id"), col("sim"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bucket"))
+    val banded = capBuckets(
+      fp.select(
+        col("doc_id"), col("sim"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bucket")),
+      Seq("band", "bucket"), bucketCap)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("band", "bucket"))
@@ -273,11 +285,14 @@ object Dedup {
     * embeddings are joined back for verification.
     */
   private def embeddingCandidates(spark: SparkSession, sfDir: String,
-                                  nTables: Int, planesPerTable: Int): DataFrame = {
+                                  nTables: Int, planesPerTable: Int,
+                                  bucketCap: Int = 10000): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val banded = emb.select(col("vec_id"),
-      explode(graft.similarity.Ann.tableBuckets(col("embedding"), nTables, planesPerTable)).as("tb"))
-      .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
+    val banded = capBuckets(
+      emb.select(col("vec_id"),
+        explode(graft.similarity.Ann.tableBuckets(col("embedding"), nTables, planesPerTable)).as("tb"))
+        .select(col("vec_id"), col("tb.table"), col("tb.bucket")),
+      Seq("table", "bucket"), bucketCap)
     val pairIds = banded.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
       .join(banded.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table", "bucket"))

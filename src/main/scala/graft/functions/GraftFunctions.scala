@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Column + SQL entry points for the custom expressions.
+  *
+  * `register(spark)` exposes them to `spark.sql(...)` via the session
+  * function registry — the lightweight path for scalar/aggregate
+  * extensions (a full `SparkSessionExtensions` install is only needed
+  * for planner rules/strategies, which these are not).
+  */
+object GraftFunctions {
+
+  def vec_dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
+  def vec_cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)
+  def vec_distsq(a: Column, b: Column): Column = VectorOps.distSq(a, b)
+
+  /** SimHash aggregate over a long hash column. */
+  def simhash_agg(hashCol: Column): Column =
+    ColumnBridge.column(
+      SimHashAgg(ColumnBridge.expression(hashCol)).toAggregateExpression())
+
+  /** Register all graft functions for SQL use in this session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => DotProductExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      es => CosineSimExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_distsq",
+      es => DistSqExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_agg",
+      es => SimHashAgg(es.head).toAggregateExpression(), "scala_udf")
+  }
+}

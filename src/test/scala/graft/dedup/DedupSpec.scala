@@ -69,6 +69,15 @@ class DedupSpec extends SparkSpec {
     assert(rows(1L) > 0.8)           // doc 1 vs doc 2: one word changed
   }
 
+  test("bucket cap drops mega-buckets from candidate generation") {
+    // cap below the planted dup-group size -> its bucket is skipped in
+    // every band, so no pairs; a generous cap finds them again.
+    val capped = Dedup.minhashCandidates(spark, corpusDir, bucketCap = 1).count()
+    assert(capped == 0, s"cap=1 must suppress all buckets, got $capped pairs")
+    val uncapped = Dedup.minhashCandidates(spark, corpusDir, bucketCap = 100).count()
+    assert(uncapped > 0)
+  }
+
   test("minhash summary on real data is a single non-empty row") {
     val row = Dedup.minhashSummary(spark, sf0001).collect()
     assert(row.length == 1)
