@@ -41,6 +41,7 @@ object SparkEntry {
     "q6_filter" -> Analytics.q6Filter _,
     "q_window" -> Analytics.qWindow _,
     "q_rollup" -> Analytics.qRollup _,
+    "q_cube" -> Analytics.qCube _,
     "q_events_sessionize" -> Analytics.qSessionize _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
@@ -130,6 +131,10 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_events_sessionize" ->
       """WITH e AS (

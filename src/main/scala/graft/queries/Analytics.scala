@@ -98,6 +98,13 @@ object Analytics {
       .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Cube aggregation over orders — all 2^2 grouping sets in one pass. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** Sessionization over the events stream table: a new session starts
     * after a >30 min gap per user; emits per-session stats. Lag/window
     * based — the standard scalable batch sessionization (single shuffle
