@@ -214,17 +214,49 @@ final case class SvmModel(
     c: Double
 ) extends Serializable {
 
+  /** For the linear kernel each binary machine collapses to a single
+    * primal weight vector w = Σ alphaY_i·sv_i: scoring drops from
+    * O(n_sv·d) kernel evaluations to one O(d) dot product. Crucial on
+    * non-separable data where nearly every point is a bound SV (n_sv ≈
+    * n) — there the kernel-expansion path costs n_sv× more per example.
+    */
+  @transient private lazy val linearWeights: Array[Array[Double]] =
+    binaries.map { bs =>
+      val d = if (supportVectors.nonEmpty) supportVectors(0).features.length else 0
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < bs.svLocal.length) {
+        val f = supportVectors(bs.svLocal(i)).features
+        val a = bs.alphaY(i)
+        var j = 0
+        while (j < d) { w(j) += a * f(j); j += 1 }
+        i += 1
+      }
+      w
+    }
+
   /** One-vs-one majority vote, ties broken by smaller label (LibSVM rule). */
   def predict(x: Array[Float]): Int = {
     if (labels.length == 1) return labels(0)
     val votes = mutable.Map.empty[Int, Int].withDefaultValue(0)
-    val kv = supportVectors.map(sv => kernel(sv.features, x)) // shared across binaries
-    binaries.foreach { bs =>
-      var f = -bs.rho
-      var i = 0
-      while (i < bs.svLocal.length) { f += bs.alphaY(i) * kv(bs.svLocal(i)); i += 1 }
-      val winner = if (f > 0) bs.posLabel else bs.negLabel
-      votes(winner) += 1
+    if (kernel == Kernel.Linear) {
+      var b = 0
+      while (b < binaries.length) {
+        val bs = binaries(b); val w = linearWeights(b)
+        var f = -bs.rho
+        var j = 0
+        while (j < w.length) { f += w(j) * x(j); j += 1 }
+        votes(if (f > 0) bs.posLabel else bs.negLabel) += 1
+        b += 1
+      }
+    } else {
+      val kv = supportVectors.map(sv => kernel(sv.features, x)) // shared across binaries
+      binaries.foreach { bs =>
+        var f = -bs.rho
+        var i = 0
+        while (i < bs.svLocal.length) { f += bs.alphaY(i) * kv(bs.svLocal(i)); i += 1 }
+        votes(if (f > 0) bs.posLabel else bs.negLabel) += 1
+      }
     }
     votes.toSeq.maxBy { case (lbl, v) => (v, -lbl) }._1
   }
