@@ -45,6 +45,7 @@ object SparkEntry {
     "q_events_sessionize" -> Analytics.qSessionize _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
+    "q_asof_join" -> Analytics.qAsofJoin _,
     "q_percentiles" -> Analytics.qPercentiles _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
@@ -159,6 +160,13 @@ object SparkEntry {
       """SELECT p_brand, p_partkey, rk FROM (
         |  SELECT p_brand, p_partkey, CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk FROM part
         |) t WHERE rk <= 3 ORDER BY p_brand, rk, p_partkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id % 50 AS k, epoch_us(ts) AS t FROM events),
+        |o AS (SELECT o_custkey % 50 AS k2, epoch_us(o_orderdate) AS t2, max(o_orderkey) AS okey
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT k, count(*) AS n_events, count(okey) AS n_matched, max(okey) AS max_okey
+        |FROM e ASOF LEFT JOIN o ON e.k = o.k2 AND e.t >= o.t2
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q_percentiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,

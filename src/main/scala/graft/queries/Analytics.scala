@@ -161,6 +161,30 @@ object Analytics {
         round(min("l_extendedprice"), 2).as("pmin"),
         round(max("l_extendedprice"), 2).as("pmax"))
 
+  /** As-of join through the custom operator (graft.plans.AsOfJoin):
+    * enrich each event with the latest order (by date) of its customer
+    * cohort at or before the event time, then aggregate per cohort.
+    * Orders are pre-aggregated to unique (cohort, time) keys so the
+    * time-tie winner is deterministic and externally checkable —
+    * DuckDB's native ASOF LEFT JOIN is the oracle.
+    */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = loadEvents(spark, sfDir)
+      .select(col("event_id"), pmod(col("user_id"), lit(50)).as("k"),
+        unix_micros(col("ts")).as("t"))
+    val orders = t(spark, sfDir, "orders")
+      .groupBy(pmod(col("o_custkey"), lit(50)).as("k2"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t2"))
+      .agg(max("o_orderkey").as("okey"))
+    graft.plans.AsOf.join(events, orders,
+        Seq(events("k")), Seq(orders("k2")), events("t"), orders("t2"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("okey")).as("n_matched"),
+        max(col("okey")).as("max_okey"))
+      .orderBy("k")
+  }
+
   /** Batch equivalent of the streaming windowed aggregation
     * (graft.streaming.EventStream) — 1h tumbling windows per event_type.
     */

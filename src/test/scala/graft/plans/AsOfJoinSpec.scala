@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("asof join picks the latest right row at or before the left time") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
+      ("B", 4L, 20.0)
+    ).toDF("sym_q", "t_q", "px")
+    val trades = Seq(
+      ("A", 0L), ("A", 5L), ("A", 7L), ("A", 100L),
+      ("B", 3L), ("B", 4L)
+    ).toDF("sym", "t")
+
+    val out = AsOf.join(trades, quotes,
+        Seq(trades("sym")), Seq(quotes("sym_q")), trades("t"), quotes("t_q"))
+      .select("sym", "t", "t_q", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toSet
+
+    assert(out == Set(
+      ("A", 0L, -1L, -1.0),    // nothing at or before t=0
+      ("A", 5L, 5L, 11.0),     // ties: <= is inclusive
+      ("A", 7L, 5L, 11.0),
+      ("A", 100L, 9L, 12.0),   // latest available
+      ("B", 3L, -1L, -1.0),
+      ("B", 4L, 4L, 20.0)))
+  }
+
+  test("asof join agrees with the composed join+window formulation on real tables") {
+    val events = graft.queries.Analytics.loadEvents(spark, sf0001)
+      .select(col("event_id"), pmod(col("user_id"), lit(50)).as("k"),
+        col("ts").cast("long").as("t"))
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(50)).as("k2"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t2"))
+
+    val fast = AsOf.join(events, orders,
+        Seq(events("k")), Seq(orders("k2")), events("t"), orders("t2"))
+      .select("event_id", "o_orderkey")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    // reference composition: equi-join, filter, keep max-(t2, orderkey).
+    // NOTE the custom operator breaks time ties by right sort order
+    // (keys, time) — the last row among equal times wins, which for
+    // this data is the max orderkey: mirror that here.
+    val w = Window.partitionBy("event_id").orderBy(desc("t2"), desc("o_orderkey"))
+    val slow = events.join(orders, events("k") === orders("k2") && orders("t2") <= events("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "o_orderkey")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(fast.size == slow.size)
+    val diffs = fast.collect { case (k, v) if slow(k) != v => (k, v, slow(k)) }
+    assert(diffs.isEmpty, s"${diffs.take(5)}")
+  }
+}
