@@ -61,6 +61,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenStats _,
     "text_fingerprint" -> TextOps.fingerprints _,
     "mm_metadata" -> Multimodal.metadataStats _,
+    "mm_features" -> Multimodal.featureSummary _,
     // §2d — streaming
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d))
