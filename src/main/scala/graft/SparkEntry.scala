@@ -26,6 +26,7 @@ object SparkEntry {
     // §2a — reference surface (parallel SVM engine)
     "svm_part_stats" -> SvmQueries.partStats _,
     "svm_partition" -> SvmQueries.partition _,
+    "svm_partition_random" -> ((s: SparkSession, d: String) => graft.svm.Partitioner.balancedRandomSizes(s, d)),
     "svm_linear_train" -> SvmQueries.linearTrain _,
     "svm_cascade_train" -> SvmQueries.cascadeTrain _,
     "svm_bagging_train" -> SvmQueries.baggingTrain _,
@@ -46,6 +47,8 @@ object SparkEntry {
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
     "q_asof_join" -> Analytics.qAsofJoin _,
+    "q_distinct_agg" -> Analytics.qDistinctAgg _,
+    "q_outer_join" -> Analytics.qOuterJoin _,
     "q_percentiles" -> Analytics.qPercentiles _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
@@ -77,6 +80,13 @@ object SparkEntry {
       "SELECT label, count(*) AS n FROM embeddings GROUP BY ROLLUP(label) ORDER BY label NULLS FIRST",
     "svm_partition" ->
       "SELECT CAST(vec_id % 8 AS INTEGER) AS subset, label, count(*) AS n FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2",
+    // sizes are floor(n/k)+1 for the first n%k subsets — a pure function
+    // of the total count, verifiable without replaying the seeded RNG.
+    "svm_partition_random" ->
+      """WITH c AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(i AS INTEGER) AS subset,
+        |  CAST(n // 8 + CASE WHEN i < n % 8 THEN 1 ELSE 0 END AS BIGINT) AS n_rows
+        |FROM c, (SELECT unnest(generate_series(0, 7)) AS i) ORDER BY 1""".stripMargin,
     "svm_predict" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(c AS INTEGER) AS c,
@@ -168,6 +178,15 @@ object SparkEntry {
         |SELECT k, count(*) AS n_events, count(okey) AS n_matched, max(okey) AS max_okey
         |FROM e ASOF LEFT JOIN o ON e.k = o.k2 AND e.t >= o.t2
         |GROUP BY k ORDER BY k""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q_outer_join" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_only,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_order_only,
+        |  count(CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL THEN 1 END) AS n_matched
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin,
     "q_percentiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,

@@ -151,6 +151,32 @@ object Analytics {
       .orderBy("p_brand", "rk", "p_partkey")
   }
 
+  /** Distinct-count aggregation (exact): one pass, two distinct keys.
+    * At scale Spark expands this to partial sets per key — the
+    * approx_count_distinct (HLL) variant is the cheap path; exact kept
+    * here so the oracle can verify.
+    */
+  def qDistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Full outer join coverage: customers ⋈ orders with unmatched sides
+    * counted — the null-handling surface of join planning.
+    */
+  def qOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_customer_only"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_order_only"),
+        count(when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull, 1)).as("n_matched"))
+  }
+
   /** Exact percentiles of l_extendedprice (median/p90/p99). */
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
