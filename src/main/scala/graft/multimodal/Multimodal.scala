@@ -83,4 +83,58 @@ object Multimodal {
       round(array_max(col("features")).cast("double"), 4).as("peak"))
       .orderBy("media_id")
   }
+
+  /** STUB resize: a real system would decode, scale to (w, h), and
+    * re-encode. Deterministic fake: sample `w*h` bytes evenly from the
+    * payload — preserves the contract (binary → binary of the target
+    * size, metadata width/height rewritten).
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(w * h, 1))
+    val n = math.max(payload.length, 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (payload.isEmpty) 0 else payload((i.toLong * n / out.length).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Batched resize over the media table: binary in, binary out, typed
+    * metadata updated — the per-partition batch shape a real decoder
+    * plugs into.
+    */
+  def resize(spark: SparkSession, sfDir: String, w: Int = 64, h: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, resizeStub(bytes, w, h)) })
+      .toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("fake/image").as("mime"), length(col("payload")).as("n_bytes"),
+        lit(w).as("width"), lit(h).as("height"), lit("resized").as("origin")))
+  }
+
+  /** STUB frame sampling: a real system would decode a video payload
+    * and keep every k-th frame. Deterministic fake: split the payload
+    * into `nFrames` contiguous chunks and emit one row per frame with
+    * its own feature vector — the explode-shaped operator (one media
+    * row → many frame rows) a video pipeline needs.
+    */
+  def sampleFrames(spark: SparkSession, sfDir: String, nFrames: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val size = math.max(bytes.length / nFrames, 1)
+        (0 until nFrames).iterator.map { f =>
+          val from = math.min(f * size, bytes.length)
+          val until = if (f == nFrames - 1) bytes.length else math.min(from + size, bytes.length)
+          (id, f, decodeStub(java.util.Arrays.copyOfRange(bytes, from, until)))
+        }
+      })
+      .toDF("media_id", "frame", "features")
+  }
 }

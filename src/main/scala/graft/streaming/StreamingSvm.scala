@@ -1,0 +1,63 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.svm.{LabeledVec, Smo, SvmModel}
+
+/** Online iterative SVM over a stream of labeled vectors: each
+  * micro-batch trains on (batch ∪ accumulated global support vectors)
+  * and folds its new SVs into the global set — the reference's
+  * iterative meta-algorithm (Iterative_svm/Itergsv.java:51-110) driven
+  * by data arrival instead of driver rounds.
+  *
+  * State lives on the driver because the global-SV set is the
+  * algorithm's own bottleneck state (SVs ≪ data): the same reason the
+  * reference keeps global_sv.csv in the DistributedCache. Batches are
+  * bounded by the trigger (maxFilesPerTrigger), so the per-batch
+  * collect is a bounded micro-batch, not the corpus.
+  */
+class StreamingSvm(params: Smo.Params) extends Serializable {
+
+  /** (batchId, rows in batch, new SVs, total global SVs) per batch. */
+  val batchStats: mutable.Buffer[(Long, Int, Int, Int)] = mutable.Buffer.empty
+  private val globalSvs = mutable.LinkedHashMap.empty[Long, LabeledVec]
+  @volatile private var lastModel: SvmModel = _
+
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch.select("vec_id", "label", "embedding").collect()
+      .map(r => r.getLong(0) -> LabeledVec(r.getInt(1), r.getSeq[Float](2).toArray))
+    if (rows.nonEmpty) {
+      val merged: Array[(Long, LabeledVec)] =
+        rows ++ globalSvs.iterator.filterNot(g => rows.exists(_._1 == g._1))
+      val model = Smo.train(merged.map(_._2), params)
+      val newSvs = model.svGlobalIdx.map(merged).filterNot(r => globalSvs.contains(r._1))
+      newSvs.foreach { case (id, v) => globalSvs.update(id, v) }
+      lastModel = model
+      batchStats += ((batchId, rows.length, newSvs.length, globalSvs.size))
+    }
+  }
+
+  def model: SvmModel = lastModel
+  def globalSvCount: Int = globalSvs.size
+
+  /** Stream parquet files of (vec_id, label, embedding) from `dir`
+    * through the online trainer; AvailableNow processes what exists
+    * and terminates (tests / backfill; drop the trigger for 24/7).
+    */
+  def runBounded(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processBatch(df, id))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -29,6 +29,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.getSeq[Float](1).length == 16))
   }
 
+  test("resize rewrites payload to the target size with updated metadata") {
+    val rows = Multimodal.resize(spark, sf0001, w = 8, h = 8).limit(10).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload").length == 64)
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 8)
+    }
+    // deterministic: same input -> same bytes
+    val a = Multimodal.resizeStub("hello multimodal world".getBytes, 4, 4)
+    val b = Multimodal.resizeStub("hello multimodal world".getBytes, 4, 4)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("frame sampling explodes each media row into nFrames feature rows") {
+    val frames = Multimodal.sampleFrames(spark, sf0001, nFrames = 3)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(frames.count() == n * 3)
+    val perMedia = frames.groupBy("media_id").count().select("count").distinct().collect()
+    assert(perMedia.length == 1 && perMedia(0).getLong(0) == 3)
+    assert(frames.limit(5).collect().forall(_.getSeq[Float](2).length == 16))
+  }
+
   test("feature summary l1 is ~1 for non-empty payloads") {
     val rows = Multimodal.featureSummary(spark, sf0001).limit(20).collect()
     rows.foreach { r =>

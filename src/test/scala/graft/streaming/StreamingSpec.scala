@@ -24,6 +24,36 @@ class StreamingSpec extends SparkSpec {
     assert(users.map(_.getAs[Long]("n_sessions")).sum == sessions.length)
   }
 
+  test("online iterative SVM: stream chunks accumulate SVs into a usable model") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-svm-stream-").toString
+    // 3 arrival chunks by id range, one file each
+    for ((lo, hi, i) <- Seq((0, 167, 0), (167, 334, 1), (334, 500, 2)))
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.parquet(s"$dir/chunk_$i")
+    // the source dir streams all chunk files
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-svm-stream-src-")
+    for (i <- 0 to 2) {
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/chunk_$i"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.createSymbolicLink(streamDir.resolve(s"c$i.parquet"), f)
+    }
+    val trainer = new graft.streaming.StreamingSvm(
+      graft.svm.Smo.Params(kernel = graft.svm.Kernel.Linear))
+    trainer.runBounded(spark, streamDir.toString, maxFilesPerTrigger = 1)
+
+    assert(trainer.batchStats.size == 3, s"expected 3 micro-batches: ${trainer.batchStats}")
+    assert(trainer.globalSvCount > 0)
+    val m = trainer.model
+    assert(m != null && m.labels.length == 10)
+    // the streamed model must be in the quality band of a batch solve
+    val all = emb.collect().map(r =>
+      graft.svm.LabeledVec(r.getInt(2), r.getSeq[Float](1).toArray))
+    val acc = all.count(v => m.predict(v.features) == v.label).toDouble / all.length
+    assert(acc > 0.3, s"streamed-model accuracy $acc")
+  }
+
   test("sessionization runs as a genuine stream with watermarked session state") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import org.apache.spark.sql.functions._
