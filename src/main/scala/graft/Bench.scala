@@ -30,7 +30,8 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // name order: stable run-to-run and round-to-round for diffing
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(name, fn)
       val warm = timeOnce(name, fn)
       (name, math.min(cold, warm), cold)
