@@ -46,6 +46,32 @@ object EventStream {
         round(sum("total_value"), 2).as("total_value"))
       .orderBy("user_id")
 
+  /** Per-user running stats via `flatMapGroupsWithState` — the custom-
+    * state path for semantics no built-in aggregation expresses (here:
+    * a monotone event counter + running value sum + last-seen time kept
+    * per user across micro-batches). State is per-key in the state
+    * store, so it scales with distinct users, not events; production
+    * use adds a GroupStateTimeout to expire idle keys.
+    */
+  def runningUserStats(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("value").cast("double"),
+      col("ts").cast("long")).as[(Long, Double, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double, Long)](
+        OM.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Double, Long)]) =>
+          var (n, sum, last) = state.getOption.getOrElse((0L, 0.0, 0L))
+          rows.foreach { case (_, v, t) =>
+            n += 1; sum += v; if (t > last) last = t
+          }
+          state.update((n, sum, last))
+          Iterator.single((user, n, math.rint(sum * 100) / 100, last))
+      }
+      .toDF("user_id", "n_events", "total_value", "last_seen")
+  }
+
   /** Run the streaming pipeline over the bounded events parquet via a
     * file stream, write to an in-memory sink, and return the final
     * result — used by the spec to assert batch/stream parity.

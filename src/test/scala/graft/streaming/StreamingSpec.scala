@@ -24,6 +24,33 @@ class StreamingSpec extends SparkSpec {
     assert(users.map(_.getAs[Long]("n_sessions")).sum == sessions.length)
   }
 
+  test("flatMapGroupsWithState running stats converge to the batch aggregate") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$sf0001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-state-stream-")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = EventStream.runningUserStats(stream)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("spec_user_state")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // counts are monotone: the max per user is the final state
+    val streamed = spark.table("spec_user_state")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.queries.Analytics.loadEvents(spark, sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    val diffs = streamed.collect { case (k, v) if batch(k) != v => (k, v, batch(k)) }
+    assert(diffs.isEmpty, s"state/batch mismatch: ${diffs.take(5)}")
+  }
+
   test("online iterative SVM: stream chunks accumulate SVs into a usable model") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
