@@ -22,6 +22,11 @@ import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
   * (key, time) — both delegated to EnsureRequirements, so AQE still
   * plans the exchanges — and merges each partition in one linear pass
   * holding exactly ONE candidate row.
+  *
+  * zipPartitions requires both children on the same partition count;
+  * EnsureRequirements guarantees it at planning time, and if an
+  * adaptive re-plan ever broke the alignment the join fails loudly
+  * (RDD zip precondition) rather than mis-pairing partitions.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -93,21 +98,33 @@ case class AsOfJoinExec(
 
       lIter.map { l =>
         val lKey = lKeyGen(l)
-        val lT = timeAsLong(lTimeB.eval(l))
+        // null left time never matches (mirrors the SQL `<=` predicate,
+        // where NULL comparison is false); nulls sort first, so no
+        // candidate has accumulated for this key yet.
+        val lTimeV = lTimeB.eval(l)
         if (candKey != null && keyOrd.compare(candKey, lKey) != 0) {
           candKey = null; cand = null
         }
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rKey = rKeyGen(rBuf.head)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0) rBuf.next() // dead key: left keys only grow
-          else if (c == 0 && timeAsLong(rTimeB.eval(rBuf.head)) <= lT) {
-            cand = rBuf.next().copy()
-            candKey = lKey.copy()
-          } else advancing = false
+        if (lTimeV == null) {
+          project(joined(l, nullRight))
+        } else {
+          val lT = timeAsLong(lTimeV)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyGen(rBuf.head)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) rBuf.next() // dead key: left keys only grow
+            else if (c == 0) {
+              val rTimeV = rTimeB.eval(rBuf.head)
+              if (rTimeV == null) rBuf.next() // unmatchable right row
+              else if (timeAsLong(rTimeV) <= lT) {
+                cand = rBuf.next().copy()
+                candKey = lKey.copy()
+              } else advancing = false
+            } else advancing = false
+          }
+          project(joined(l, if (cand != null) cand else nullRight))
         }
-        project(joined(l, if (cand != null) cand else nullRight))
       }
     }
   }

@@ -33,6 +33,24 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 4L, 4L, 20.0)))
   }
 
+  test("null times: left nulls never match, right nulls are unmatchable") {
+    import spark.implicits._
+    val right = Seq(("A", Some(1L), 10.0), ("A", None, 99.0), ("A", Some(5L), 11.0))
+      .toDF("sk", "tk", "px")
+    val left = Seq(("A", Some(3L)), ("A", None), ("A", Some(6L)))
+      .toDF("s", "t")
+    val out = AsOf.join(left, right, Seq(left("s")), Seq(right("sk")), left("t"), right("tk"))
+      .select("t", "tk", "px")
+      .collect().map(r => (
+        if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(out == Set(
+      (-1L, -1L, -1.0),   // null left time -> no match
+      (3L, 1L, 10.0),
+      (6L, 5L, 11.0)))    // the null-time right row is skipped, not matched
+  }
+
   test("asof join agrees with the composed join+window formulation on real tables") {
     val events = graft.queries.Analytics.loadEvents(spark, sf0001)
       .select(col("event_id"), pmod(col("user_id"), lit(50)).as("k"),
