@@ -20,28 +20,33 @@ object Bench {
     // first-job codegen otherwise land on whichever query runs first.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      // A query that throws must be loud: a swallowed failure records a
-      // fast-looking time and silently poisons the benchmark.
-      try { fn(spark, sfDir).count() } catch {
+      // A failed query must be loud AND visible in the JSON (-1 time,
+      // listed under "failed") — recording its fast elapsed time would
+      // silently poison the benchmark.
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // name order: stable run-to-run and round-to-round for diffing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(name, fn)
       val warm = timeOnce(name, fn)
-      (name, math.min(cold, warm), cold)
+      val best = (cold.toSeq ++ warm.toSeq).minOption
+      (name, best, cold)
     }
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("-1")
+    def jmap(kv: Seq[(String, Option[Double])]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val failed = results.collect { case (n, None, _) => "\"" + n + "\"" }
+    val total = results.flatMap(_._2).sum
     val qs = jmap(results.map(r => r._1 -> r._2))
     val cold = jmap(results.map(r => r._1 -> r._3))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -257,7 +257,7 @@ object SparkEntry {
         |FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents) t ORDER BY doc_id""".stripMargin,
     "mm_metadata" ->
       """SELECT 'fake/image' AS mime, ((doc_id % 16) * 64 + 64) >= 512 AS is_wide, count(*) AS n,
-        |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(max((doc_id % 9) * 64 + 64) AS INTEGER) AS max_height
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_agg" ->

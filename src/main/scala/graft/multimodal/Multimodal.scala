@@ -29,7 +29,9 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"),
         struct(
           lit("fake/image").as("mime"),
-          length(col("text")).as("n_bytes"),
+          // payload BYTE length, not char count — they diverge on any
+          // multi-byte text (the corpus has a zh language slot).
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
           (pmod(col("doc_id"), lit(16)) * 64 + 64).cast("int").as("width"),
           (pmod(col("doc_id"), lit(9)) * 64 + 64).cast("int").as("height"),
           col("source").as("origin")).as("meta"))

@@ -105,23 +105,28 @@ case class AsOfJoinExec(
         if (candKey != null && keyOrd.compare(candKey, lKey) != 0) {
           candKey = null; cand = null
         }
-        if (lTimeV == null) {
+        if (lTimeV == null || lKey.anyNull) {
+          // SQL equality never matches NULL keys (and NULL time compares
+          // false) — emit the null-extended row, consume nothing.
           project(joined(l, nullRight))
         } else {
           val lT = timeAsLong(lTimeV)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rKey = rKeyGen(rBuf.head)
-            val c = keyOrd.compare(rKey, lKey)
-            if (c < 0) rBuf.next() // dead key: left keys only grow
-            else if (c == 0) {
-              val rTimeV = rTimeB.eval(rBuf.head)
-              if (rTimeV == null) rBuf.next() // unmatchable right row
-              else if (timeAsLong(rTimeV) <= lT) {
-                cand = rBuf.next().copy()
-                candKey = lKey.copy()
+            if (rKey.anyNull) { rBuf.next() } // NULL key: unmatchable
+            else {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) rBuf.next() // dead key: left keys only grow
+              else if (c == 0) {
+                val rTimeV = rTimeB.eval(rBuf.head)
+                if (rTimeV == null) rBuf.next() // unmatchable right row
+                else if (timeAsLong(rTimeV) <= lT) {
+                  cand = rBuf.next().copy()
+                  candKey = lKey.copy()
+                } else advancing = false
               } else advancing = false
-            } else advancing = false
+            }
           }
           project(joined(l, if (cand != null) cand else nullRight))
         }
@@ -154,8 +159,17 @@ object AsOf {
       "asof join needs matching non-empty key lists")
     val spark = left.sparkSession
     install(spark)
+    val lPlan = DatasetBridge.plan(left)
+    val rPlan = DatasetBridge.plan(right)
+    // Unlike Dataset.join, this plan does not rewrite the right side's
+    // attribute ids; a self-join would bind right columns to left
+    // ordinals and silently emit wrong data. Refuse it instead.
+    val overlap = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(overlap.isEmpty,
+      s"asof join sides share attributes (${overlap.mkString(", ")}); " +
+        "re-alias one side (df.select(cols.map(c => col(c).as(c + \"_r\")))) first")
     val plan = AsOfJoin(
-      DatasetBridge.plan(left), DatasetBridge.plan(right),
+      lPlan, rPlan,
       leftKeys.map(ColumnBridge.expression),
       rightKeys.map(ColumnBridge.expression),
       ColumnBridge.expression(leftTime),

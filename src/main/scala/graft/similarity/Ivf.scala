@@ -31,6 +31,7 @@ object Ivf {
     */
   def trainCentroids(data: DataFrame, nLists: Int, iters: Int = 3): DataFrame = {
     val spark = data.sparkSession
+    import spark.implicits._
     val n = data.count()
     val spacing = math.max(n / nLists, 1L)
     var cent = data
@@ -38,8 +39,7 @@ object Ivf {
       .select((col("vec_id") / spacing).cast("int").as("list_id"),
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
     for (_ <- 1 to iters) {
-      val assigned = assign(data, cent)
-      cent = assigned
+      val updated = assign(data, cent)
         .join(data, "vec_id")
         .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy("list_id", "i")
@@ -47,6 +47,13 @@ object Ivf {
         .groupBy("list_id")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
           s => s.getField("c")).as("cvec"))
+      // Materialize each iteration's k centroids to the driver (k×dim
+      // doubles — bytes) and rebuild a local frame: otherwise every
+      // iteration's plan nests the previous one, recomputing the whole
+      // history per pass, and a persist() here would leak cached data
+      // into the session for the caller to forget.
+      val rows = updated.as[(Int, Seq[Double])].collect().sortBy(_._1)
+      cent = rows.toSeq.toDF("list_id", "cvec")
     }
     cent
   }
@@ -71,7 +78,8 @@ object Ivf {
               probeEvery: Int = 50, nLists: Int = 16, nProbe: Int = 4,
               iters: Int = 3): DataFrame = {
     val data = emb(spark, sfDir)
-    val cent = trainCentroids(data, nLists, iters).persist()
+    // trainCentroids returns a driver-local frame — no persist needed.
+    val cent = trainCentroids(data, nLists, iters)
     val index = assign(data, cent) // inverted lists as (vec_id, list_id)
     val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))

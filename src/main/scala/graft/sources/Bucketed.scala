@@ -29,8 +29,12 @@ object Bucketed {
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** True iff the physical plan of `df` contains no shuffle exchange —
-    * how the specs prove a bucketed join is co-located.
+    * how the specs prove a bucketed join is co-located. Matches hash,
+    * range and single-partition exchanges but not BroadcastExchange
+    * (which moves a small side, not the data).
     */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    !"(?<![A-Za-z])Exchange ".r
+      .findFirstIn(df.queryExecution.executedPlan.toString)
+      .isDefined
 }

@@ -30,8 +30,9 @@ class StreamingSvm(params: Smo.Params) extends Serializable {
     val rows = batch.select("vec_id", "label", "embedding").collect()
       .map(r => r.getLong(0) -> LabeledVec(r.getInt(1), r.getSeq[Float](2).toArray))
     if (rows.nonEmpty) {
+      val rowIds = rows.iterator.map(_._1).toSet
       val merged: Array[(Long, LabeledVec)] =
-        rows ++ globalSvs.iterator.filterNot(g => rows.exists(_._1 == g._1))
+        rows ++ globalSvs.iterator.filterNot(g => rowIds(g._1))
       val model = Smo.train(merged.map(_._2), params)
       val newSvs = model.svGlobalIdx.map(merged).filterNot(r => globalSvs.contains(r._1))
       newSvs.foreach { case (id, v) => globalSvs.update(id, v) }

@@ -46,9 +46,13 @@ object LinearSvm {
       (i, norm, lsvc.intercept, coefs.count(_ != 0.0).toLong)
     }
 
-    val predictions = model.transform(df)
-    val acc = predictions.filter($"label" === $"prediction").count().toDouble /
-      math.max(predictions.count(), 1L)
+    // one aggregation pass: scoring every row against 10 binary models
+    // is the expensive stage — don't pay it twice with filter+count.
+    val accRow = model.transform(df)
+      .agg(count(lit(1)).as("n"),
+        sum(when($"label" === $"prediction", 1L).otherwise(0L)).as("hits"))
+      .collect()(0)
+    val acc = accRow.getLong(1).toDouble / math.max(accRow.getLong(0), 1L)
     df.unpersist()
 
     (perClass.map { case (l, n, b, nz) => (l, n, b, nz) } :+ ((-1, acc, 0.0, 0L)))

@@ -42,11 +42,15 @@ object ParallelSvm {
     * table is L2-normalized with near-orthogonal rows (||a-b||^2 ≈ 2 for
     * every pair), so gamma=1/d RBF degenerates to a constant kernel
     * K ≈ e^(-2/d) that carries no class signal; the linear kernel keeps
-    * the centroid-direction signal the data actually has. RBF remains a
-    * supported [[Kernel]] (see Smo/kernelGram specs).
+    * the centroid-direction signal the data actually has. Use
+    * [[rbfParams]] for the reference's exact kernel choice.
     */
   def defaultParams(dim: Int): Smo.Params =
     Smo.Params(c = 1.0, eps = 1e-3, kernel = Kernel.Linear)
+
+  /** The reference's exact LibSVM configuration: RBF, gamma = 1/dim. */
+  def rbfParams(dim: Int): Smo.Params =
+    Smo.Params(c = 1.0, eps = 1e-3, kernel = Kernel.Rbf(1.0 / dim))
 
   /** Load the embeddings table as the canonical training set. */
   def loadTraining(spark: SparkSession, sfDir: String, k: Int): Dataset[Ex] = {
@@ -62,7 +66,12 @@ object ParallelSvm {
 
   private def trainGroup(rows: Array[Ex], params: Smo.Params): (SvmModel, Array[Ex]) = {
     val model = Smo.train(rows.map(r => LabeledVec(r.label, r.features)), params)
-    (model, model.svGlobalIdx.map(rows))
+    // A single-class subset has no binary problems and therefore no SVs;
+    // forwarding nothing would silently erase that class from every
+    // later cascade layer. Forward all its rows instead — they are the
+    // class's entire evidence until a layer merges it with another.
+    val svs = if (model.binaries.isEmpty) rows else model.svGlobalIdx.map(rows)
+    (model, svs)
   }
 
   /** Java-serialize a model so it can travel through a Dataset (models
@@ -203,7 +212,8 @@ object ParallelSvm {
         .flatMapGroups { (subset, it) =>
           val local = it.toArray
           val globals = bc.value
-          val merged = local ++ globals.valuesIterator.filterNot(g => local.exists(_.id == g.id))
+          val localIds = local.iterator.map(_.id).toSet
+          val merged = local ++ globals.valuesIterator.filterNot(g => localIds(g.id))
           val model = Smo.train(merged.map(r => LabeledVec(r.label, r.features)), params)
           val errs = merged.count(r => model.predict(r.features) != r.label).toLong
           val newSvs = model.svGlobalIdx.map(merged).filterNot(r => globals.contains(r.id))

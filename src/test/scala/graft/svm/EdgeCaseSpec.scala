@@ -40,6 +40,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(stats.exists(_.stage == "bagging-ensemble"))
   }
 
+  test("cascade with single-class subsets keeps every class alive") {
+    import spark.implicits._
+    // subset == label % 2 correlation: each layer-1 subset sees ONE class
+    val rows = (0 until 80).map { i =>
+      val label = i % 2
+      Ex(i.toLong, label, Array.fill(8)((i % 5).toFloat + label * 10f), label)
+    }
+    val (stats, model) = ParallelSvm.cascade(rows.toDS(), k = 2,
+      Smo.Params(kernel = Kernel.Linear))
+    assert(model.labels.toSeq == Seq(0, 1),
+      "both classes must survive single-class layer-1 subsets")
+    val acc = stats.find(s => s.stage == "cascade-final" && s.layer == -1).get.metric
+    assert(acc > 0.9, s"separable data must classify: acc=$acc")
+  }
+
   test("iterative with a subset that holds a single class still converges") {
     import spark.implicits._
     // 3 subsets; subset 2 carries only label 9 — its per-subset solve is
