@@ -31,6 +31,7 @@ object SparkEntry {
     "svm_cascade_train" -> SvmQueries.cascadeTrain _,
     "svm_bagging_train" -> SvmQueries.baggingTrain _,
     "svm_iterative_train" -> SvmQueries.iterativeTrain _,
+    "svm_cascade_train_rbf" -> SvmQueries.cascadeTrainRbf _,
     "svm_predict" -> SvmQueries.predictFixed _,
     "svm_evaluate" -> SvmQueries.centroidEvaluate _,
     "svm_model_io" -> SvmQueries.modelIo _,

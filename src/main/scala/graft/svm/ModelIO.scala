@@ -20,18 +20,31 @@ object ModelIO {
     * or object stores on a real cluster (reference:
     * cascade_svm/Lastcascade.java:33-36 writes via FileSystem.create).
     */
-  def save(spark: org.apache.spark.sql.SparkSession, m: SvmModel, path: String): Unit = {
+  def save(spark: org.apache.spark.sql.SparkSession, m: SvmModel, path: String): Unit =
+    save(spark.sparkContext.hadoopConfiguration, m, path)
+
+  /** Configuration-based variant usable from INSIDE an executor task
+    * (where no SparkSession exists) — the call shape bagging uses to
+    * persist each base model from the task that trained it, exactly as
+    * the reference's mapper writes model-&lt;taskId&gt;.model
+    * (Bagging_svm/Bagging1.java:107-132).
+    */
+  def save(conf: org.apache.hadoop.conf.Configuration, m: SvmModel, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(serialize(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   /** Load a model previously written by [[save]]. */
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): SvmModel = {
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): SvmModel =
+    load(spark.sparkContext.hadoopConfiguration, path)
+
+  /** Configuration-based variant of [[load]] (see the save overload). */
+  def load(conf: org.apache.hadoop.conf.Configuration, path: String): SvmModel = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()

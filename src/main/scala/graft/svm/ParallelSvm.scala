@@ -31,9 +31,12 @@ final case class LayerStat(stage: String, layer: Int, subset: Int, nIn: Long, nS
   *  - Nothing large is ever collected to the driver: only per-layer
   *    statistics and (for iterative, by the algorithm's own definition)
   *    the global support-vector set, which is orders of magnitude
-  *    smaller than the data and is broadcast each round exactly like
-  *    the reference's DistributedCache'd global_sv.csv
-  *    (Iterative_svm/Itergsv.java:63-91).
+  *    smaller than the data, is hard-capped by `maxGlobalSvs` (loud
+  *    failure, not silent growth), and is broadcast each round exactly
+  *    like the reference's DistributedCache'd global_sv.csv
+  *    (Iterative_svm/Itergsv.java:63-91). Bagging base models are
+  *    persisted executor-side through the Hadoop FS API; the cascade's
+  *    final solve runs in a single-task executor job.
   */
 object ParallelSvm {
 
@@ -122,10 +125,26 @@ object ParallelSvm {
         .collect().map(r => LayerStat("cascade", layer, r.getInt(0), -1L, r.getLong(1), 0.0))
       stats ++= layerStats.sortBy(_.subset)
       if (isLast) {
-        // Final solve on the merged SV set (small by construction).
-        val svRows = svs.collect()
-        finalModel = Smo.train(svRows.map(r => LabeledVec(r.label, r.features)), params)
-        stats += LayerStat("cascade-final", layer + 1, 0, svRows.length.toLong,
+        // Final solve on the merged SV set — run as a SINGLE-TASK
+        // EXECUTOR job, mirroring the reference's lone reducer
+        // (cascade_svm/Lastcascade.java:109-144): the SV set is small by
+        // construction, but the SMO solve on it is CPU-bound for minutes
+        // at scale, and the driver must stay free to schedule. Only the
+        // serialized final model (SVs-only) returns to the driver.
+        val solved = svs
+          .repartition(1)
+          .mapPartitions { it =>
+            val rows = it.toArray
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val m = Smo.train(rows.map(r => LabeledVec(r.label, r.features)), params)
+              Iterator.single((rows.length.toLong, ser(m)))
+            }
+          }
+          .collect()
+        val (nIn, modelBytes) = solved.head
+        finalModel = deser(modelBytes)
+        stats += LayerStat("cascade-final", layer + 1, 0, nIn,
           finalModel.supportVectors.length.toLong, 0.0)
       }
       val prev = current
@@ -145,28 +164,59 @@ object ParallelSvm {
   /** Bagging SVM: one independent base model per subset; ensemble
     * prediction is the majority vote of the base models.
     * Reference: Bagging_svm/Bagging1.java:107-132 (map-only per-subset
-    * training + model save + SV union output).
+    * training + model save to HDFS + SV union output).
+    *
+    * Each training task persists its own model THROUGH THE HADOOP
+    * FILESYSTEM API from inside the executor and ships back only a
+    * stats row. Base models are SVs-only, but on non-separable data
+    * n_sv ≈ n, so collecting k serialized models would approach the
+    * size of the dataset and OOM the driver at scale — the model bytes
+    * must go executor → FS, never executor → driver. Ensemble scoring
+    * re-loads the persisted models under an explicit size guard before
+    * broadcasting them for the majority vote.
+    *
+    * @param modelDir directory (file://, hdfs://, s3a://…) that receives
+    *                 one `model-<subset>.model` LibSVM text file per subset
+    * @param maxEnsembleBytes guard: refuse to broadcast an ensemble whose
+    *                 on-disk size exceeds this (vote per-partition against
+    *                 individually-loaded models instead, at your own risk)
     */
-  def bagging(data: Dataset[Ex], k: Int, params: Smo.Params): (Seq[LayerStat], Array[SvmModel]) = {
+  def bagging(
+      data: Dataset[Ex], k: Int, params: Smo.Params, modelDir: String,
+      maxEnsembleBytes: Long = 256L << 20): (Seq[LayerStat], Array[SvmModel]) = {
     val spark = data.sparkSession
     import spark.implicits._
-    // Train per subset and ship each base model back as its (subset, model) pair.
-    // Base models consist of SVs only — far smaller than the partitions.
-    val trained: Array[(Int, SvmModel, Long)] = data
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // Map-only per-subset training; each task saves its own base model
+    // (reference: model-<taskId>.model) and returns ONLY (subset, n, nSv).
+    val trained: Array[(Int, Long, Long)] = data
       .groupByKey(_.subset)
       .mapGroups { (subset, it) =>
         val rows = it.toArray
         val (model, _) = trainGroup(rows, params)
-        (subset, ser(model), rows.length.toLong)
+        ModelIO.save(conf.value, model, s"$modelDir/model-$subset.model")
+        (subset, rows.length.toLong, model.supportVectors.length.toLong)
       }
       .collect()
-      .map { case (s, bytes, n) => (s, deser(bytes), n) }
       .sortBy(_._1)
 
-    val models = trained.map(_._2)
-    val stats = trained.map { case (s, m, nIn) =>
-      LayerStat("bagging", 1, s, nIn, m.supportVectors.length.toLong, 0.0)
+    val stats = trained.map { case (s, nIn, nSv) =>
+      LayerStat("bagging", 1, s, nIn, nSv, 0.0)
     }.toSeq
+
+    // Size guard BEFORE anything model-sized enters driver memory.
+    val fs = new org.apache.hadoop.fs.Path(modelDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = trained.map { case (s, _, _) =>
+      new org.apache.hadoop.fs.Path(s"$modelDir/model-$s.model")
+    }
+    val totalBytes = paths.map(p => fs.getFileStatus(p).getLen).sum
+    require(totalBytes <= maxEnsembleBytes,
+      s"bagging ensemble on $modelDir is $totalBytes bytes, over the " +
+        s"$maxEnsembleBytes broadcast guard — the ensemble cannot be " +
+        "safely broadcast; raise the guard only with executor memory to match")
+    val models = paths.map(p => ModelIO.load(conf.value, p.toString))
 
     // Ensemble accuracy: broadcast all base models, majority vote.
     val bc = spark.sparkContext.broadcast(models)
@@ -196,7 +246,9 @@ object ParallelSvm {
     * `newerrorsum < olderrorsum && i < 3`), Itergsv.java:51-110
     * (per-reducer train on subset + cached global_sv.csv, append new SVs).
     */
-  def iterative(data: Dataset[Ex], k: Int, params: Smo.Params, maxIters: Int = 3): Seq[LayerStat] = {
+  def iterative(
+      data: Dataset[Ex], k: Int, params: Smo.Params, maxIters: Int = 3,
+      maxGlobalSvs: Int = 200000): Seq[LayerStat] = {
     val spark = data.sparkSession
     import spark.implicits._
     var globalSvs = Map.empty[Long, Ex] // id -> row; SV set << data by design
@@ -227,6 +279,17 @@ object ParallelSvm {
         stats += LayerStat("iterative", iter, s, nIn, newSvs.length.toLong, errs.toDouble)
       }
       globalSvs = globalSvs ++ perSubset.iterator.flatMap(_._4).map(r => r.id -> r)
+      // The global-SV set lives on the driver and is broadcast every
+      // round (reference: the DistributedCache'd global_sv.csv). On hard
+      // non-separable data n_sv ≈ n, so one bad round can return nearly
+      // the whole dataset as "new SVs" — fail LOUDLY before that state
+      // OOMs the driver or the broadcast, rather than degrade silently.
+      if (globalSvs.size > maxGlobalSvs)
+        throw new IllegalStateException(
+          s"iterative SVM: global support-vector set grew to ${globalSvs.size} " +
+            s"(> maxGlobalSvs=$maxGlobalSvs) in round $iter — the data is too " +
+            "non-separable for the iterative meta-algorithm at this cap; raise " +
+            "maxGlobalSvs only with driver/executor memory to match, or use cascade()")
       stats += LayerStat("iterative-round", iter, -1, globalSvs.size.toLong, -1L, errSum.toDouble)
       improving = errSum < oldErr
       oldErr = errSum

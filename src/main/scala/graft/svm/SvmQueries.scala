@@ -173,13 +173,29 @@ object SvmQueries {
 
   def baggingTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val data = ParallelSvm.loadTraining(spark, sfDir, K)
-    val (stats, _) = ParallelSvm.bagging(data, K, ParallelSvm.defaultParams(64))
+    // Local temp stands in for the cluster-shared FS (hdfs://, s3a://)
+    // the reference writes its model-<taskId>.model files to.
+    val modelDir = s"${System.getProperty("java.io.tmpdir")}/graft-bagging-${math.abs(sfDir.hashCode)}"
+    val (stats, _) = ParallelSvm.bagging(data, K, ParallelSvm.defaultParams(64), modelDir)
     ParallelSvm.statsDf(spark, stats)
   }
 
   def iterativeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val data = ParallelSvm.loadTraining(spark, sfDir, K)
     val stats = ParallelSvm.iterative(data, K, ParallelSvm.defaultParams(64))
+    ParallelSvm.statsDf(spark, stats)
+  }
+
+  /** The reference's EXACT LibSVM configuration — RBF, gamma = 1/dim,
+    * C=1, eps=1e-3 (cascade_svm/Midcascade.java:62-94) — run end-to-end
+    * through the cascade on the concentric-ring slice, where that kernel
+    * is non-degenerate and a linear kernel cannot beat the class prior
+    * (see [[RingData]]). `sfDir` is unused by design: the slice exists
+    * precisely because the embeddings table degenerates under RBF.
+    */
+  def cascadeTrainRbf(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = RingData.rings(spark, n = 2000, k = 4, dim = 8)
+    val (stats, _) = ParallelSvm.cascade(data, 4, ParallelSvm.rbfParams(8))
     ParallelSvm.statsDf(spark, stats)
   }
 }

@@ -35,7 +35,8 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("bagging with k=1 is a single-model 'ensemble'") {
     val data = ParallelSvm.loadTraining(spark, sf0001, k = 1)
-    val (stats, models) = ParallelSvm.bagging(data, k = 1, params)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bag-k1").toString
+    val (stats, models) = ParallelSvm.bagging(data, k = 1, params, dir)
     assert(models.length == 1)
     assert(stats.exists(_.stage == "bagging-ensemble"))
   }

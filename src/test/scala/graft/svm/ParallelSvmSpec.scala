@@ -31,13 +31,49 @@ class ParallelSvmSpec extends SparkSpec {
 
   test("bagging SVM: k base models, ensemble accuracy") {
     val data = ParallelSvm.loadTraining(spark, sf0001, k = 4)
-    val (stats, models) = ParallelSvm.bagging(data, k = 4, params)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bag").toString
+    val (stats, models) = ParallelSvm.bagging(data, k = 4, params, dir)
     assert(models.length == 4)
     // Base models see only ~62 rows each on this noisy data, so the
     // ensemble sits between random (0.10) and the 0.39 data ceiling.
     val acc = stats.find(_.stage == "bagging-ensemble").get.metric
     assert(acc > 0.2, s"bagging ensemble accuracy $acc")
     assert(stats.count(_.stage == "bagging") == 4)
+  }
+
+  test("bagging persists one model file per subset; driver holds only stats") {
+    val data = ParallelSvm.loadTraining(spark, sf0001, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bag-fs").toString
+    val (stats, _) = ParallelSvm.bagging(data, k = 4, params, dir)
+    // The reference contract: model-<taskId>.model lands on the shared FS
+    // (Bagging_svm/Bagging1.java:107-132); here one LibSVM text file per subset.
+    val files = (0 until 4).map(s => new java.io.File(s"$dir/model-$s.model"))
+    assert(files.forall(f => f.isFile && f.length > 0),
+      s"expected 4 persisted base models in $dir")
+    // Persisted models round-trip into working classifiers.
+    val m = ModelIO.load(spark, files.head.getPath)
+    assert(m.labels.nonEmpty)
+    // Stats carry no model payload — one row per subset + one ensemble row.
+    assert(stats.length == 5)
+  }
+
+  test("bagging refuses to broadcast an ensemble above the size guard") {
+    val data = ParallelSvm.loadTraining(spark, sf0001, k = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bag-guard").toString
+    val e = intercept[IllegalArgumentException] {
+      ParallelSvm.bagging(data, k = 2, params, dir, maxEnsembleBytes = 10L)
+    }
+    assert(e.getMessage.contains("broadcast guard"))
+  }
+
+  test("iterative fails loudly when the global-SV set exceeds maxGlobalSvs") {
+    // The noisy embeddings are adversarial for iterative SVM: nearly every
+    // point is a bound SV, so round 1 already overflows a tiny cap.
+    val data = ParallelSvm.loadTraining(spark, sf0001, k = 4)
+    val e = intercept[IllegalStateException] {
+      ParallelSvm.iterative(data, k = 4, params, maxIters = 3, maxGlobalSvs = 50)
+    }
+    assert(e.getMessage.contains("maxGlobalSvs"))
   }
 
   test("iterative SVM: error decreases or loop stops, <= 3 rounds") {
