@@ -53,13 +53,18 @@ object SparkEntry {
     "q_percentiles" -> Analytics.qPercentiles _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
-    "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashSummary(s, d)),
-    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashSummary(s, d)),
+    // The near-dup/ANN pipelines run over corpora with PLANTED
+    // duplicates (pure column arithmetic, rebuilt verbatim by the SQL
+    // oracle), which turns LSH/IVF *recall* into a hash-verified
+    // result. The recall-vs-brute-force summaries stay spec-covered
+    // (DedupSpec/AnnSpec).
+    "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashPlantedRecall(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPlantedRecall(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardConsecutive(s, d)),
-    "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingSummary(s, d)),
+    "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPlantedRecall(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
-    "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshSummary(s, d)),
-    "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfSummary(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshPlantedTop1(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfPlantedTop1(s, d)),
     "text_langid" -> TextOps.langId _,
     "text_quality" -> TextOps.qualityScores _,
     "text_tokens" -> TextOps.tokenStats _,
@@ -199,6 +204,59 @@ object SparkEntry {
         |SELECT count(*) AS n_unique,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
         |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed FROM g""".stripMargin,
+    // Planted-recall contract: rebuild the planted corpus (same column
+    // arithmetic as Dedup.plantedDocs), recompute the exact word-3-gram
+    // Jaccard of every planted pair independently, and require the
+    // engine's LSH pipeline to have recovered exactly the pairs >= 0.8.
+    "dedup_minhash" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftplantmark' FROM documents
+        |  WHERE doc_id % 20 = 0 AND n_chars >= 200
+        |), tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM planted
+        |), g AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, length(t) - 2)]) AS sh FROM tk
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) / length(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1000000
+        |)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a""".stripMargin,
+    // Full recall on planted near-identical pairs is the contract: the
+    // oracle is the planting rule itself (id arithmetic), so one missed
+    // band collision or hamming > 8 is a hash mismatch.
+    "dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+        |WHERE doc_id % 20 = 0 AND n_chars >= 200 ORDER BY 1""".stripMargin,
+    // Planted exact-duplicate vectors: identical vectors share every LSH
+    // bucket, so each planted pair MUST be recovered at cosine 1.0.
+    "dedup_embedding" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY 1""".stripMargin,
+    // Each probe's exact duplicate is planted in the corpus; the index
+    // must return it as the top-1 neighbor at cosine 1.0.
+    "ann_lsh" ->
+      """SELECT vec_id AS probe_id, vec_id + 1000000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+    "ann_ivf" ->
+      """SELECT vec_id AS probe_id, vec_id + 1000000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+    // Frozen determinism pin (training output is not SQL-expressible).
+    // modelIo trains on the sf-INDEPENDENT RingData slice, so these six
+    // numbers are constants at every scale factor; the pin verifies
+    // LibSVM-format serializer stability and bit-determinism of the SMO
+    // solve across JVMs. Values recomputed 2026-08-12.
+    "svm_model_io" ->
+      """SELECT * FROM (VALUES
+        |  ('model_chars', CAST(48496 AS DOUBLE)),
+        |  ('n_binaries', CAST(45 AS DOUBLE)),
+        |  ('nr_class', CAST(10 AS DOUBLE)),
+        |  ('pred_agree', CAST(1.0 AS DOUBLE)),
+        |  ('roundtrip_sv', CAST(192 AS DOUBLE)),
+        |  ('total_sv', CAST(192 AS DOUBLE))) AS t(stat, value)
+        |ORDER BY stat""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_filter([substring(s, i, 3) FOR i IN generate_series(1, greatest(length(s) - 2, 1))], x -> length(x) = 3)) AS grams

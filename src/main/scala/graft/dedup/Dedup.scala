@@ -20,6 +20,33 @@ object Dedup {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // ------------------------------------------------- planted duplicates
+
+  /** Id offset of planted duplicate copies — far above any natural id. */
+  val PlantOffset = 1000000L
+
+  /** Corpus with PLANTED near-duplicates: every sufficiently-long
+    * `doc_id % plantEvery == 0` document gains a copy at
+    * `doc_id + PlantOffset` with one marker token appended.
+    *
+    * Why: the synthetic corpus is dup-free, so the near-dup pipelines
+    * could only ever report "0 verified pairs" — their RECALL was never
+    * demonstrated. The planting is pure column arithmetic, reproducible
+    * verbatim by an external SQL oracle, which turns recall into a
+    * hash-checkable result: one appended token on a >= minChars doc
+    * leaves word-shingle Jaccard at ~(S-1)/S ≈ 0.95+, far above every
+    * natural pair (max ≈ 0.5), so the planted pairs — and ONLY they —
+    * must come out of the band joins and survive verification.
+    */
+  def plantedDocs(spark: SparkSession, sfDir: String,
+                  plantEvery: Int = 20, minChars: Int = 200): DataFrame = {
+    val d = docs(spark, sfDir)
+    d.select("doc_id", "text").unionByName(
+      d.filter(col("doc_id") % plantEvery === 0 && col("n_chars") >= minChars)
+        .select((col("doc_id") + PlantOffset).as("doc_id"),
+          concat(col("text"), lit(" graftplantmark")).as("text")))
+  }
+
   // -------------------------------------------------------------- exact
 
   /** Exact dedup by normalized-text hash: one surviving doc (min id)
@@ -94,9 +121,8 @@ object Dedup {
     * signature computation: a single narrow pass, then one map-side
     * combined groupBy carries only the signature through the shuffle.
     */
-  private def explodedShingles(spark: SparkSession, sfDir: String, n: Int): DataFrame =
-    docs(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  private def explodedShingles(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
 
   /** MinHash signatures via explode + groupBy with numHashes `min`
@@ -107,10 +133,14 @@ object Dedup {
     * shingle text never leaves the mapper.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String,
-                        shingleN: Int, numHashes: Int): DataFrame = {
+                        shingleN: Int, numHashes: Int): DataFrame =
+    minhashSignaturesOf(docs(spark, sfDir), shingleN, numHashes)
+
+  /** [[minhashSignatures]] over an arbitrary (doc_id, text) frame. */
+  def minhashSignaturesOf(d: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"h$i"))
-    explodedShingles(spark, sfDir, shingleN)
+    explodedShingles(d, shingleN)
       .withColumn("h", xxhash64(col("shingle")))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -154,9 +184,15 @@ object Dedup {
 
   def minhashCandidates(spark: SparkSession, sfDir: String,
                         shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                        bucketCap: Int = 10000): DataFrame = {
+                        bucketCap: Int = 10000): DataFrame =
+    minhashCandidatesOf(docs(spark, sfDir), shingleN, bands, rowsPerBand, bucketCap)
+
+  /** [[minhashCandidates]] over an arbitrary (doc_id, text) frame. */
+  def minhashCandidatesOf(d: DataFrame,
+                          shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                          bucketCap: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = minhashSignatures(spark, sfDir, shingleN, numHashes)
+    val sigs = minhashSignaturesOf(d, shingleN, numHashes)
     val banded = capBuckets(
       sigs.select(
         col("doc_id"),
@@ -173,7 +209,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val grams = docs(spark, sfDir)
+    val grams = d
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleN).as("sh"))
     cand
@@ -199,6 +235,21 @@ object Dedup {
         sum(when(col("jaccard") >= jaccardThreshold, 1L).otherwise(0L)).as("n_verified_pairs"),
         round(coalesce(max("jaccard"), lit(0.0)), 4).as("max_jaccard"))
   }
+
+  /** Oracle-verified planted-recall query for MinHash+LSH: the full
+    * shingle → signature → band → bucket-join → exact-verify pipeline
+    * runs over [[plantedDocs]]; the output is the planted pairs it
+    * RECOVERED, with their exact verified Jaccard. The SQL oracle
+    * recomputes the same word-3-gram Jaccard for every planted pair
+    * independently, so one missed band collision, one wrong signature,
+    * or one Jaccard off by a rounding step = a hash mismatch.
+    */
+  def minhashPlantedRecall(spark: SparkSession, sfDir: String,
+                           jaccardThreshold: Double = 0.8): DataFrame =
+    minhashCandidatesOf(plantedDocs(spark, sfDir))
+      .filter(col("id_b") === col("id_a") + PlantOffset &&
+        col("jaccard") >= jaccardThreshold)
+      .orderBy("id_a")
 
   // ------------------------------------------------------------ simhash
 
@@ -231,17 +282,32 @@ object Dedup {
     */
   def simhashFingerprints(spark: SparkSession, sfDir: String,
                           shingleN: Int = 2): DataFrame =
-    explodedShingles(spark, sfDir, shingleN)
+    simhashFingerprintsOf(docs(spark, sfDir), shingleN)
+
+  /** [[simhashFingerprints]] over an arbitrary (doc_id, text) frame. */
+  def simhashFingerprintsOf(d: DataFrame, shingleN: Int = 2): DataFrame =
+    explodedShingles(d, shingleN)
       .groupBy("doc_id")
       .agg(graft.functions.GraftFunctions.simhash_agg(xxhash64(col("shingle"))).as("sim"))
 
-  /** SimHash near-dup candidate pairs: 4 × 16-bit bands; pairs colliding
-    * on ≥1 band, hamming-verified. The fingerprint (8 bytes) is the only
-    * payload through the band join.
+  /** SimHash near-dup candidate pairs: 4 × 16-bit bands with HAMMING-1
+    * MULTIPROBE on the query side (each band bucket is probed at its
+    * exact value plus all 16 single-bit flips — multi-probe LSH). The
+    * pigeonhole guarantee: a pair within hamming ≤ 2·bands−1 = 7 must
+    * have some band with ≤ 1 differing bit, so its candidate generation
+    * is STRUCTURAL, not probabilistic — which is what lets an external
+    * oracle demand full recall on planted near-dups. The 16-bit bucket
+    * space (65536 per band) keeps natural buckets sparse at corpus
+    * scale; multiprobe multiplies only the ids-only probe side 17×,
+    * never the fingerprint payload.
     */
   private def simhashCandidates(spark: SparkSession, sfDir: String,
-                                shingleN: Int, bucketCap: Int = 10000): DataFrame = {
-    val fp = simhashFingerprints(spark, sfDir, shingleN)
+                                shingleN: Int, bucketCap: Int = 10000): DataFrame =
+    simhashCandidatesOf(docs(spark, sfDir), shingleN, bucketCap)
+
+  private def simhashCandidatesOf(d: DataFrame,
+                                  shingleN: Int, bucketCap: Int = 10000): DataFrame = {
+    val fp = simhashFingerprintsOf(d, shingleN)
     val banded = capBuckets(
       fp.select(
         col("doc_id"), col("sim"),
@@ -252,7 +318,15 @@ object Dedup {
         .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bucket")),
       Seq("band", "bucket"), bucketCap)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    // Query side probes bucket ⊕ {0, 1<<0 … 1<<15}: both orientations of
+    // a qualifying pair materialize, so the id_a < id_b filter below
+    // still sees every pair exactly once.
+    val flips = array((0L +: (0 until 16).map(1L << _).toSeq).map(lit): _*)
+    val r = banded
+      .select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("band"),
+        explode(flips).as("flip"), col("bucket"))
+      .select(col("id_b"), col("sim_b"), col("band"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -279,6 +353,21 @@ object Dedup {
       coalesce(min("hamming"), lit(64)).as("min_hamming"))
   }
 
+  /** Oracle-verified planted-recall query for SimHash: fingerprint →
+    * 4×16-bit band join → hamming verification over [[plantedDocs]];
+    * output = the planted pairs recovered with hamming ≤ maxHamming.
+    * The oracle (pure id arithmetic over the planting rule) expects ALL
+    * of them: one appended token flips at most a few fingerprint bits on
+    * a long doc, so full recall is a hard requirement, not a hope —
+    * a single missed pair is a hash mismatch.
+    */
+  def simhashPlantedRecall(spark: SparkSession, sfDir: String,
+                           maxHamming: Int = 8): DataFrame =
+    simhashCandidatesOf(plantedDocs(spark, sfDir), shingleN = 2)
+      .filter(col("id_b") === col("id_a") + PlantOffset && col("hamming") <= maxHamming)
+      .select("id_a", "id_b")
+      .orderBy("id_a")
+
   /** Candidate pairs for embedding-cosine near-dup with exact cosine:
     * L-table random-hyperplane LSH (recall ≈ 1-(1-p^b)^L — near-1 for
     * cosine ≥ 0.95 at 8×8), ids deduplicated across tables BEFORE the
@@ -286,8 +375,13 @@ object Dedup {
     */
   private def embeddingCandidates(spark: SparkSession, sfDir: String,
                                   nTables: Int, planesPerTable: Int,
-                                  bucketCap: Int = 10000): DataFrame = {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+                                  bucketCap: Int = 10000): DataFrame =
+    embeddingCandidatesOf(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), nTables, planesPerTable, bucketCap)
+
+  private def embeddingCandidatesOf(emb: DataFrame,
+                                    nTables: Int, planesPerTable: Int,
+                                    bucketCap: Int = 10000): DataFrame = {
     val banded = capBuckets(
       emb.select(col("vec_id"),
         explode(graft.similarity.Ann.tableBuckets(col("embedding"), nTables, planesPerTable)).as("tb"))
@@ -359,4 +453,21 @@ object Dedup {
     embeddingCandidates(spark, sfDir, nTables, planesPerTable)
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
+
+  /** Oracle-verified planted-recall query for embedding-cosine dedup:
+    * exact copies of every `vec_id % plantEvery == 0` vector are planted
+    * at `vec_id + PlantOffset`; identical vectors land in identical
+    * buckets in EVERY hash table, so the L-table LSH must recover every
+    * planted pair with cosine 1.0 — the oracle is the planting rule
+    * itself. Natural pairs stay far below the 0.95 threshold (max
+    * pairwise cosine ≈ 0.5 on this corpus).
+    */
+  def embeddingPlantedRecall(spark: SparkSession, sfDir: String,
+                             threshold: Double = 0.95, plantEvery: Int = 25,
+                             nTables: Int = 8, planesPerTable: Int = 8): DataFrame =
+    embeddingCandidatesOf(
+      graft.similarity.Ann.plantedEmbeddings(spark, sfDir, plantEvery, PlantOffset),
+      nTables, planesPerTable)
+      .filter(col("id_b") === col("id_a") + PlantOffset && col("cosine") >= threshold)
+      .orderBy("id_a")
 }

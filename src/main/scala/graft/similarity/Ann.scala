@@ -57,6 +57,21 @@ object Ann {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  /** Embedding corpus with planted EXACT duplicates: every
+    * `vec_id % plantEvery == 0` vector is copied to
+    * `vec_id + offset` verbatim. Identical vectors hash to identical
+    * buckets in every LSH table and to the same IVF list, which turns
+    * "does the index find the true neighbor" into a deterministic,
+    * SQL-expressible contract (the planting rule IS the oracle).
+    */
+  def plantedEmbeddings(spark: SparkSession, sfDir: String,
+                        plantEvery: Int, offset: Long): DataFrame = {
+    val e = emb(spark, sfDir).select("vec_id", "embedding")
+    e.unionByName(
+      e.filter(pmod(col("vec_id"), lit(plantEvery)) === 0)
+        .select((col("vec_id") + offset).as("vec_id"), col("embedding")))
+  }
+
   /** Exact brute-force cosine top-k: for each probe vector (vec_id %
     * probeEvery == 0), the k nearest others by cosine. Probes are
     * broadcast; the corpus side streams through a single scan.
@@ -89,28 +104,56 @@ object Ann {
               probeEvery: Int = 50, nTables: Int = 8,
               planesPerTable: Int = 6): DataFrame = {
     val data = emb(spark, sfDir)
+    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    lshTopKOf(data, probes, k, nTables, planesPerTable)
+  }
+
+  /** [[lshTopK]] over an arbitrary corpus and probe frame — probes need
+    * not be corpus members (their buckets are hashed from `probe_vec`).
+    */
+  def lshTopKOf(data: DataFrame, probes: DataFrame, k: Int,
+                nTables: Int, planesPerTable: Int): DataFrame = {
     val banded = data
       .select(col("vec_id"),
         explode(tableBuckets(col("embedding"), nTables, planesPerTable)).as("tb"))
       .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
-    val probeBands = banded.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("table"), col("bucket"), col("vec_id").as("probe_id"))
+    val probeBands = probes
+      .select(col("probe_id"),
+        explode(tableBuckets(col("probe_vec"), nTables, planesPerTable)).as("tb"))
+      .select(col("tb.table"), col("tb.bucket"), col("probe_id"))
     val pairIds = banded
       .join(probeBands.hint("broadcast"), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id")
       .distinct()
-    val probeVecs = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
     pairIds
       .join(data.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(probeVecs), "probe_id")
+      .join(broadcast(probes), "probe_id")
       .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy("probe_id", "rk")
+  }
+
+  /** Oracle-verified LSH query: each probe's exact duplicate is planted
+    * in the corpus (see [[plantedEmbeddings]]), and the query returns
+    * the top-1 LSH neighbor per probe. Identical vectors share every
+    * bucket, so the index MUST return the planted copy at cosine 1.0 —
+    * full per-probe recall, hash-checked by pure id arithmetic. The
+    * recall-vs-brute-force quality summary remains in [[lshSummary]].
+    */
+  def lshPlantedTop1(spark: SparkSession, sfDir: String,
+                     probeEvery: Int = 50, offset: Long = 1000000L,
+                     nTables: Int = 8, planesPerTable: Int = 6): DataFrame = {
+    val data = plantedEmbeddings(spark, sfDir, probeEvery, offset)
+    val probes = emb(spark, sfDir).filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    lshTopKOf(data, probes, k = 1, nTables, planesPerTable)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .orderBy("probe_id")
   }
 
   /** Single-row LSH-ANN quality summary: probe count, result count, and

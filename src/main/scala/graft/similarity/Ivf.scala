@@ -39,8 +39,11 @@ object Ivf {
       .select((col("vec_id") / spacing).cast("int").as("list_id"),
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
     for (_ <- 1 to iters) {
-      val updated = assign(data, cent)
-        .join(data, "vec_id")
+      // assignWithVec carries the embedding THROUGH the assignment
+      // instead of re-joining assignments back to `data` — one shuffle
+      // per Lloyd pass saved (the join would shuffle the full corpus on
+      // vec_id every iteration).
+      val updated = assignWithVec(data, cent)
         .select(col("list_id"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy("list_id", "i")
         .agg(avg(col("x").cast("double")).as("c"))
@@ -61,14 +64,21 @@ object Ivf {
   /** Nearest-centroid assignment: (vec_id, list_id). Broadcast cross
     * join + min-by window — one scan of the corpus.
     */
-  def assign(data: DataFrame, centroids: DataFrame): DataFrame = {
+  def assign(data: DataFrame, centroids: DataFrame): DataFrame =
+    assignWithVec(data, centroids).select("vec_id", "list_id")
+
+  /** Assignment that keeps the embedding column in its output —
+    * the centroid-update pass consumes (list_id, embedding) directly,
+    * avoiding a corpus-wide re-join per k-means iteration.
+    */
+  def assignWithVec(data: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list_id"))
     data.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("dist", VectorOps.distSq(col("embedding"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("vec_id", "list_id")
+      .select("vec_id", "list_id", "embedding")
   }
 
   /** IVF top-k: probes scan the inverted lists of their nProbe nearest
@@ -78,11 +88,17 @@ object Ivf {
               probeEvery: Int = 50, nLists: Int = 16, nProbe: Int = 4,
               iters: Int = 3): DataFrame = {
     val data = emb(spark, sfDir)
+    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    ivfTopKOf(data, probes, k, nLists, nProbe, iters)
+  }
+
+  /** [[ivfTopK]] over an arbitrary corpus and probe frame. */
+  def ivfTopKOf(data: DataFrame, probes: DataFrame, k: Int,
+                nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
     // trainCentroids returns a driver-local frame — no persist needed.
     val cent = trainCentroids(data, nLists, iters)
     val index = assign(data, cent) // inverted lists as (vec_id, list_id)
-    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     // nProbe nearest lists per probe
     val wp = Window.partitionBy("probe_id").orderBy(col("dist"), col("list_id"))
     val probeLists = probes
@@ -105,6 +121,24 @@ object Ivf {
       .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy("probe_id", "rk")
     out
+  }
+
+  /** Oracle-verified IVF query: each probe's exact duplicate is planted
+    * in the corpus ([[Ann.plantedEmbeddings]]); identical vectors share
+    * the same nearest centroid, so the planted copy always lives in the
+    * probe's first probed list and MUST come back as the top-1 neighbor
+    * at cosine 1.0. The recall-vs-brute-force summary remains in
+    * [[ivfSummary]].
+    */
+  def ivfPlantedTop1(spark: SparkSession, sfDir: String,
+                     probeEvery: Int = 50, offset: Long = 1000000L,
+                     nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val data = Ann.plantedEmbeddings(spark, sfDir, probeEvery, offset)
+    val probes = emb(spark, sfDir).filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    ivfTopKOf(data, probes, k = 1, nLists, nProbe)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .orderBy("probe_id")
   }
 
   /** Single-row IVF quality summary vs exact brute force (same shape as

@@ -38,6 +38,41 @@ object LabeledCsv {
         col("label"),
         array((1 to dim).map(i => col(s"f$i").cast("float")): _*).as("features"))
 
+  /** Shared (vec_id, label, embedding) projection for [[readStream]] /
+    * [[readAsEmbeddings]]: vec_id is a CONTENT hash (xxhash64 over label
+    * + features), identical whether the row arrives in a batch scan or a
+    * micro-batch — a partition-local counter would renumber per batch,
+    * and a global counter is a coordination pass 100 TB can't afford.
+    */
+  private def project(df: DataFrame, dim: Int): DataFrame =
+    df.select(
+      xxhash64(col("label") +: (1 to dim).map(i => col(s"f$i")): _*).as("vec_id"),
+      col("label"),
+      array((1 to dim).map(i => col(s"f$i").cast("float")): _*).as("embedding"))
+
+  /** File-stream `label,f1..fd` CSVs as (vec_id, label, embedding) —
+    * the streaming twin of [[read]] for feeding
+    * [[graft.streaming.StreamingSvm]] with the reference's own training
+    * format as files arrive (the reference's equivalent: new HDFS input
+    * between driver iterations).
+    */
+  def readStream(spark: SparkSession, path: String, dim: Int,
+                 maxFilesPerTrigger: Int = 1): DataFrame =
+    project(
+      spark.readStream.schema(schema(dim))
+        .option("header", "false")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .csv(path),
+      dim)
+
+  /** Batch read with the SAME projection as [[readStream]] — the
+    * batch/stream parity surface (same ids, same schema).
+    */
+  def readAsEmbeddings(spark: SparkSession, path: String, dim: Int): DataFrame =
+    project(
+      spark.read.schema(schema(dim)).option("header", "false").csv(path),
+      dim)
+
   /** Write (label, features) back to the reference CSV shape. */
   def write(df: DataFrame, path: String): Unit =
     df.select(

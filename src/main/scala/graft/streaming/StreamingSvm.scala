@@ -61,4 +61,21 @@ class StreamingSvm(params: Smo.Params) extends Serializable {
       .start()
     q.awaitTermination()
   }
+
+  /** Stream the REFERENCE'S OWN training format — headerless CSV
+    * `label,f1..fd` (cascade_svm/Midcascade.java:111-116) — through the
+    * online trainer via [[graft.sources.LabeledCsv.readStream]].
+    * Batch/stream parity with [[graft.sources.LabeledCsv.readAsEmbeddings]]
+    * is spec-pinned: same files, same ids, same SV trajectory.
+    */
+  def runBoundedCsv(spark: SparkSession, dir: String, dim: Int,
+                    maxFilesPerTrigger: Int = 1): Unit = {
+    val q = graft.sources.LabeledCsv.readStream(spark, dir, dim, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processBatch(df, id))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

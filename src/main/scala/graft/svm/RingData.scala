@@ -31,15 +31,17 @@ object RingData {
     (h % 1000000L).toDouble / 1000000.0
   }
 
-  /** `n` points, class = i % 2 (inner/outer ring), subset = i % k,
-    * embedded in `dim` >= 2 dimensions.
+  /** `n` points on `classes` concentric rings (class c at radius
+    * 1 + 2c), class = i % classes, subset = i % k, embedded in
+    * `dim` >= 2 dimensions.
     */
-  def rings(spark: SparkSession, n: Int, k: Int, dim: Int = 8): Dataset[Ex] = {
+  def rings(spark: SparkSession, n: Int, k: Int, dim: Int = 8,
+            classes: Int = 2): Dataset[Ex] = {
     import spark.implicits._
     require(dim >= 2, s"need at least 2 dims for rings, got $dim")
     spark.range(n.toLong).map { i =>
-      val cls = (i % 2).toInt
-      val radius = (if (cls == 0) 1.0 else 3.0) + 0.2 * u(i, 1)
+      val cls = (i % classes).toInt
+      val radius = (1.0 + 2.0 * cls) + 0.2 * u(i, 1)
       val theta = 2.0 * math.Pi * u(i, 2)
       val f = new Array[Float](dim)
       f(0) = (radius * math.cos(theta)).toFloat

@@ -138,15 +138,20 @@ object SvmQueries {
   /** LibSVM-format serialize→parse round trip on a model trained from a
     * small deterministic slice; emits model statistics plus a prediction
     * agreement check between the original and re-parsed model.
+    *
+    * The slice is [[RingData]] (10 classes, sf-INDEPENDENT — the same
+    * 200 rows regardless of `sfDir`), so the stats are one fixed vector
+    * of numbers and the external oracle can pin them literally: the pin
+    * verifies serializer stability and bit-determinism of the SMO solve
+    * across JVMs at any scale factor.
     */
   def modelIo(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val slice = emb(spark, sfDir)
-      .filter(col("vec_id") < 200)
-      .orderBy("vec_id")
+    val slice = RingData.rings(spark, n = 200, k = 1, dim = 8, classes = 10)
+      .orderBy("id")
       .collect()
-      .map(r => LabeledVec(r.getInt(2), r.getSeq[Float](1).toArray))
-    val model = Smo.train(slice, ParallelSvm.defaultParams(dim = 64))
+      .map(r => LabeledVec(r.label, r.features))
+    val model = Smo.train(slice, ParallelSvm.rbfParams(dim = 8))
     val text = ModelIO.serialize(model)
     val parsed = ModelIO.parse(text)
     val agree = slice.count(s => model.predict(s.features) == parsed.predict(s.features))

@@ -19,6 +19,35 @@ class LabeledCsvSpec extends SparkSpec {
     assert(df.map(_.getAs[Long]("row_id")).distinct.length == 2)
   }
 
+  test("streaming read: batch/stream parity on the same CSV input") {
+    import graft.streaming.StreamingSvm
+    import graft.svm.{Kernel, Smo}
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-stream-").toString
+    val slice = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+      .select(col("label"), col("embedding").as("features"))
+    LabeledCsv.write(slice.repartition(1), s"$dir/in")
+
+    val params = Smo.Params(kernel = Kernel.Linear)
+    // batch: one processBatch over the batch projection
+    val batchTrainer = new StreamingSvm(params)
+    batchTrainer.processBatch(
+      LabeledCsv.readAsEmbeddings(spark, s"$dir/in", dim = 64), 0L)
+    // stream: the same single file arrives as one micro-batch
+    val streamTrainer = new StreamingSvm(params)
+    streamTrainer.runBoundedCsv(spark, s"$dir/in", dim = 64)
+
+    assert(streamTrainer.batchStats.nonEmpty)
+    assert(streamTrainer.batchStats.map(s => (s._2, s._3, s._4)).toList ==
+      batchTrainer.batchStats.map(s => (s._2, s._3, s._4)).toList,
+      "same file must produce the same (rows, newSVs, globalSVs) trajectory")
+    assert(streamTrainer.globalSvCount == batchTrainer.globalSvCount)
+    // content-hash ids: identical between the two read paths
+    val a = LabeledCsv.readAsEmbeddings(spark, s"$dir/in", dim = 64)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.distinct.length == a.length, "content ids must be unique on this slice")
+  }
+
   test("write → read round-trips the embeddings table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv-rt-").toString
     val orig = spark.read.parquet(s"$sf0001/embeddings.parquet")
