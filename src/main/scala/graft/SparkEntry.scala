@@ -51,6 +51,9 @@ object SparkEntry {
     "q_distinct_agg" -> Analytics.qDistinctAgg _,
     "q_outer_join" -> Analytics.qOuterJoin _,
     "q_percentiles" -> Analytics.qPercentiles _,
+    "q_pivot" -> Analytics.qPivot _,
+    "q_moving_avg" -> Analytics.qMovingAvg _,
+    "q_setops" -> Analytics.qSetOps _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     // The near-dup/ANN pipelines run over corpora with PLANTED
@@ -71,9 +74,11 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprints _,
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
+    "corpus_filter" -> graft.text.CorpusFilter.funnel _,
     // §2d — streaming
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
-    "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d))
+    "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),
+    "stream_dedup" -> ((s: SparkSession, d: String) => graft.streaming.DocStream.runDedupBounded(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -199,6 +204,28 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
         |  round(min(l_extendedprice), 2) AS pmin, round(max(l_extendedprice), 2) AS pmax
         |FROM lineitem""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS mavg
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_setops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |tagged AS (
+        |  SELECT 'both_f_and_o' AS kind, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o) t1
+        |  UNION ALL
+        |  SELECT 'f_only' AS kind, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o) t2
+        |  UNION ALL
+        |  SELECT 'o_only' AS kind, o_custkey FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f) t3
+        |)
+        |SELECT kind, count(*) AS n FROM tagged GROUP BY kind ORDER BY kind""".stripMargin,
     "dedup_exact" ->
       """WITH g AS (SELECT md5(lower(text)) AS h, count(*) AS n_copies FROM documents GROUP BY 1)
         |SELECT count(*) AS n_unique,
@@ -319,6 +346,41 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(max((doc_id % 9) * 64 + 64) AS INTEGER) AS max_height
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Composite pipeline funnel: dedup keepers + quality gates + langid
+    // rebuilt stage by stage from the already-oracle-validated fragments.
+    "corpus_filter" ->
+      """WITH k AS (SELECT md5(lower(text)) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1),
+        |s AS (
+        |  SELECT d.doc_id, k.keep_id,
+        |    list_filter(string_split_regex(d.text, '\s+'), x -> x <> '') AS toks,
+        |    list_filter(string_split_regex(lower(d.text), '\s+'), x -> x <> '') AS ltoks,
+        |    round(CAST(length(regexp_extract_all(d.text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]')) AS DOUBLE) / greatest(length(d.text), 1), 4) AS punct_ratio,
+        |    round(CAST(length(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE) / greatest(length(d.text), 1), 4) AS digit_ratio
+        |  FROM documents d JOIN k ON md5(lower(d.text)) = k.h
+        |), sc AS (
+        |  SELECT doc_id, keep_id, length(toks) AS n_tokens, punct_ratio, digit_ratio,
+        |    length(list_filter(ltoks, x -> x IN ('the', 'and', 'of', 'with'))) AS s_en,
+        |    length(list_filter(ltoks, x -> x IN ('el', 'la', 'los', 'de'))) AS s_es,
+        |    length(list_filter(ltoks, x -> x IN ('der', 'die', 'und', 'das'))) AS s_de,
+        |    length(list_filter(ltoks, x -> x IN ('le', 'la', 'les', 'des'))) AS s_fr,
+        |    length(list_filter(ltoks, x -> x IN ('的', '了', '是', '在'))) AS s_zh
+        |  FROM s
+        |), fl AS (
+        |  SELECT n_tokens,
+        |    CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END AS keeper,
+        |    CASE WHEN n_tokens >= 10 AND punct_ratio <= 0.2 AND digit_ratio <= 0.2 THEN 1 ELSE 0 END AS quality,
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 1 ELSE 0 END AS is_en
+        |  FROM sc
+        |)
+        |SELECT count(*) AS n_total,
+        |  CAST(sum(keeper) AS BIGINT) AS n_after_dedup,
+        |  CAST(sum(keeper * quality) AS BIGINT) AS n_after_quality,
+        |  CAST(sum(keeper * quality * is_en) AS BIGINT) AS n_retained,
+        |  round(avg(CASE WHEN keeper * quality * is_en = 1 THEN n_tokens END), 2) AS avg_tokens_retained
+        |FROM fl""".stripMargin,
+    "stream_dedup" ->
+      """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "stream_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

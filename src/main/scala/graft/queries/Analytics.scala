@@ -105,6 +105,54 @@ object Analytics {
       .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Pivot: order totals as a (priority × status) matrix — Spark's
+    * pivot with an EXPLICIT value list (omit it and the planner runs an
+    * extra distinct-collect job over 100 TB just to learn the columns).
+    * One shuffle, pivoted aggregates computed map-side like any agg.
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy("o_orderpriority")
+
+  /** Moving average over a RANGE-style window frame: each order's price
+    * averaged with the customer's previous two orders (ROWS BETWEEN 2
+    * PRECEDING AND CURRENT ROW) — the frame-spec window variant the
+    * rank-based queries don't cover. One shuffle by customer.
+    */
+  def qMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, Window.currentRow)
+    // floor(x*100 + 0.5)/100 instead of round(): an avg of 3 prices
+    // lands on exact .005 ties often enough that HALF_UP vs the oracle
+    // engine's tie rule diverges; this formula is pure IEEE double ops,
+    // bit-identical in any engine.
+    t(spark, sfDir, "orders")
+      .withColumn("mavg", floor(avg("o_totalprice").over(w) * 100 + 0.5) / 100)
+      .select("o_custkey", "o_orderkey", "mavg")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set operations (INTERSECT / EXCEPT): customers ordering in both
+    * 'F' and 'O' status, only 'F', and only 'O'. Spark plans INTERSECT/
+    * EXCEPT as aggregate+join — no driver-side set logic.
+    */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    def custs(status: String) =
+      orders.filter(col("o_orderstatus") === status).select("o_custkey").distinct()
+    // One action: tag each set-op result and count per tag (three
+    // driver-side .count() calls would be three separate jobs).
+    custs("F").intersect(custs("O")).select(lit("both_f_and_o").as("kind"))
+      .unionByName(custs("F").except(custs("O")).select(lit("f_only").as("kind")))
+      .unionByName(custs("O").except(custs("F")).select(lit("o_only").as("kind")))
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .orderBy("kind")
+  }
+
   /** Sessionization over the events stream table: a new session starts
     * after a >30 min gap per user; emits per-session stats. Lag/window
     * based — the standard scalable batch sessionization (single shuffle

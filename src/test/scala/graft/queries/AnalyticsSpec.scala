@@ -73,4 +73,51 @@ class AnalyticsSpec extends SparkSpec {
       assert(g.map(_.getAs[Int]("rk")).forall(_ <= 3))
     }
   }
+
+  test("pivot: per-priority status totals reconcile with the plain rollup") {
+    val pivoted = Analytics.qPivot(spark, sf0001).collect()
+    assert(pivoted.length == 5) // 5 priorities
+    val direct = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    pivoted.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      Seq("F" -> "total_f", "O" -> "total_o", "P" -> "total_p").foreach { case (s, c) =>
+        val expected = direct.get(p -> s)
+        val got = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+        assert(got == expected, s"pivot cell ($p, $s)")
+      }
+    }
+  }
+
+  test("moving average: singleton frames equal the price itself") {
+    val rows = Analytics.qMovingAvg(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey")) -> r.getAs[Double]("mavg"))
+      .toMap
+    assert(rows.nonEmpty)
+    // the DATE-first order of each customer has a frame of exactly itself
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getAs[java.time.LocalDateTime](3)))
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    orders.groupBy(_._1).values.foreach { g =>
+      val (ck, ok, price, _) = g.minBy(o => (o._4, o._2))
+      assert(math.abs(rows((ck, ok)) - math.floor(price * 100 + 0.5) / 100) < 1e-9,
+        s"customer $ck first order $ok")
+    }
+  }
+
+  test("set ops: intersect/except counts partition the per-status customer sets") {
+    val m = Analytics.qSetOps(spark, sf0001).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n")).toMap
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val nF = orders.filter(col("o_orderstatus") === "F").select("o_custkey").distinct().count()
+    val nO = orders.filter(col("o_orderstatus") === "O").select("o_custkey").distinct().count()
+    assert(m("both_f_and_o") + m("f_only") == nF)
+    assert(m("both_f_and_o") + m("o_only") == nO)
+  }
 }

@@ -5,6 +5,18 @@ import graft.queries.Analytics
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming dedup converges to the batch distinct counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = DocStream.runDedupBounded(spark, sf0001, "spec_stream_dedup")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy("source")
+      .agg(countDistinct(md5(lower(col("text")))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      "bounded streaming dropDuplicates must equal the batch distinct count")
+  }
+
   test("bounded streaming aggregation converges to the batch result") {
     val streamed = EventStream.runBounded(spark, sf0001, queryName = "spec_stream")
       .collect().map(_.toSeq).toSet

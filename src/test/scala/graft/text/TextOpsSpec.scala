@@ -64,4 +64,19 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Int]("n_tokens") > 0)
     }
   }
+
+  test("corpus filter funnel is monotone and stages reconcile") {
+    val r = CorpusFilter.funnel(spark, sf0001).collect()(0)
+    val total = r.getAs[Long]("n_total")
+    val dedup = r.getAs[Long]("n_after_dedup")
+    val quality = r.getAs[Long]("n_after_quality")
+    val retained = r.getAs[Long]("n_retained")
+    assert(total == 500)
+    assert(total >= dedup && dedup >= quality && quality >= retained,
+      s"funnel must shrink monotonically: $total >= $dedup >= $quality >= $retained")
+    assert(retained > 0, "some English docs must survive the gates")
+    // dedup stage must agree with the standalone exact-dedup operator
+    val nUnique = graft.dedup.Dedup.exact(spark, sf0001).collect()(0).getAs[Long]("n_unique")
+    assert(dedup == nUnique)
+  }
 }
