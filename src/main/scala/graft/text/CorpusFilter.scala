@@ -13,10 +13,8 @@ import org.apache.spark.sql.functions._
   * only shuffle is the dedup-keeper aggregation joined back by hash.
   * Running the stages as separate jobs — the naive formulation — would
   * re-scan the corpus four times; at 100 TB the difference is the whole
-  * budget. Token arrays are materialized as real columns BEFORE any
-  * higher-order function references them (HOF lambdas are
-  * CodegenFallback and re-evaluate referenced expression trees per
-  * element).
+  * budget. Every signal is a codegen'd `regexp_count`, so the scan
+  * projection compiles into one whole-stage-codegen span.
   */
 object CorpusFilter {
 
@@ -43,21 +41,17 @@ object CorpusFilter {
       "fr" -> Seq("le", "la", "les", "des"),
       "zh" -> Seq("的", "了", "是", "在"))
 
+    // every per-document signal is a codegen'd regexp_count — one scan,
+    // whole stage compiled (see TextOps for the HOF-vs-regexp_count why)
     val scored = d
-      .select(col("doc_id"), col("text"), md5(lower(col("text"))).as("h"))
-      // token arrays materialized once, then referenced by the lambdas
-      .withColumn("toks", filter(split(col("text"), "\\s+"), t => length(t) > 0))
-      .withColumn("ltoks", filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
       .select(Seq(
-        col("doc_id"), col("h"),
-        size(col("toks")).as("n_tokens"),
-        round(size(regexp_extract_all(col("text"), lit(TextOps.PunctClass), lit(0))).cast("double") /
+        col("doc_id"), md5(lower(col("text"))).as("h"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens"),
+        round(regexp_count(col("text"), lit(TextOps.PunctClass)).cast("double") /
           greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
-        round(size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double") /
+        round(regexp_count(col("text"), lit("[0-9]")).cast("double") /
           greatest(length(col("text")), lit(1)), 4).as("digit_ratio")) ++
-        langs.map(l =>
-          size(filter(col("ltoks"), t => t.isInCollection(markers(l)))).as(s"s_$l")
-        ): _*)
+        langs.map(l => TextOps.tokenSetCount(col("text"), markers(l)).as(s"s_$l")): _*)
 
     val mx = greatest(langs.map(l => col(s"s_$l")): _*)
     val pred = langs.foldLeft(when(mx === 0, lit("unknown"))) { (acc, l) =>

@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators over the `documents` table (SURVEY.md §2c):
   * language ID, quality scoring, token counting, fingerprinting.
   *
-  * All built from `org.apache.spark.sql.functions._` so they stay in
-  * whole-stage codegen — these run over every document of a 100 TB
-  * corpus, so no UDF boxing on this path.
+  * These run over every document of a 100 TB corpus, so the hot path is
+  * kept inside WHOLE-STAGE CODEGEN (asserted by PlanAuditSpec): token
+  * and marker counting are `regexp_count` expressions, never
+  * higher-order-function lambdas (HOFs are CodegenFallback — they
+  * interpret per array element). The one exception is [[fingerprint]]'s
+  * rolling hash: an inherently sequential fold, expressed as an
+  * `aggregate` HOF because order-dependent recurrences have no codegen
+  * form short of a custom Expression.
   */
 object TextOps {
 
@@ -17,20 +22,33 @@ object TextOps {
 
   // ------------------------------------------------------------- tokens
 
-  /** Whitespace token count. */
-  def wsTokenCount(c: Column): Column =
-    size(filter(split(c, "\\s+"), t => length(t) > 0))
+  /** Whitespace token count: a token is a maximal `\S+` run, so the
+    * count is one codegen'd `regexp_count` — the equivalent
+    * `size(filter(split(...)))` formulation is a CodegenFallback
+    * HigherOrderFunction that interprets per element, which is the
+    * wrong shape for a every-document-of-the-corpus scan.
+    */
+  def wsTokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
+
+  /** Count of whitespace tokens whose lowercase form is in `words`,
+    * as ONE codegen'd regexp_count over the lowercased text: zero-width
+    * boundaries pin complete tokens, so the count is exactly
+    * `size(filter(tokens, lower(_) in words))` without the lambda.
+    */
+  def tokenSetCount(c: Column, words: Seq[String]): Column =
+    regexp_count(lower(c),
+      lit("(?:(?<=\\s)|^)(?:" + words.mkString("|") + ")(?=\\s|$)"))
 
   /** BPE-ish token count: runs of letters, runs of digits, and single
     * non-space symbols — a cheap deterministic proxy for subword
-    * tokenizer load estimation. Built from `regexp_extract_all` (no
-    * lookarounds) so the exact rule is reproducible in any RE2-based
-    * external engine, which is what the DuckDB oracle uses.
+    * tokenizer load estimation. No lookarounds, so the exact rule is
+    * reproducible in any RE2-based external engine, which is what the
+    * DuckDB oracle uses.
     */
   def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z]+"), lit(0))) +
-      size(regexp_extract_all(c, lit("[0-9]+"), lit(0))) +
-      size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    regexp_count(c, lit("[A-Za-z]+")) +
+      regexp_count(c, lit("[0-9]+")) +
+      regexp_count(c, lit("[^A-Za-z0-9\\s]"))
 
   /** Per-document token statistics. */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -53,19 +71,20 @@ object TextOps {
 
   def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
     val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val stopHits = filter(toks, t => lower(t).isInCollection(stopwords))
+    // every signal is a codegen'd regexp_count / length — one interpreted
+    // lambda in this projection would drop the whole stage out of codegen
     docs(spark, sfDir).select(
       col("doc_id"),
       length(col("text")).as("n_chars_actual"),
-      size(toks).as("n_tokens"),
-      round(size(regexp_extract_all(col("text"), lit(PunctClass), lit(0))).cast("double") /
+      wsTokenCount(col("text")).as("n_tokens"),
+      round(regexp_count(col("text"), lit(PunctClass)).cast("double") /
         greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
-      round(size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double") /
+      round(regexp_count(col("text"), lit("[0-9]")).cast("double") /
         greatest(length(col("text")), lit(1)), 4).as("digit_ratio"),
-      round(size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0))).cast("double") /
+      round(regexp_count(col("text"), lit("[A-Z]")).cast("double") /
         greatest(length(col("text")), lit(1)), 4).as("upper_ratio"),
-      round(size(stopHits).cast("double") / greatest(size(toks), lit(1)), 4).as("stopword_ratio"))
+      round(tokenSetCount(col("text"), stopwords).cast("double") /
+        greatest(wsTokenCount(col("text")), lit(1)), 4).as("stopword_ratio"))
       .orderBy("doc_id")
   }
 
@@ -83,9 +102,8 @@ object TextOps {
       "de" -> Seq("der", "die", "und", "das"),
       "fr" -> Seq("le", "la", "les", "des"),
       "zh" -> Seq("的", "了", "是", "在"))
-    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
     def score(lang: String): Column =
-      size(filter(toks, t => t.isInCollection(markers(lang)))).as(s"s_$lang")
+      tokenSetCount(col("text"), markers(lang)).as(s"s_$lang")
     val scored = docs(spark, sfDir).select(
       col("doc_id"), col("lang").as("actual"),
       score("en"), score("es"), score("de"), score("fr"), score("zh"))

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan audits: the scale-critical plan properties the queries
+  * rely on (filter pushdown to the parquet scan, column pruning,
+  * broadcast joins for dims, whole-stage codegen) asserted as tests so
+  * a plan regression fails CI instead of only showing up at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan AFTER execution — AQE only materializes WholeStageCodegen
+    * spans in the final adaptive plan.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: every predicate reaches the parquet scan as a pushed filter") {
+    val p = plan(Analytics.q6Filter(spark, sf0001))
+    assert(p.contains("PushedFilters:"), "expected a parquet scan with pushed filters")
+    Seq("l_discount", "l_quantity").foreach { c =>
+      assert(p.replaceAll("\\s+", " ").matches(s"(?s).*PushedFilters: \\[[^\\]]*$c.*"),
+        s"predicate on $c must be pushed to the scan:\n$p")
+    }
+  }
+
+  test("q3/q5: dimension tables join via broadcast, not shuffle") {
+    assert(plan(Analytics.q3Join(spark, sf0001)).contains("BroadcastHashJoin"))
+    val p5 = plan(Analytics.q5MultiJoin(spark, sf0001))
+    // all three dims (customer, nation, region) broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 3,
+      s"q5 must broadcast its dimension tables:\n$p5")
+  }
+
+  test("dedup_exact reads only the text column it needs") {
+    val p = plan(graft.dedup.Dedup.exact(spark, sf0001))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"dedup_exact must prune unused document columns:\n$p")
+  }
+
+  test("mm_metadata never reads the binary payload") {
+    val p = plan(graft.multimodal.Multimodal.metadataStats(spark, sf0001))
+    assert(!p.contains("payload"),
+      s"metadata query must not touch the media payload column:\n$p")
+  }
+
+  // `*(n)` is the WholeStageCodegen marker in SparkPlan.toString
+  private def hasCodegenSpan(p: String): Boolean = p.contains("*(")
+
+  test("text quality scoring stays inside whole-stage codegen") {
+    // regexp_count-based signals compile; one filter()/transform()
+    // lambda in the projection would interpret the whole stage.
+    val p = finalPlan(graft.text.TextOps.qualityScores(spark, sf0001))
+    assert(hasCodegenSpan(p), s"expected codegen spans:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"no interpreted HOF lambdas allowed on the quality-scoring path:\n$p")
+  }
+
+  test("corpus filter scan projection stays inside whole-stage codegen") {
+    val p = finalPlan(graft.text.CorpusFilter.funnel(spark, sf0001))
+    assert(hasCodegenSpan(p), s"expected codegen spans:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"no interpreted HOF lambdas allowed in the corpus filter:\n$p")
+  }
+
+  test("q1 uses partial (map-side) aggregation") {
+    val p = plan(Analytics.q1Agg(spark, sf0001))
+    assert(p.contains("partial_"), s"expected partial aggregates before the shuffle:\n$p")
+  }
+}
