@@ -54,6 +54,7 @@ object SparkEntry {
     "q_pivot" -> Analytics.qPivot _,
     "q_moving_avg" -> Analytics.qMovingAvg _,
     "q_setops" -> Analytics.qSetOps _,
+    "q_salted_join" -> Analytics.qSaltedJoin _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     // The near-dup/ANN pipelines run over corpora with PLANTED
@@ -69,6 +70,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshPlantedTop1(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfPlantedTop1(s, d)),
     "text_langid" -> TextOps.langId _,
+    "text_ngram_counts" -> ((s: SparkSession, d: String) => TextOps.ngramCounts(s, d)),
     "text_quality" -> TextOps.qualityScores _,
     "text_tokens" -> TextOps.tokenStats _,
     "text_fingerprint" -> TextOps.fingerprints _,
@@ -78,7 +80,8 @@ object SparkEntry {
     // §2d — streaming
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),
-    "stream_dedup" -> ((s: SparkSession, d: String) => graft.streaming.DocStream.runDedupBounded(s, d))
+    "stream_dedup" -> ((s: SparkSession, d: String) => graft.streaming.DocStream.runDedupBounded(s, d)),
+    "stream_join" -> ((s: SparkSession, d: String) => EventStream.runEnrichJoinBounded(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -215,6 +218,12 @@ object SparkEntry {
         |  floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS mavg
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // Salting must be invisible: the oracle is the PLAIN join.
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_setops" ->
       """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
         |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
@@ -381,6 +390,19 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Stream-static join on a bounded input == the batch join.
+    "stream_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Occurrence-counted word bigrams (repeats within a doc count).
+    "text_ngram_counts" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents
+        |), g AS (
+        |  SELECT unnest([array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, length(t) - 1)]) AS gram FROM tk
+        |)
+        |SELECT gram, count(*) AS n FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     "stream_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

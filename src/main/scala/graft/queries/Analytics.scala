@@ -153,6 +153,22 @@ object Analytics {
       .orderBy("kind")
   }
 
+  /** Skew-resilient join surfaced as a query: lineitem ⋈ supplier via
+    * [[SaltedJoin]] (fact side salted R ways, dim side replicated R
+    * ways), aggregated per nation. Salting is SEMANTICALLY INVISIBLE —
+    * the oracle runs the plain join — which is exactly the contract a
+    * skew-mitigation rewrite must satisfy; this query hash-verifies it.
+    */
+  def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = t(spark, sfDir, "lineitem")
+    val supplier = t(spark, sfDir, "supplier")
+    SaltedJoin.join(lineitem, supplier, col("l_suppkey"), col("s_suppkey"), salts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** Sessionization over the events stream table: a new session starts
     * after a >30 min gap per user; emits per-session stats. Lag/window
     * based — the standard scalable batch sessionization (single shuffle

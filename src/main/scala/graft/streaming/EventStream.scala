@@ -72,6 +72,52 @@ object EventStream {
       .toDF("user_id", "n_events", "total_value", "last_seen")
   }
 
+  /** Stream-static join: the event stream enriched against the (static)
+    * customer dimension, rolled up per market segment. The static side
+    * broadcasts — a stream-static equi-join is STATELESS (each
+    * micro-batch joins independently; no watermark, no join state), so
+    * it composes freely with the downstream aggregation. This is the
+    * canonical "enrich the firehose against a dimension" shape; a
+    * stream-STREAM join would instead carry watermarked state on both
+    * sides.
+    */
+  def enrichJoin(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer), pmod(col("user_id"), lit(100)) === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+
+  /** Bounded run of [[enrichJoin]]: stream events, static customers;
+    * result must equal the batch join (the SQL oracle).
+    */
+  def runEnrichJoinBounded(spark: SparkSession, sfDir: String,
+                           queryName: String = "graft_stream_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft-joinstream-")
+        dir.toFile.deleteOnExit()
+        java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+        dir
+      }
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val q = enrichJoin(stream, customer)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("c_mktsegment")
+  }
+
   /** Run the streaming pipeline over the bounded events parquet via a
     * file stream, write to an in-memory sink, and return the final
     * result — used by the spec to assert batch/stream parity.

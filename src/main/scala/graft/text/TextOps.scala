@@ -122,6 +122,34 @@ object TextOps {
       .orderBy("pred", "actual")
   }
 
+  // ------------------------------------------------------ n-gram counts
+
+  /** Corpus-level top-k word-n-gram frequencies — the contamination /
+    * boilerplate analysis pass (which exact phrases dominate the
+    * corpus). Occurrences are counted WITH multiplicity (repeats inside
+    * one doc count), unlike the dedup shingle sets.
+    *
+    * Scale shape: explode → one map-side-combined groupBy (the shuffle
+    * carries one row per distinct gram per partition) → TakeOrdered for
+    * the global top-k (k rows per partition reach the driver, never the
+    * gram table).
+    */
+  def ngramCounts(spark: SparkSession, sfDir: String,
+                  n: Int = 2, k: Int = 20): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(split(lower(col("text")), "\\s+").as("raw"))
+      .select(filter(col("raw"), t => length(t) > 0).as("toks"))
+    d.select(explode(
+        filter(
+          transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+            i => when(size(col("toks")) >= n, concat_ws(" ", slice(col("toks"), i + 1, lit(n))))),
+          g => g.isNotNull)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("gram"))
+      .limit(k)
+  }
+
   // -------------------------------------------------------- fingerprint
 
   /** Rolling polynomial hash (Karp-Rabin style) of the normalized text —

@@ -17,6 +17,17 @@ class StreamingSpec extends SparkSpec {
       "bounded streaming dropDuplicates must equal the batch distinct count")
   }
 
+  test("stream-static enrichment join converges to the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runEnrichJoinBounded(spark, sf0001, "spec_stream_join")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = EventStream.enrichJoin(
+        Analytics.loadEvents(spark, sf0001),
+        spark.read.parquet(s"$sf0001/customer.parquet").select("c_custkey", "c_mktsegment"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch)
+  }
+
   test("bounded streaming aggregation converges to the batch result") {
     val streamed = EventStream.runBounded(spark, sf0001, queryName = "spec_stream")
       .collect().map(_.toSeq).toSet
