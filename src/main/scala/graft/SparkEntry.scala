@@ -355,6 +355,22 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(max((doc_id % 9) * 64 + 64) AS INTEGER) AS max_height
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The stub decode is a 16-bin byte histogram (L1-normalized): bin of
+    // a byte = its HIGH NIBBLE = the odd-position chars of hex(payload),
+    // so the whole decode→feature→summary path is SQL-reproducible.
+    // Float32 division on both sides keeps the doubles bit-comparable.
+    "mm_features" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+        |), b AS (
+        |  SELECT doc_id, n, unnest([substr(hx, 2*i - 1, 1) FOR i IN generate_series(1, n)]) AS nib FROM h
+        |), c AS (
+        |  SELECT doc_id, any_value(n) AS n, nib, count(*) AS cnt FROM b GROUP BY doc_id, nib
+        |), f AS (
+        |  SELECT doc_id, CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS binval FROM c
+        |)
+        |SELECT doc_id AS media_id, round(sum(binval), 4) AS l1, round(max(binval), 4) AS peak
+        |FROM f GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // Composite pipeline funnel: dedup keepers + quality gates + langid
     // rebuilt stage by stage from the already-oracle-validated fragments.
     "corpus_filter" ->
