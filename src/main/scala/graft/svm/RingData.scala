@@ -32,8 +32,11 @@ object RingData {
   }
 
   /** `n` points on `classes` concentric rings (class c at radius
-    * 1 + 2c), class = i % classes, subset = i % k, embedded in
-    * `dim` >= 2 dimensions.
+    * 1 + 2c), class = i % classes, subset = (i / classes) % k — the
+    * division DECORRELATES subset from class (a plain i % k would put
+    * each class entirely inside k/classes subsets whenever
+    * classes | k, handing bagging all-one-class base models), embedded
+    * in `dim` >= 2 dimensions.
     */
   def rings(spark: SparkSession, n: Int, k: Int, dim: Int = 8,
             classes: Int = 2): Dataset[Ex] = {
@@ -48,7 +51,7 @@ object RingData {
       f(1) = (radius * math.sin(theta)).toFloat
       var d = 2
       while (d < dim) { f(d) = (0.1 * (u(i, d + 10) - 0.5)).toFloat; d += 1 }
-      Ex(i, cls, f, (i % k).toInt)
+      Ex(i, cls, f, ((i / classes) % k).toInt)
     }
   }
 }

@@ -32,4 +32,24 @@ class RbfCascadeSpec extends SparkSpec {
     assert(linAcc <= 0.7, s"a linear separator cannot beat the prior on rings, got $linAcc")
     assert(rbfAcc > linAcc + 0.25, s"RBF ($rbfAcc) must clearly beat linear ($linAcc)")
   }
+
+  test("RBF bagging ensemble solves the rings") {
+    val data = RingData.rings(spark, n = 2000, k = 4, dim = dim)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bag-rbf").toString
+    val (stats, models) = ParallelSvm.bagging(data, 4, ParallelSvm.rbfParams(dim), dir)
+    assert(models.length == 4)
+    val acc = stats.find(_.stage == "bagging-ensemble").get.metric
+    assert(acc >= 0.95, s"RBF bagging ensemble on rings, got $acc")
+  }
+
+  test("RBF iterative training drives error down on the rings") {
+    val data = RingData.rings(spark, n = 2000, k = 4, dim = dim)
+    val stats = ParallelSvm.iterative(data, 4, ParallelSvm.rbfParams(dim))
+    val rounds = stats.filter(_.stage == "iterative-round")
+    assert(rounds.nonEmpty)
+    // separable-by-RBF data: total training error must end far below the
+    // ~50% a linear model is stuck at (2000 points, 1000 per class)
+    assert(rounds.last.metric <= 100.0,
+      s"final round error sum ${rounds.last.metric} should be near zero on rings")
+  }
 }
