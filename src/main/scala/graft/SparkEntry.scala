@@ -48,6 +48,7 @@ object SparkEntry {
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
     "q_asof_join" -> Analytics.qAsofJoin _,
+    "q_asof_tolerance" -> ((s: SparkSession, d: String) => Analytics.qAsofTolerance(s, d)),
     "q_distinct_agg" -> Analytics.qDistinctAgg _,
     "q_outer_join" -> Analytics.qOuterJoin _,
     "q_percentiles" -> Analytics.qPercentiles _,
@@ -195,6 +196,17 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+    // Tolerance drops the LATEST match when stale; any earlier match is
+    // staler still, so ASOF + post-filter == the engine's semantics.
+    "q_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id % 50 AS k, epoch_us(ts) AS t FROM events),
+        |o AS (SELECT o_custkey % 50 AS k2, epoch_us(o_orderdate) AS t2, max(o_orderkey) AS okey
+        |      FROM orders GROUP BY 1, 2),
+        |j AS (SELECT k, t, t2, okey FROM e ASOF LEFT JOIN o ON e.k = o.k2 AND e.t >= o.t2)
+        |SELECT k, count(*) AS n_events,
+        |  count(CASE WHEN t - t2 <= CAST(709344000000000 AS BIGINT) THEN okey END) AS n_matched,
+        |  max(CASE WHEN t - t2 <= CAST(709344000000000 AS BIGINT) THEN okey END) AS max_okey
+        |FROM j GROUP BY k ORDER BY k""".stripMargin,
     "q_outer_join" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_only,

@@ -34,7 +34,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -43,8 +44,8 @@ case class AsOfJoin(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -54,6 +55,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -93,8 +95,13 @@ case class AsOfJoinExec(
 
       // One candidate (copied — sorter iterators reuse row buffers):
       // the latest right row whose (key, time) fits the current left row.
+      // Its time travels with it for the tolerance check — the candidate
+      // stays the BEST match for later (larger) left times, but tolerance
+      // is evaluated per left row against that fixed candidate time.
       var candKey: InternalRow = null
       var cand: InternalRow = null
+      var candTime: Long = Long.MinValue
+      val tol = tolerance.getOrElse(Long.MaxValue)
 
       lIter.map { l =>
         val lKey = lKeyGen(l)
@@ -122,13 +129,17 @@ case class AsOfJoinExec(
                 val rTimeV = rTimeB.eval(rBuf.head)
                 if (rTimeV == null) rBuf.next() // unmatchable right row
                 else if (timeAsLong(rTimeV) <= lT) {
+                  candTime = timeAsLong(rTimeV)
                   cand = rBuf.next().copy()
                   candKey = lKey.copy()
                 } else advancing = false
               } else advancing = false
             }
           }
-          project(joined(l, if (cand != null) cand else nullRight))
+          // tolerance: any earlier right row is further away than the
+          // candidate, so "candidate too old" == "no match at all".
+          val inTol = cand != null && lT - candTime <= tol
+          project(joined(l, if (inTol) cand else nullRight))
         }
       }
     }
@@ -149,12 +160,16 @@ object AsOf {
 
   /** `left` as-of-joined with `right`: per left row, the latest right
     * row with `rightTime <= leftTime` matching on `keys` (right columns
-    * null when no such row). Column arguments must come from the
-    * respective input frames (`df("col")`), so they resolve before the
-    * plan is built.
+    * null when no such row). `tolerance` (same units as the raw time
+    * values — microseconds for timestamps read via unix_micros) caps
+    * how stale the match may be: rows where `leftTime - rightTime >
+    * tolerance` get no match (pandas merge_asof `tolerance` semantics).
+    * Column arguments must come from the respective input frames
+    * (`df("col")`), so they resolve before the plan is built.
     */
   def join(left: DataFrame, right: DataFrame, leftKeys: Seq[Column],
-           rightKeys: Seq[Column], leftTime: Column, rightTime: Column): DataFrame = {
+           rightKeys: Seq[Column], leftTime: Column, rightTime: Column,
+           tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "asof join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -168,12 +183,14 @@ object AsOf {
     require(overlap.isEmpty,
       s"asof join sides share attributes (${overlap.mkString(", ")}); " +
         "re-alias one side (df.select(cols.map(c => col(c).as(c + \"_r\")))) first")
+    require(tolerance.forall(_ >= 0), "asof tolerance must be non-negative")
     val plan = AsOfJoin(
       lPlan, rPlan,
       leftKeys.map(ColumnBridge.expression),
       rightKeys.map(ColumnBridge.expression),
       ColumnBridge.expression(leftTime),
-      ColumnBridge.expression(rightTime))
+      ColumnBridge.expression(rightTime),
+      tolerance)
     DatasetBridge.ofRows(spark, plan)
   }
 }

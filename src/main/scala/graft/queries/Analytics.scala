@@ -275,6 +275,32 @@ object Analytics {
       .orderBy("k")
   }
 
+  /** As-of join with a staleness TOLERANCE (pandas merge_asof
+    * `tolerance`): matches older than `tolUs` microseconds are dropped.
+    * The synthetic event/order gap clusters around 8195-8224 days, so
+    * 8210 days splits matched/unmatched non-trivially — exercising the
+    * tolerance branch of the custom plan, verified against DuckDB ASOF
+    * plus an explicit staleness filter.
+    */
+  def qAsofTolerance(spark: SparkSession, sfDir: String,
+                     tolUs: Long = 8210L * 86400L * 1000000L): DataFrame = {
+    val events = loadEvents(spark, sfDir)
+      .select(col("event_id"), pmod(col("user_id"), lit(50)).as("k"),
+        unix_micros(col("ts")).as("t"))
+    val orders = t(spark, sfDir, "orders")
+      .groupBy(pmod(col("o_custkey"), lit(50)).as("k2"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t2"))
+      .agg(max("o_orderkey").as("okey"))
+    graft.plans.AsOf.join(events, orders,
+        Seq(events("k")), Seq(orders("k2")), events("t"), orders("t2"),
+        tolerance = Some(tolUs))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("okey")).as("n_matched"),
+        max(col("okey")).as("max_okey"))
+      .orderBy("k")
+  }
+
   /** Batch equivalent of the streaming windowed aggregation
     * (graft.streaming.EventStream) — 1h tumbling windows per event_type.
     */

@@ -33,6 +33,34 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 4L, 4L, 20.0)))
   }
 
+  test("tolerance drops matches staler than the bound") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0)
+    ).toDF("sym_q", "t_q", "px")
+    val trades = Seq(
+      ("A", 2L), ("A", 5L), ("A", 8L), ("A", 100L)
+    ).toDF("sym", "t")
+    val out = AsOf.join(trades, quotes,
+        Seq(trades("sym")), Seq(quotes("sym_q")), trades("t"), quotes("t_q"),
+        tolerance = Some(2L))
+      .select("t", "t_q")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(out == Set(
+      (2L, 1L),     // gap 1 <= 2
+      (5L, 5L),     // exact tie, gap 0
+      (8L, -1L),    // latest is t_q=5, gap 3 > 2 -> NO match (not the older one)
+      (100L, -1L))) // gap 91 > 2
+    // tolerance = Some(0) keeps only exact-time matches
+    val exact = AsOf.join(trades, quotes,
+        Seq(trades("sym")), Seq(quotes("sym_q")), trades("t"), quotes("t_q"),
+        tolerance = Some(0L))
+      .select("t", "t_q")
+      .collect().count(r => !r.isNullAt(1))
+    assert(exact == 1) // only (5, 5)
+  }
+
   test("null times: left nulls never match, right nulls are unmatchable") {
     import spark.implicits._
     val right = Seq(("A", Some(1L), 10.0), ("A", None, 99.0), ("A", Some(5L), 11.0))
