@@ -33,4 +33,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash_agg",
       es => SimHashAgg(es.head).toAggregateExpression(), "scala_udf")
   }
+
+  /** Config-driven registration for [[graft.GraftExtensions]]
+    * (`spark.sql.extensions`): same four functions, injected at session
+    * build time instead of per-session `register` calls.
+    */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def fn(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), builder))
+    fn("vec_dot", es => DotProductExpr(es.head, es(1)))
+    fn("vec_cosine", es => CosineSimExpr(es.head, es(1)))
+    fn("vec_distsq", es => DistSqExpr(es.head, es(1)))
+    fn("simhash_agg", es => SimHashAgg(es.head).toAggregateExpression())
+  }
 }

@@ -152,11 +152,18 @@ case class AsOfJoinExec(
 /** User-facing API. */
 object AsOf {
 
-  /** Idempotently register the planning strategy in this session. */
-  def install(spark: SparkSession): Unit =
+  /** Idempotently register the planning strategy and the filter-pushdown
+    * optimizer rule in this session. (Config-driven alternative:
+    * `spark.sql.extensions=graft.GraftExtensions`.)
+    */
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfFilterPushdown
+  }
 
   /** `left` as-of-joined with `right`: per left row, the latest right
     * row with `rightTime <= leftTime` matching on `keys` (right columns
