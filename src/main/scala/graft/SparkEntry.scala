@@ -56,8 +56,10 @@ object SparkEntry {
     "q_moving_avg" -> Analytics.qMovingAvg _,
     "q_setops" -> Analytics.qSetOps _,
     "q_salted_join" -> Analytics.qSaltedJoin _,
+    "q_sql_vec" -> Analytics.qSqlVec _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
+    "dedup_survivors" -> Dedup.exactSurvivors _,
     // The near-dup/ANN pipelines run over corpora with PLANTED
     // duplicates (pure column arithmetic, rebuilt verbatim by the SQL
     // oracle), which turns LSH/IVF *recall* into a hash-verified
@@ -230,6 +232,16 @@ object SparkEntry {
         |  floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS mavg
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // The engine's SQL surface with registered custom expressions.
+    "q_sql_vec" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) END, 6) AS cosine,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), 6) AS dot
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id % 10 = 0
+        |ORDER BY id_a""".stripMargin,
     // Salting must be invisible: the oracle is the PLAIN join.
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
@@ -252,6 +264,12 @@ object SparkEntry {
         |SELECT count(*) AS n_unique,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
         |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed FROM g""".stripMargin,
+    // The dedup OUTPUT itself (deterministic keeper = min doc_id).
+    "dedup_survivors" ->
+      """WITH k AS (SELECT md5(lower(text)) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Planted-recall contract: rebuild the planted corpus (same column
     // arithmetic as Dedup.plantedDocs), recompute the exact word-3-gram
     // Jaccard of every planted pair independently, and require the

@@ -275,6 +275,24 @@ object Analytics {
       .orderBy("k")
   }
 
+  /** Pure-SQL surface: the same engine drives `spark.sql` text — temp
+    * views over the parquet tables plus the graft-registered custom
+    * expressions (vec_cosine is `functions/CosineSimExpr`, codegen'd,
+    * resolved through the session function registry exactly as a
+    * `spark.sql.extensions` deployment would resolve it).
+    */
+  def qSqlVec(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(vec_cosine(a.embedding, b.embedding), 6) AS cosine,
+        |  round(vec_dot(a.embedding, b.embedding), 6) AS dot
+        |FROM embeddings_v a JOIN embeddings_v b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id % 10 = 0
+        |ORDER BY id_a""".stripMargin)
+  }
+
   /** As-of join with a staleness TOLERANCE (pandas merge_asof
     * `tolerance`): matches older than `tolUs` microseconds are dropped.
     * The synthetic event/order gap clusters around 8195-8224 days, so
