@@ -47,7 +47,7 @@ object SparkEntry {
     "q_events_sessionize" -> Analytics.qSessionize _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
-    "q_asof_join" -> Analytics.qAsofJoin _,
+    "q_asof_join" -> ((s: SparkSession, d: String) => Analytics.qAsofJoin(s, d)),
     "q_asof_tolerance" -> ((s: SparkSession, d: String) => Analytics.qAsofTolerance(s, d)),
     "q_distinct_agg" -> Analytics.qDistinctAgg _,
     "q_outer_join" -> Analytics.qOuterJoin _,
@@ -399,8 +399,11 @@ object SparkEntry {
         |), f AS (
         |  SELECT doc_id, CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS binval FROM c
         |)
-        |SELECT doc_id AS media_id, round(sum(binval), 4) AS l1, round(max(binval), 4) AS peak
-        |FROM f GROUP BY doc_id ORDER BY media_id""".stripMargin,
+        |-- left join from h keeps empty-payload docs (engine emits l1=0, peak=0 for them)
+        |SELECT h.doc_id AS media_id,
+        |  round(coalesce(sum(f.binval), 0.0), 4) AS l1,
+        |  round(coalesce(max(f.binval), 0.0), 4) AS peak
+        |FROM h LEFT JOIN f ON h.doc_id = f.doc_id GROUP BY h.doc_id ORDER BY media_id""".stripMargin,
     // Composite pipeline funnel: dedup keepers + quality gates + langid
     // rebuilt stage by stage from the already-oracle-validated fragments.
     "corpus_filter" ->

@@ -174,6 +174,13 @@ object Dedup {
     * docs) otherwise generates O(|bucket|²) pairs. Oversized buckets
     * are few by construction, so they broadcast into an anti-join; real
     * dup groups that large are still caught by the OTHER bands/tables.
+    *
+    * Interaction with the planted-recall oracles: if a bucket holding a
+    * planted pair ever exceeded the cap in EVERY band/table, the pair
+    * would be dropped and the oracle would flag it. At the test scales
+    * buckets are orders of magnitude below the cap; at corpus scale,
+    * size the cap (and the simhash band width) with the corpus — the
+    * recall contract is the regression alarm for getting that wrong.
     */
   private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val oversized = banded.groupBy(keys.map(col): _*)
@@ -360,6 +367,15 @@ object Dedup {
     * of them: one appended token flips at most a few fingerprint bits on
     * a long doc, so full recall is a hard requirement, not a hope —
     * a single missed pair is a hash mismatch.
+    *
+    * Bound honesty: multiprobe makes candidate generation STRUCTURAL
+    * for hamming ≤ 7 (pigeonhole); the verification bound is 8, and the
+    * oracle expects every planted pair regardless of hamming. On the
+    * fixed test corpora the planted pairs sit at hamming 0-8 and the
+    * hamming-8 ones happen to have a ≤1-flip band (full recall verified
+    * at sf0.001/0.01/0.1, deterministic, so it stays green); new data
+    * with a planted pair at hamming ≥ 9 — or an 8 split exactly
+    * (2,2,2,2) — would need the mutation or banding re-tuned.
     */
   def simhashPlantedRecall(spark: SparkSession, sfDir: String,
                            maxHamming: Int = 8): DataFrame =

@@ -258,7 +258,8 @@ object Analytics {
     * time-tie winner is deterministic and externally checkable —
     * DuckDB's native ASOF LEFT JOIN is the oracle.
     */
-  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def qAsofJoin(spark: SparkSession, sfDir: String,
+                tolerance: Option[Long] = None): DataFrame = {
     val events = loadEvents(spark, sfDir)
       .select(col("event_id"), pmod(col("user_id"), lit(50)).as("k"),
         unix_micros(col("ts")).as("t"))
@@ -267,7 +268,7 @@ object Analytics {
         unix_micros(col("o_orderdate").cast("timestamp")).as("t2"))
       .agg(max("o_orderkey").as("okey"))
     graft.plans.AsOf.join(events, orders,
-        Seq(events("k")), Seq(orders("k2")), events("t"), orders("t2"))
+        Seq(events("k")), Seq(orders("k2")), events("t"), orders("t2"), tolerance)
       .groupBy("k")
       .agg(count(lit(1)).as("n_events"),
         count(col("okey")).as("n_matched"),
@@ -301,23 +302,8 @@ object Analytics {
     * plus an explicit staleness filter.
     */
   def qAsofTolerance(spark: SparkSession, sfDir: String,
-                     tolUs: Long = 8210L * 86400L * 1000000L): DataFrame = {
-    val events = loadEvents(spark, sfDir)
-      .select(col("event_id"), pmod(col("user_id"), lit(50)).as("k"),
-        unix_micros(col("ts")).as("t"))
-    val orders = t(spark, sfDir, "orders")
-      .groupBy(pmod(col("o_custkey"), lit(50)).as("k2"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("t2"))
-      .agg(max("o_orderkey").as("okey"))
-    graft.plans.AsOf.join(events, orders,
-        Seq(events("k")), Seq(orders("k2")), events("t"), orders("t2"),
-        tolerance = Some(tolUs))
-      .groupBy("k")
-      .agg(count(lit(1)).as("n_events"),
-        count(col("okey")).as("n_matched"),
-        max(col("okey")).as("max_okey"))
-      .orderBy("k")
-  }
+                     tolUs: Long = 8210L * 86400L * 1000000L): DataFrame =
+    qAsofJoin(spark, sfDir, tolerance = Some(tolUs))
 
   /** Batch equivalent of the streaming windowed aggregation
     * (graft.streaming.EventStream) — 1h tumbling windows per event_type.

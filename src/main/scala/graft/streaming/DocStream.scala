@@ -32,19 +32,7 @@ object DocStream {
     */
   def runDedupBounded(spark: SparkSession, sfDir: String,
                       queryName: String = "graft_stream_dedup"): DataFrame = {
-    val src = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
-    // FileStreamSource requires a directory; a single-file table streams
-    // via a temp dir holding a symlink (same shape as EventStream).
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("graft-docstream-")
-        dir.toFile.deleteOnExit()
-        java.nio.file.Files.createSymbolicLink(dir.resolve("documents.parquet"), src)
-        dir
-      }
-    val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val stream = FileStreams.readStream(spark, s"$sfDir/documents.parquet")
     val q = dedupedDocs(stream)
       .writeStream
       .outputMode(OutputMode.Append())

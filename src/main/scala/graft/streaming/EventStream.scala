@@ -93,18 +93,8 @@ object EventStream {
   def runEnrichJoinBounded(spark: SparkSession, sfDir: String,
                            queryName: String = "graft_stream_join"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("graft-joinstream-")
-        dir.toFile.deleteOnExit()
-        java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
-        dir
-      }
-    val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // no ts conversion: the enrichment join never reads event time
+    val stream = FileStreams.readStream(spark, s"$sfDir/events.parquet")
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_custkey", "c_mktsegment")
     val q = enrichJoin(stream, customer)
@@ -126,21 +116,7 @@ object EventStream {
     // events ships TIMESTAMP(NANOS) parquet: read nanos as long, convert
     // to a proper timestamp (see Analytics.loadEvents for rationale).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource requires a directory; the test table is a single
-    // parquet file, so stream from a temp dir holding a symlink to it.
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
-        dir.toFile.deleteOnExit()
-        java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
-        dir
-      }
-    val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .parquet(streamDir.toString)
+    val stream = FileStreams.readStream(spark, s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = windowedAgg(stream)
       .writeStream

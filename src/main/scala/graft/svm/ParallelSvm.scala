@@ -142,6 +142,8 @@ object ParallelSvm {
             }
           }
           .collect()
+        require(solved.nonEmpty,
+          "cascade: no surviving rows reached the final solve — empty training input?")
         val (nIn, modelBytes) = solved.head
         finalModel = deser(modelBytes)
         stats += LayerStat("cascade-final", layer + 1, 0, nIn,

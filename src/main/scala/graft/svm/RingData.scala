@@ -47,8 +47,12 @@ object RingData {
       val radius = (1.0 + 2.0 * cls) + 0.2 * u(i, 1)
       val theta = 2.0 * math.Pi * u(i, 2)
       val f = new Array[Float](dim)
-      f(0) = (radius * math.cos(theta)).toFloat
-      f(1) = (radius * math.sin(theta)).toFloat
+      // StrictMath, not Math: Math.cos/sin may use platform intrinsics
+      // that differ by 1 ulp across architectures, and svm_model_io's
+      // oracle literally pins stats derived from these coordinates —
+      // the generator must be bit-specified, not just seeded.
+      f(0) = (radius * StrictMath.cos(theta)).toFloat
+      f(1) = (radius * StrictMath.sin(theta)).toFloat
       var d = 2
       while (d < dim) { f(d) = (0.1 * (u(i, d + 10) - 0.5)).toFloat; d += 1 }
       Ex(i, cls, f, ((i / classes) % k).toInt)

@@ -179,10 +179,17 @@ object SvmQueries {
   def baggingTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val data = ParallelSvm.loadTraining(spark, sfDir, K)
     // Local temp stands in for the cluster-shared FS (hdfs://, s3a://)
-    // the reference writes its model-<taskId>.model files to.
-    val modelDir = s"${System.getProperty("java.io.tmpdir")}/graft-bagging-${math.abs(sfDir.hashCode)}"
-    val (stats, _) = ParallelSvm.bagging(data, K, ParallelSvm.defaultParams(64), modelDir)
-    ParallelSvm.statsDf(spark, stats)
+    // the reference writes its model-<taskId>.model files to. A fresh
+    // per-run directory: a fixed path would let two concurrent
+    // bench/verify JVMs truncate each other's model files mid-read.
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-bagging-").toString
+    try {
+      val (stats, _) = ParallelSvm.bagging(data, K, ParallelSvm.defaultParams(64), modelDir)
+      ParallelSvm.statsDf(spark, stats)
+    } finally {
+      val d = new java.io.File(modelDir)
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
   }
 
   def iterativeTrain(spark: SparkSession, sfDir: String): DataFrame = {

@@ -33,16 +33,9 @@ object CorpusFilter {
       .groupBy(md5(lower(col("text"))).as("h"))
       .agg(min("doc_id").as("keep_id"))
 
-    val langs = Seq("en", "es", "de", "fr", "zh")
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of", "with"),
-      "es" -> Seq("el", "la", "los", "de"),
-      "de" -> Seq("der", "die", "und", "das"),
-      "fr" -> Seq("le", "la", "les", "des"),
-      "zh" -> Seq("的", "了", "是", "在"))
-
     // every per-document signal is a codegen'd regexp_count — one scan,
-    // whole stage compiled (see TextOps for the HOF-vs-regexp_count why)
+    // whole stage compiled (see TextOps for the HOF-vs-regexp_count
+    // why); the language decision rule is TextOps's, not a copy.
     val scored = d
       .select(Seq(
         col("doc_id"), md5(lower(col("text"))).as("h"),
@@ -51,12 +44,9 @@ object CorpusFilter {
           greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
         round(regexp_count(col("text"), lit("[0-9]")).cast("double") /
           greatest(length(col("text")), lit(1)), 4).as("digit_ratio")) ++
-        langs.map(l => TextOps.tokenSetCount(col("text"), markers(l)).as(s"s_$l")): _*)
+        TextOps.langScoreCols(col("text")): _*)
 
-    val mx = greatest(langs.map(l => col(s"s_$l")): _*)
-    val pred = langs.foldLeft(when(mx === 0, lit("unknown"))) { (acc, l) =>
-      acc.when(col(s"s_$l") === mx, lit(l))
-    }
+    val pred = TextOps.langPredCol
 
     scored
       .join(keepers, "h")

@@ -90,33 +90,44 @@ object TextOps {
 
   // ------------------------------------------------------------- langid
 
+  /** Language-marker token sets and priority order — the single source
+    * of the decision rule shared by [[langId]], the corpus filter, and
+    * (hand-mirrored) the SQL oracles.
+    */
+  val Langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "with"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "les", "des"),
+    "zh" -> Seq("的", "了", "是", "在"))
+
+  /** Per-language marker-hit scores over `text`, named s_<lang>. */
+  def langScoreCols(text: Column): Seq[Column] =
+    Langs.map(l => tokenSetCount(text, LangMarkers(l)).as(s"s_$l"))
+
+  /** Arg-max prediction over the s_<lang> columns with a fixed priority
+    * order on ties (en > es > de > fr > zh); all-zero scores →
+    * 'unknown'. A CASE chain, so the identical decision rule is
+    * trivially expressible in the oracle SQL.
+    */
+  def langPredCol: Column = {
+    val mx = greatest(Langs.map(l => col(s"s_$l")): _*)
+    Langs.foldLeft(when(mx === 0, lit("unknown"))) { (acc, l) =>
+      acc.when(col(s"s_$l") === mx, lit(l))
+    }
+  }
+
   /** Heuristic language ID via language-marker stopword hits.
     * Deterministic n-gram/stopword scoring — the classic fastText-style
     * signal reduced to a SQL-expressible form. Returns per-(predicted,
     * actual) counts so the oracle can verify the full decision rule.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of", "with"),
-      "es" -> Seq("el", "la", "los", "de"),
-      "de" -> Seq("der", "die", "und", "das"),
-      "fr" -> Seq("le", "la", "les", "des"),
-      "zh" -> Seq("的", "了", "是", "在"))
-    def score(lang: String): Column =
-      tokenSetCount(col("text"), markers(lang)).as(s"s_$lang")
     val scored = docs(spark, sfDir).select(
-      col("doc_id"), col("lang").as("actual"),
-      score("en"), score("es"), score("de"), score("fr"), score("zh"))
-    // argmax with a fixed priority order on ties (en > es > de > fr > zh):
-    // a CASE chain — identical decision rule is trivially expressible in
-    // the oracle SQL, so the full classifier is verified end-to-end.
-    val langs = Seq("en", "es", "de", "fr", "zh")
-    val mx = greatest(langs.map(l => col(s"s_$l")): _*)
-    val pred = langs.foldLeft(when(mx === 0, lit("unknown"))) { (acc, l) =>
-      acc.when(col(s"s_$l") === mx, lit(l))
-    }
+      col("doc_id") +: col("lang").as("actual") +: langScoreCols(col("text")): _*)
     scored
-      .withColumn("pred", pred)
+      .withColumn("pred", langPredCol)
       .groupBy(col("pred"), col("actual"))
       .agg(count(lit(1)).as("n"))
       .orderBy("pred", "actual")
