@@ -61,8 +61,12 @@ object Ivf {
     cent
   }
 
-  /** Nearest-centroid assignment: (vec_id, list_id). Broadcast cross
-    * join + min-by window — one scan of the corpus.
+  /** Nearest-centroid assignment: (vec_id, list_id). The centroids are
+    * k×dim doubles — driver-local by construction — so the argmin is
+    * ONE codegen expression over literal centroid arrays: a narrow map
+    * with no crossJoin, no shuffle, and no per-vector window sort, at
+    * any corpus size. (The earlier crossJoin+row_number formulation
+    * shuffled |corpus|×k rows per call — per Lloyd iteration.)
     */
   def assign(data: DataFrame, centroids: DataFrame): DataFrame =
     assignWithVec(data, centroids).select("vec_id", "list_id")
@@ -72,13 +76,28 @@ object Ivf {
     * avoiding a corpus-wide re-join per k-means iteration.
     */
   def assignWithVec(data: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("list_id"))
-    data.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", VectorOps.distSq(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    data.select(col("vec_id"), col("embedding"),
+      nearestListExpr(cents).as("list_id"))
       .select("vec_id", "list_id", "embedding")
+  }
+
+  /** Argmin-distance list id as a literal-centroid expression. Ties go
+    * to the smallest list_id (array_position returns the FIRST index of
+    * the min; positions are ordered by list_id) — the same rule the old
+    * orderBy(dist, list_id) window applied.
+    */
+  private def nearestListExpr(cents: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    require(cents.nonEmpty, "no centroids")
+    val dists = array(cents.map { case (_, c) =>
+      VectorOps.distSq(col("embedding"), array(c.map(lit): _*))
+    }: _*)
+    val pos = array_position(dists, array_min(dists)).cast("int")
+    // empty lists can disappear between iterations, so position != id:
+    // translate through the surviving id table
+    element_at(array(cents.map(c => lit(c._1)): _*), pos)
   }
 
   /** IVF top-k: probes scan the inverted lists of their nProbe nearest
