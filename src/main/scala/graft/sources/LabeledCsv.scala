@@ -27,11 +27,19 @@ object LabeledCsv {
     * `row_id` is a partition-local monotonic id — unique and stable for
     * a fixed input layout, NOT contiguous (contiguity would need a
     * global pass; the id only routes subset assignment downstream).
+    *
+    * `mode` is Spark's CSV parse mode — at corpus scale malformed rows
+    * are a certainty, and the choice is policy: "PERMISSIVE" (default)
+    * null-fills bad fields so downstream filters decide,
+    * "DROPMALFORMED" silently drops bad rows, "FAILFAST" aborts the
+    * job on the first one.
     */
-  def read(spark: SparkSession, path: String, dim: Int): DataFrame =
+  def read(spark: SparkSession, path: String, dim: Int,
+           mode: String = "PERMISSIVE"): DataFrame =
     spark.read
       .schema(schema(dim))
       .option("header", "false")
+      .option("mode", mode)
       .csv(path)
       .select(
         monotonically_increasing_id().as("row_id"),

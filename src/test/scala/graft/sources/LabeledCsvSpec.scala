@@ -19,6 +19,20 @@ class LabeledCsvSpec extends SparkSpec {
     assert(df.map(_.getAs[Long]("row_id")).distinct.length == 2)
   }
 
+  test("malformed rows: PERMISSIVE null-fills, DROPMALFORMED drops, FAILFAST throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-bad-")
+    java.nio.file.Files.writeString(dir.resolve("train.csv"),
+      "3,0.5,1.25,-2.0\nnot,a,valid,row\n7,0.0,0.125,9.5\n")
+    val permissive = LabeledCsv.read(spark, dir.toString, dim = 3).collect()
+    assert(permissive.length == 3)
+    assert(permissive.count(_.isNullAt(1)) == 1, "bad row should null-fill its label")
+    val dropped = LabeledCsv.read(spark, dir.toString, dim = 3, mode = "DROPMALFORMED").collect()
+    assert(dropped.length == 2 && dropped.forall(!_.isNullAt(1)))
+    intercept[org.apache.spark.SparkException] {
+      LabeledCsv.read(spark, dir.toString, dim = 3, mode = "FAILFAST").collect()
+    }
+  }
+
   test("streaming read: batch/stream parity on the same CSV input") {
     import graft.streaming.StreamingSvm
     import graft.svm.{Kernel, Smo}
