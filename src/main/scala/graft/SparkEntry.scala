@@ -74,6 +74,7 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfPlantedTop1(s, d)),
     "text_langid" -> TextOps.langId _,
     "text_ngram_counts" -> ((s: SparkSession, d: String) => TextOps.ngramCounts(s, d)),
+    "text_token_budget" -> TextOps.tokenBudget _,
     "text_quality" -> TextOps.qualityScores _,
     "text_tokens" -> TextOps.tokenStats _,
     "text_fingerprint" -> TextOps.fingerprints _,
@@ -444,6 +445,21 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_token_budget" ->
+      """WITH t AS (
+        |  SELECT length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t,
+        |    length(regexp_extract_all(text, '[A-Za-z]+')) + length(regexp_extract_all(text, '[0-9]+')) + length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS b,
+        |    length(text) AS c
+        |  FROM documents
+        |)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(b) AS BIGINT) AS total_bpeish_tokens,
+        |  CAST(sum(c) AS BIGINT) AS total_chars,
+        |  round(avg(t), 2) AS avg_ws_tokens,
+        |  round(quantile_cont(t, 0.5), 1) AS p50_ws_tokens,
+        |  round(quantile_cont(t, 0.9), 1) AS p90_ws_tokens
+        |FROM t""".stripMargin,
     // Occurrence-counted word bigrams (repeats within a doc count).
     "text_ngram_counts" ->
       """WITH tk AS (

@@ -133,6 +133,28 @@ object TextOps {
       .orderBy("pred", "actual")
   }
 
+  // ------------------------------------------------------- token budget
+
+  /** Corpus token-budget summary — the first number every pretraining
+    * run needs: total/mean/percentile token counts (whitespace and
+    * BPE-ish) plus character volume, in ONE map-side-combined
+    * aggregation over a single scan.
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        wsTokenCount(col("text")).as("t"),
+        bpeishTokenCount(col("text")).as("b"),
+        length(col("text")).as("c"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("t").cast("long")).as("total_ws_tokens"),
+        sum(col("b").cast("long")).as("total_bpeish_tokens"),
+        sum(col("c").cast("long")).as("total_chars"),
+        round(avg("t"), 2).as("avg_ws_tokens"),
+        round(expr("percentile(t, 0.5)"), 1).as("p50_ws_tokens"),
+        round(expr("percentile(t, 0.9)"), 1).as("p90_ws_tokens"))
+
   // ------------------------------------------------------ n-gram counts
 
   /** Corpus-level top-k word-n-gram frequencies — the contamination /
