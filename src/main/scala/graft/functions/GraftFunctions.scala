@@ -21,6 +21,10 @@ object GraftFunctions {
     ColumnBridge.column(
       SimHashAgg(ColumnBridge.expression(hashCol)).toAggregateExpression())
 
+  /** Karp-Rabin rolling hash of a string column (codegen). */
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c)))
+
   /** Register all graft functions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -32,6 +36,8 @@ object GraftFunctions {
       es => DistSqExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_agg",
       es => SimHashAgg(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      es => RollingHashExpr(es.head), "scala_udf")
   }
 
   /** Config-driven registration for [[graft.GraftExtensions]]
@@ -48,5 +54,6 @@ object GraftFunctions {
     fn("vec_cosine", es => CosineSimExpr(es.head, es(1)))
     fn("vec_distsq", es => DistSqExpr(es.head, es(1)))
     fn("simhash_agg", es => SimHashAgg(es.head).toAggregateExpression())
+    fn("rolling_hash", es => RollingHashExpr(es.head))
   }
 }

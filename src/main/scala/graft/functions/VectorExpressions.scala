@@ -50,11 +50,17 @@ private[graft] trait VectorBinary extends BinaryExpression {
   protected def getR(y: ArrayData, i: Int): Double =
     if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
 
-  /** Java element-read snippets, specialized at codegen time. */
-  protected def genGetL(a: String): String =
-    if (leftIsFloat) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-  protected def genGetR(b: String): String =
-    if (rightIsFloat) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+  /** Java element-read snippets, specialized at codegen time. The loop
+    * variable must be a `ctx.freshName` — whole-stage codegen inlines
+    * every expression of a projection into ONE Java method, so fixed
+    * local names collide as soon as two vector kernels share a stage
+    * (e.g. the 10-centroid literal argmin), and Janino's compile error
+    * silently drops the whole stage back to interpreted execution.
+    */
+  protected def genGetL(a: String, i: String): String =
+    if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+  protected def genGetR(b: String, i: String): String =
+    if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
 }
 
 /** Σ a_i * b_i in double precision, sequential order. */
@@ -68,14 +74,17 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorBin
     s
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  s += ${genGetL(a)} * ${genGetR(b)};
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  $s += ${genGetL(a, i)} * ${genGetR(b, i)};
       |}
-      |${ev.value} = s;
-      |""".stripMargin)
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
@@ -91,15 +100,19 @@ case class DistSqExpr(left: Expression, right: Expression) extends VectorBinary 
     s
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  double d = ${genGetL(a)} - ${genGetR(b)};
-      |  s += d * d;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $d = ${genGetL(a, i)} - ${genGetR(b, i)};
+      |  $s += $d * $d;
       |}
-      |${ev.value} = s;
-      |""".stripMargin)
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
@@ -121,17 +134,22 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorBina
     if (nn == 0.0) 0.0 else dot / nn
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double dot = 0.0, na = 0.0, nb = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  double xi = ${genGetL(a)};
-      |  double yi = ${genGetR(b)};
-      |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi"); val nn = ctx.freshName("nn")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $xi = ${genGetL(a, i)};
+      |  double $yi = ${genGetR(b, i)};
+      |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
       |}
-      |double nn = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-      |${ev.value} = (nn == 0.0) ? 0.0 : dot / nn;
-      |""".stripMargin)
+      |double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+      |${ev.value} = ($nn == 0.0) ? 0.0 : $dot / $nn;
+      |""".stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }

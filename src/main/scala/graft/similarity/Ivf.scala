@@ -84,21 +84,30 @@ object Ivf {
       .select("vec_id", "list_id", "embedding")
   }
 
-  /** Argmin-distance list id as a literal-centroid expression. Ties go
-    * to the smallest list_id (array_position returns the FIRST index of
-    * the min; positions are ordered by list_id) — the same rule the old
-    * orderBy(dist, list_id) window applied.
+  /** Argmin-distance centroid id over `vec` as a literal-centroid
+    * expression: the centroids are driver-local bytes, so the whole
+    * argmin is ONE codegen projection — no crossJoin, no shuffle, no
+    * per-vector window sort, at any corpus size. Ties go to the
+    * smallest id (array_position returns the FIRST index of the min;
+    * positions are ordered by id) — the same rule an
+    * orderBy(dist, id) + row_number window would apply. Shared by the
+    * IVF assignment and the nearest-centroid evaluator
+    * (graft.svm.SvmQueries.centroidEvaluate).
     */
-  private def nearestListExpr(cents: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+  private[graft] def nearestIdExpr(
+      cents: Array[(Int, Seq[Double])], vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     require(cents.nonEmpty, "no centroids")
     val dists = array(cents.map { case (_, c) =>
-      VectorOps.distSq(col("embedding"), array(c.map(lit): _*))
+      VectorOps.distSq(vec, array(c.map(lit): _*))
     }: _*)
     val pos = array_position(dists, array_min(dists)).cast("int")
     // empty lists can disappear between iterations, so position != id:
     // translate through the surviving id table
     element_at(array(cents.map(c => lit(c._1)): _*), pos)
   }
+
+  private def nearestListExpr(cents: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column =
+    nearestIdExpr(cents, col("embedding"))
 
   /** IVF top-k: probes scan the inverted lists of their nProbe nearest
     * centroids; exact cosine within candidates.

@@ -18,8 +18,14 @@ import graft.svm.{LabeledVec, Smo, SvmModel}
   * reference keeps global_sv.csv in the DistributedCache. Batches are
   * bounded by the trigger (maxFilesPerTrigger), so the per-batch
   * collect is a bounded micro-batch, not the corpus.
+  *
+  * `maxGlobalSvs` is the same loud-failure contract as the batch
+  * iterative path (ParallelSvm.iterative): on non-separable data
+  * n_sv ≈ n, so a 24/7 stream would otherwise accumulate the whole
+  * corpus into driver state — fail the query instead of degrading
+  * silently.
   */
-class StreamingSvm(params: Smo.Params) extends Serializable {
+class StreamingSvm(params: Smo.Params, maxGlobalSvs: Int = 200000) extends Serializable {
 
   /** (batchId, rows in batch, new SVs, total global SVs) per batch. */
   val batchStats: mutable.Buffer[(Long, Int, Int, Int)] = mutable.Buffer.empty
@@ -35,6 +41,14 @@ class StreamingSvm(params: Smo.Params) extends Serializable {
         rows ++ globalSvs.iterator.filterNot(g => rowIds(g._1))
       val model = Smo.train(merged.map(_._2), params)
       val newSvs = model.svGlobalIdx.map(merged).filterNot(r => globalSvs.contains(r._1))
+      // Cap check BEFORE folding the batch's SVs into state: the failure
+      // must precede the growth it is guarding against.
+      if (globalSvs.size + newSvs.length > maxGlobalSvs)
+        throw new IllegalStateException(
+          s"streaming SVM: batch $batchId would grow the global support-vector set to " +
+            s"${globalSvs.size + newSvs.length} (> maxGlobalSvs=$maxGlobalSvs) — the " +
+            "stream is too non-separable for the iterative meta-algorithm at this cap; " +
+            "raise maxGlobalSvs only with driver memory to match")
       newSvs.foreach { case (id, v) => globalSvs.update(id, v) }
       lastModel = model
       batchStats += ((batchId, rows.length, newSvs.length, globalSvs.size))

@@ -9,6 +9,14 @@ final case class Ex(id: Long, label: Int, features: Array[Float], subset: Int)
 /** Per-(layer, subset) training statistics emitted by the meta-algorithms. */
 final case class LayerStat(stage: String, layer: Int, subset: Int, nIn: Long, nSv: Long, metric: Double)
 
+/** One output row of an iterative-SVM round: either a per-subset stats
+  * row (`sv = None`) or one newly-found support vector (`sv = Some`).
+  * Keeping both in ONE Dataset lets the round's training run exactly
+  * once (persisted) while the driver decides — from the executor-side
+  * COUNT alone — whether the SV rows are safe to collect.
+  */
+final case class IterRow(subset: Int, nIn: Long, errs: Long, sv: Option[Ex])
+
 /** Spark-native re-expression of the reference's three parallel-SVM
   * meta-algorithms (cascade_svm/, Bagging_svm/, Iterative_svm/).
   *
@@ -99,10 +107,20 @@ object ParallelSvm {
     * Reference: cascade_svm/Driver.java:91-100 (log2(k) layers),
     * Midcascade.java:101-131 (per-subset train + `floor(taskId/2)`
     * routing), Lastcascade.java:109-144 (final train on merged SVs).
+    *
+    * @param modelPath optional file/hdfs/s3a path that receives the
+    *        FINAL model in LibSVM text format, written FROM THE EXECUTOR
+    *        task that solves it — the reference's entire output contract
+    *        is this saved model (Lastcascade.java:31-37 saveModelToHdfs,
+    *        called at Lastcascade.java:136); without it a LibSVM user
+    *        has nothing to load.
     */
-  def cascade(data: Dataset[Ex], k: Int, params: Smo.Params): (Seq[LayerStat], SvmModel) = {
+  def cascade(data: Dataset[Ex], k: Int, params: Smo.Params,
+              modelPath: Option[String] = None): (Seq[LayerStat], SvmModel) = {
     val spark = data.sparkSession
     import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     require(k >= 1 && (k & (k - 1)) == 0, s"subset count must be a power of 2, got $k")
     val layers = (math.log(k) / math.log(2)).round.toInt
 
@@ -138,6 +156,10 @@ object ParallelSvm {
             if (rows.isEmpty) Iterator.empty
             else {
               val m = Smo.train(rows.map(r => LabeledVec(r.label, r.features)), params)
+              // Persist the final model executor-side, like the
+              // reference's lone reducer saving to HDFS — the driver
+              // receives only the (already SV-pruned) serialized model.
+              modelPath.foreach(p => ModelIO.save(hconf.value, m, p))
               Iterator.single((rows.length.toLong, ser(m)))
             }
           }
@@ -261,7 +283,12 @@ object ParallelSvm {
 
     while (improving && iter <= maxIters) {
       val bc = spark.sparkContext.broadcast(globalSvs)
-      val perSubset: Array[(Int, Long, Long, Array[Ex])] = data
+      // One training pass per subset, emitted as a PERSISTED Dataset of
+      // stats rows + individual new-SV rows. Nothing is collected yet:
+      // on hard non-separable data n_sv ≈ n, so one bad round can return
+      // nearly the whole dataset as "new SVs" — the rows must stay on
+      // the executors until the cap check below has passed.
+      val roundOut: Dataset[IterRow] = data
         .groupByKey(_.subset)
         .flatMapGroups { (subset, it) =>
           val local = it.toArray
@@ -271,27 +298,37 @@ object ParallelSvm {
           val model = Smo.train(merged.map(r => LabeledVec(r.label, r.features)), params)
           val errs = merged.count(r => model.predict(r.features) != r.label).toLong
           val newSvs = model.svGlobalIdx.map(merged).filterNot(r => globals.contains(r.id))
-          Iterator.single((subset, merged.length.toLong, errs, newSvs))
+          Iterator.single(IterRow(subset, merged.length.toLong, errs, None)) ++
+            newSvs.iterator.map(r => IterRow(subset, 0L, 0L, Some(r)))
         }
-        .collect()
-        .sortBy(_._1)
+        .persist()
 
-      val errSum = perSubset.map(_._3).sum
-      perSubset.foreach { case (s, nIn, errs, newSvs) =>
-        stats += LayerStat("iterative", iter, s, nIn, newSvs.length.toLong, errs.toDouble)
-      }
-      globalSvs = globalSvs ++ perSubset.iterator.flatMap(_._4).map(r => r.id -> r)
-      // The global-SV set lives on the driver and is broadcast every
-      // round (reference: the DistributedCache'd global_sv.csv). On hard
-      // non-separable data n_sv ≈ n, so one bad round can return nearly
-      // the whole dataset as "new SVs" — fail LOUDLY before that state
-      // OOMs the driver or the broadcast, rather than degrade silently.
-      if (globalSvs.size > maxGlobalSvs)
+      // Executor-side census of the round — only three longs reach the
+      // driver. The cap fires HERE, before any feature row moves: the
+      // reference's global_sv.csv contract (DistributedCache, driver-
+      // mediated) is only viable while SVs ≪ data, and the loud failure
+      // must precede — not follow — the driver materializing the rows.
+      val newSvCount = roundOut.filter(_.sv.isDefined).count()
+      if (globalSvs.size + newSvCount > maxGlobalSvs) {
+        roundOut.unpersist()
         throw new IllegalStateException(
-          s"iterative SVM: global support-vector set grew to ${globalSvs.size} " +
-            s"(> maxGlobalSvs=$maxGlobalSvs) in round $iter — the data is too " +
-            "non-separable for the iterative meta-algorithm at this cap; raise " +
+          s"iterative SVM: round $iter would grow the global support-vector set to " +
+            s"${globalSvs.size + newSvCount} (> maxGlobalSvs=$maxGlobalSvs) — the data " +
+            "is too non-separable for the iterative meta-algorithm at this cap; raise " +
             "maxGlobalSvs only with driver/executor memory to match, or use cascade()")
+      }
+
+      val statRows = roundOut.filter(_.sv.isEmpty).collect().sortBy(_.subset)
+      val newSvRows = roundOut.filter(_.sv.isDefined).collect() // ≤ maxGlobalSvs by the check above
+      roundOut.unpersist()
+
+      val errSum = statRows.map(_.errs).sum
+      val newPerSubset = newSvRows.groupBy(_.subset).map { case (s, rs) => s -> rs.length.toLong }
+      statRows.foreach { r =>
+        stats += LayerStat("iterative", iter, r.subset, r.nIn,
+          newPerSubset.getOrElse(r.subset, 0L), r.errs.toDouble)
+      }
+      globalSvs = globalSvs ++ newSvRows.iterator.flatMap(_.sv).map(r => r.id -> r)
       stats += LayerStat("iterative-round", iter, -1, globalSvs.size.toLong, -1L, errSum.toDouble)
       improving = errSum < oldErr
       oldErr = errSum

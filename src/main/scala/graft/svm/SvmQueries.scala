@@ -1,7 +1,6 @@
 package graft.svm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
@@ -93,9 +92,14 @@ object SvmQueries {
 
   /** Confusion matrix of a nearest-centroid classifier (the reference's
     * EvaluateDataset role — per-class error accounting,
-    * Iterative_svm/Itergsv.java:95-108) computed fully distributed:
-    * centroids via one partial-aggregated explode pass, then a broadcast
-    * cross join of 10 centroid rows against a single data scan.
+    * Iterative_svm/Itergsv.java:95-108): centroids via one
+    * partial-aggregated explode pass (10×64 doubles — driver-local
+    * bytes), then the argmin over classes as a LITERAL-CENTROID codegen
+    * expression ([[graft.similarity.Ivf.nearestIdExpr]]) inside a single
+    * scan + one map-side-combined groupBy. The earlier
+    * crossJoin(broadcast) + row_number formulation blew the corpus up
+    * 10× and full-sort-shuffled it just to pick a per-row argmin; this
+    * shape is one narrow codegen pass at any corpus size.
     */
   def centroidEvaluate(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
@@ -106,12 +110,14 @@ object SvmQueries {
       .groupBy("clabel")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cvec"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("dist", VectorOps.distSq(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("label"), col("clabel").as("pred"))
+    // 10 centroid rows to the driver (tie rule: smallest class id —
+    // identical to the old orderBy(dist, clabel) window).
+    val cents = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    e.select(col("label"),
+        graft.similarity.Ivf.nearestIdExpr(cents, col("embedding")).as("pred"))
+      .groupBy("label", "pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred")
   }
@@ -172,8 +178,18 @@ object SvmQueries {
 
   def cascadeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val data = ParallelSvm.loadTraining(spark, sfDir, K)
-    val (stats, _) = ParallelSvm.cascade(data, K, ParallelSvm.defaultParams(64))
-    ParallelSvm.statsDf(spark, stats)
+    // The reference's output contract is the SAVED final model
+    // (Lastcascade.java:136 saveModelToHdfs) — persist it like the
+    // reference does; local temp stands in for the cluster-shared FS.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cascade-").toString
+    try {
+      val (stats, _) = ParallelSvm.cascade(data, K, ParallelSvm.defaultParams(64),
+        modelPath = Some(s"$dir/final.model"))
+      ParallelSvm.statsDf(spark, stats)
+    } finally {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
   }
 
   def baggingTrain(spark: SparkSession, sfDir: String): DataFrame = {

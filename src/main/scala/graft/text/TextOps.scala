@@ -10,10 +10,9 @@ import org.apache.spark.sql.functions._
   * kept inside WHOLE-STAGE CODEGEN (asserted by PlanAuditSpec): token
   * and marker counting are `regexp_count` expressions, never
   * higher-order-function lambdas (HOFs are CodegenFallback — they
-  * interpret per array element). The one exception is [[fingerprint]]'s
-  * rolling hash: an inherently sequential fold, expressed as an
-  * `aggregate` HOF because order-dependent recurrences have no codegen
-  * form short of a custom Expression.
+  * interpret per array element), and [[fingerprint]]'s order-dependent
+  * rolling hash — which has no `functions._` codegen form — is the
+  * custom codegen Expression [[graft.functions.RollingHashExpr]].
   */
 object TextOps {
 
@@ -186,18 +185,18 @@ object TextOps {
   // -------------------------------------------------------- fingerprint
 
   /** Rolling polynomial hash (Karp-Rabin style) of the normalized text —
-    * a deterministic document fingerprint, computed with `aggregate`
-    * over the char codes (codegen, no UDF). Mod 1e9+7 keeps every
-    * intermediate inside int64 so an external SQL engine can reproduce
-    * it without overflow.
+    * a deterministic document fingerprint. The order-dependent fold is a
+    * custom codegen Expression ([[graft.functions.RollingHashExpr]]) —
+    * the earlier `aggregate` HOF formulation was CodegenFallback,
+    * boxing one single-char string per character of the corpus. Mod
+    * 1e9+7 keeps every intermediate inside int64 so an external SQL
+    * engine can reproduce it without overflow.
     */
   def fingerprint(c: Column): Column = {
     val norm = lower(regexp_replace(c, "\\s+", " "))
-    val m = 1000000007L
-    aggregate(
-      filter(split(norm, ""), ch => length(ch) > 0),
-      lit(0L),
-      (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(m))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.RollingHashExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(norm)))
   }
 
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {

@@ -73,4 +73,38 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Analytics.q1Agg(spark, sf0001))
     assert(p.contains("partial_"), s"expected partial aggregates before the shuffle:\n$p")
   }
+
+  test("text_fingerprint: rolling hash is codegen, not an interpreted HOF fold") {
+    // The Karp-Rabin fold is RollingHashExpr (custom codegen Expression);
+    // the aggregate()-over-split() formulation it replaced was a
+    // CodegenFallback that boxed one string per character of the corpus.
+    val p = finalPlan(graft.text.TextOps.fingerprints(spark, sf0001))
+    assert(hasCodegenSpan(p), s"expected codegen spans:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"no interpreted HOF lambdas allowed on the fingerprint path:\n$p")
+    assert(p.contains("rolling_hash"), s"expected RollingHashExpr in the plan:\n$p")
+  }
+
+  test("custom expressions compile under codegen even when stacked in one stage") {
+    // Regression guard: Janino compile errors (e.g. colliding local
+    // names when several vector kernels inline into one stage) make
+    // Spark fall back to interpreted execution SILENTLY — the query
+    // stays correct and 10× slower. With codegen.fallback off, any
+    // compile failure becomes a hard error here instead.
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      graft.svm.SvmQueries.centroidEvaluate(spark, sf0001).collect()
+      graft.text.TextOps.fingerprints(spark, sf0001).collect()
+      graft.similarity.Ivf.ivfTopK(spark, sf0001, k = 2, probeEvery = 100).collect()
+    }
+  }
+
+  test("svm_evaluate: literal-centroid argmin — no window exchange, no crossJoin blow-up") {
+    // The per-row argmin over 10 centroids is one codegen projection
+    // (Ivf.nearestIdExpr); the crossJoin(broadcast)+row_number shape it
+    // replaced shuffled 10× the corpus through a per-vector sort.
+    val p = plan(graft.svm.SvmQueries.centroidEvaluate(spark, sf0001))
+    assert(!p.contains("Window"), s"no window exchange allowed in svm_evaluate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no cross join allowed in svm_evaluate scoring pass:\n$p")
+  }
 }

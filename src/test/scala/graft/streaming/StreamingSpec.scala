@@ -104,6 +104,23 @@ class StreamingSpec extends SparkSpec {
     assert(acc > 0.3, s"streamed-model accuracy $acc")
   }
 
+  test("online iterative SVM fails loudly when a batch would overflow maxGlobalSvs") {
+    // Same loud-failure contract as the batch path (ParallelSvm.iterative):
+    // the noisy embeddings are non-separable, so the first batch alone
+    // yields far more SVs than a tiny cap — the trainer must throw
+    // BEFORE folding them into driver state, not accumulate silently.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val trainer = new graft.streaming.StreamingSvm(
+      graft.svm.Smo.Params(kernel = graft.svm.Kernel.Linear), maxGlobalSvs = 20)
+    val e = intercept[IllegalStateException] {
+      trainer.processBatch(emb.limit(100), batchId = 0L)
+    }
+    assert(e.getMessage.contains("maxGlobalSvs"))
+    assert(trainer.globalSvCount == 0,
+      "state must not grow when the cap fires — the check precedes the fold")
+  }
+
   test("sessionization runs as a genuine stream with watermarked session state") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import org.apache.spark.sql.functions._

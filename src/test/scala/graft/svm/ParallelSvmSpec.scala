@@ -74,6 +74,33 @@ class ParallelSvmSpec extends SparkSpec {
       ParallelSvm.iterative(data, k = 4, params, maxIters = 3, maxGlobalSvs = 50)
     }
     assert(e.getMessage.contains("maxGlobalSvs"))
+    // PRE-COLLECT contract: the failure message carries the PROSPECTIVE
+    // set size — computable only from the executor-side count() that runs
+    // before any SV row is collected. On this slice nearly all 500 rows
+    // are bound SVs, so the round-1 prospective size must reflect that
+    // (≫ the 50-cap), proving the guard saw the full overflow without the
+    // driver ever holding the rows; the collect paths below the guard are
+    // bounded by maxGlobalSvs by construction.
+    assert(e.getMessage.contains("would grow"))
+    val prospective = "to (\\d+)".r.findFirstMatchIn(e.getMessage).get.group(1).toInt
+    assert(prospective > 400, s"round-1 prospective SV count $prospective should be ≈ data size")
+  }
+
+  test("cascade persists its final model executor-side; reload agrees with returned model") {
+    // The reference's entire output contract is the saved model
+    // (Lastcascade.java:31-37 saveModelToHdfs, called at :136): a LibSVM
+    // user must be able to load what the cascade produced.
+    val data = ParallelSvm.loadTraining(spark, sf0001, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-casc-io").toString
+    val path = s"$dir/final.model"
+    val (_, model) = ParallelSvm.cascade(data, k = 4, params, modelPath = Some(path))
+    val f = new java.io.File(path)
+    assert(f.isFile && f.length > 0, s"expected persisted final model at $path")
+    val loaded = ModelIO.load(spark, path)
+    val rows = data.collect()
+    val agree = rows.count(r => loaded.predict(r.features) == model.predict(r.features))
+    assert(agree == rows.length,
+      s"reloaded model disagrees with returned model on ${rows.length - agree}/${rows.length} rows")
   }
 
   test("iterative SVM: error decreases or loop stops, <= 3 rounds") {

@@ -65,6 +65,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("RollingHashExpr is bit-identical to the HOF aggregate fold it replaced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Edge inputs: empty, single char, whitespace runs (normalization),
+    // BMP unicode (zh markers), punctuation — plus 50 real documents.
+    val edge = Seq("", "a", "Hello  World", "  ", "的了是在 test", "a" * 300,
+      "MiXeD CaSe 123 !@#").toDF("text")
+    val real = spark.read.parquet(s"$sf0001/documents.parquet").select("text").limit(50)
+    for (df <- Seq(edge, real)) {
+      val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+      val legacy = aggregate(
+        filter(split(norm, ""), ch => length(ch) > 0),
+        lit(0L),
+        (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(1000000007L))
+      val rows = df.select(
+        TextOps.fingerprint(col("text")).as("fp_new"),
+        legacy.as("fp_old")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"fingerprint mismatch: new=${r.getLong(0)} old=${r.getLong(1)}"))
+    }
+    // interpreted path (no codegen) agrees too
+    val e = graft.functions.RollingHashExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc x"),
+        org.apache.spark.sql.types.StringType))
+    assert(e.eval(null) == Seq("abc x").toDF("t")
+      .select(graft.functions.GraftFunctions.rolling_hash(col("t"))).collect()(0).getLong(0))
+  }
+
   test("corpus filter funnel is monotone and stages reconcile") {
     val r = CorpusFilter.funnel(spark, sf0001).collect()(0)
     val total = r.getAs[Long]("n_total")
