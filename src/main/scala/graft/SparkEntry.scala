@@ -317,7 +317,7 @@ object SparkEntry {
     // solve across JVMs. Values recomputed 2026-08-12.
     "svm_model_io" ->
       """SELECT * FROM (VALUES
-        |  ('model_chars', CAST(48496 AS DOUBLE)),
+        |  ('model_chars', CAST(48464 AS DOUBLE)),
         |  ('n_binaries', CAST(45 AS DOUBLE)),
         |  ('nr_class', CAST(10 AS DOUBLE)),
         |  ('pred_agree', CAST(1.0 AS DOUBLE)),

@@ -269,10 +269,24 @@ object ParallelSvm {
     * Reference: Iterative_svm/Driver.java:71-85 (driver loop,
     * `newerrorsum < olderrorsum && i < 3`), Itergsv.java:51-110
     * (per-reducer train on subset + cached global_sv.csv, append new SVs).
+    *
+    * `referenceStop = true` reproduces the reference's EXACT stopping
+    * trace instead of the default raw-misclassification rule:
+    *  - the round metric is the reference's `errorsum` counter — each
+    *    reducer adds `(long)(errorRate_c * 100)` per class, where
+    *    errorRate_c is the one-vs-rest rate (FP_c + FN_c) / n on the
+    *    training set (Itergsv.java:96-97, javaml PerformanceMeasure);
+    *  - the do-while `newerrorsum < olderrorsum && i < 3` with i
+    *    starting at 1 (Driver.java:71-86) runs EXACTLY TWO rounds
+    *    (round 1 always "improves" on Long.MAX_VALUE; `i < 3` cuts the
+    *    loop after round 2), so maxIters is forced to 2.
+    * Default mode keeps raw misclassification counts and up to 3 rounds
+    * — same spirit, finer-grained metric (a <1%-per-class improvement
+    * is invisible to the truncated percent sum).
     */
   def iterative(
       data: Dataset[Ex], k: Int, params: Smo.Params, maxIters: Int = 3,
-      maxGlobalSvs: Int = 200000): Seq[LayerStat] = {
+      maxGlobalSvs: Int = 200000, referenceStop: Boolean = false): Seq[LayerStat] = {
     val spark = data.sparkSession
     import spark.implicits._
     var globalSvs = Map.empty[Long, Ex] // id -> row; SV set << data by design
@@ -280,8 +294,9 @@ object ParallelSvm {
     var iter = 1
     var improving = true
     val stats = Seq.newBuilder[LayerStat]
+    val iterCap = if (referenceStop) 2 else maxIters
 
-    while (improving && iter <= maxIters) {
+    while (improving && iter <= iterCap) {
       val bc = spark.sparkContext.broadcast(globalSvs)
       // One training pass per subset, emitted as a PERSISTED Dataset of
       // stats rows + individual new-SV rows. Nothing is collected yet:
@@ -296,7 +311,23 @@ object ParallelSvm {
           val localIds = local.iterator.map(_.id).toSet
           val merged = local ++ globals.valuesIterator.filterNot(g => localIds(g.id))
           val model = Smo.train(merged.map(r => LabeledVec(r.label, r.features)), params)
-          val errs = merged.count(r => model.predict(r.features) != r.label).toLong
+          val preds = merged.map(r => model.predict(r.features))
+          val errs =
+            if (referenceStop) {
+              // reference errorsum: per class, (long)(oneVsRestErrorRate * 100)
+              merged.iterator.map(_.label).toSet.iterator.map { c: Int =>
+                var fpfn = 0; var t = 0
+                while (t < merged.length) {
+                  if ((merged(t).label == c) != (preds(t) == c)) fpfn += 1
+                  t += 1
+                }
+                (fpfn.toDouble / merged.length * 100).toLong
+              }.sum
+            } else {
+              var e = 0L; var t = 0
+              while (t < merged.length) { if (preds(t) != merged(t).label) e += 1; t += 1 }
+              e
+            }
           val newSvs = model.svGlobalIdx.map(merged).filterNot(r => globals.contains(r.id))
           Iterator.single(IterRow(subset, merged.length.toLong, errs, None)) ++
             newSvs.iterator.map(r => IterRow(subset, 0L, 0L, Some(r)))

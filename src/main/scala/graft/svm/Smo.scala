@@ -62,7 +62,20 @@ object Smo {
       maxIter: Int = 200000
   )
 
-  /** Solve one binary problem. `y` entries must be +1.0 / -1.0. */
+  /** Solve one binary problem. `y` entries must be +1.0 / -1.0.
+    *
+    * Shrinking (Fan, Chen & Lin 2005 §4; LibSVM Solver::do_shrinking):
+    * every min(n, 1000) iterations, variables that sit at a bound and
+    * satisfy KKT beyond the current violating-pair extremes are removed
+    * from the working set — they can only re-enter the solution after
+    * the extremes move past them, so the per-iteration WSS scan and
+    * gradient update run over the (usually much smaller) active set.
+    * When the active problem converges, gradients of the shrunk
+    * variables are reconstructed from scratch and optimization resumes
+    * over the full set; the solver only reports convergence when the
+    * FULL problem satisfies the eps criterion, so shrinking changes
+    * iteration cost, never the solution contract.
+    */
   def solveBinary(xs: Array[Array[Float]], y: Array[Byte], p: Params): (Array[Double], Double) = {
     val n = xs.length
     val alpha = new Array[Double](n)
@@ -83,24 +96,86 @@ object Smo {
         r
     }
 
+    // Active set: indices active(0 until activeSize) participate in WSS
+    // and gradient updates; the rest are shrunk at a bound with stale
+    // gradients until reconstruction.
+    val active = Array.tabulate(n)(identity)
+    var activeSize = n
+    val shrinkEvery = math.max(1, math.min(n, 1000))
+    var sinceShrink = shrinkEvery
+
+    // Recompute G_t for the shrunk tail from alpha directly:
+    // G_t = y_t * (sum_j alpha_j y_j K_jt) - 1. Runs rarely (on active-
+    // set convergence and before rho), cost O(n_shrunk * n_sv) kernel
+    // evaluations.
+    def reconstructGradient(): Unit = {
+      var ti = activeSize
+      while (ti < n) {
+        val t = active(ti)
+        var s = 0.0
+        var j2 = 0
+        while (j2 < n) {
+          if (alpha(j2) > 0) s += alpha(j2) * y(j2) * p.kernel(xs(j2), xs(t))
+          j2 += 1
+        }
+        grad(t) = y(t) * s - 1.0
+        ti += 1
+      }
+    }
+
     var iter = 0
     var converged = false
     while (!converged && iter < p.maxIter) {
       // WSS1: i = argmax_{t in I_up} -y_t G_t ; j = argmin_{t in I_low} -y_t G_t
       var i = -1; var gmax = Double.NegativeInfinity
       var j = -1; var gmin = Double.PositiveInfinity
-      var t = 0
-      while (t < n) {
+      var ti = 0
+      while (ti < activeSize) {
+        val t = active(ti)
         val yt = y(t)
         val v = -yt * grad(t)
         val inUp  = (yt > 0 && alpha(t) < p.c) || (yt < 0 && alpha(t) > 0)
         val inLow = (yt > 0 && alpha(t) > 0)   || (yt < 0 && alpha(t) < p.c)
         if (inUp && v > gmax) { gmax = v; i = t }
         if (inLow && v < gmin) { gmin = v; j = t }
-        t += 1
+        ti += 1
       }
-      if (i == -1 || j == -1 || gmax - gmin < p.eps) converged = true
-      else {
+      if (i == -1 || j == -1 || gmax - gmin < p.eps) {
+        if (activeSize == n) converged = true
+        else {
+          // Active problem converged: bring the shrunk variables back
+          // and keep optimizing — convergence is only ever declared on
+          // the full set.
+          reconstructGradient()
+          activeSize = n
+          sinceShrink = shrinkEvery
+        }
+      } else {
+        // Scheduled shrinking, using this iteration's extremes. The
+        // selected pair (i, j) is never shrinkable: both violate KKT at
+        // the current extremes by construction.
+        sinceShrink -= 1
+        if (sinceShrink == 0) {
+          sinceShrink = shrinkEvery
+          var u = 0
+          while (u < activeSize) {
+            val t = active(u)
+            val atLower = alpha(t) <= 0.0
+            val atUpper = alpha(t) >= p.c
+            val v = -y(t) * grad(t)
+            // at a bound, a variable is in exactly one of I_up / I_low:
+            // I_up-only members can only be selected as i (argmax), so
+            // v < gmin means KKT-satisfied beyond the extremes; dually
+            // for I_low-only members.
+            val inUpOnly  = (atLower && y(t) > 0) || (atUpper && y(t) < 0)
+            val inLowOnly = (atLower && y(t) < 0) || (atUpper && y(t) > 0)
+            val shrunk = (inUpOnly && v < gmin) || (inLowOnly && v > gmax)
+            if (shrunk) {
+              activeSize -= 1
+              val tmp = active(activeSize); active(activeSize) = active(u); active(u) = tmp
+            } else u += 1
+          }
+        }
         val ki = kRow(i); val kj = kRow(j)
         val yi = y(i).toDouble; val yj = y(j).toDouble
         var eta = ki(i) + kj(j) - 2.0 * ki(j) // u^T Q u with u_i=y_i, u_j=-y_j: the y factors cancel
@@ -121,9 +196,12 @@ object Smo {
         val dAi = ai - oldAi; val dAj = aj - oldAj
         if (math.abs(dAi) < 1e-14 && math.abs(dAj) < 1e-14) converged = true
         else {
+          // gradient update over the ACTIVE set only — shrunk gradients
+          // stay stale until reconstruction
           var u = 0
-          while (u < n) {
-            grad(u) += y(u) * (yi * dAi * ki(u) + yj * dAj * kj(u))
+          while (u < activeSize) {
+            val t = active(u)
+            grad(t) += y(t) * (yi * dAi * ki(t) + yj * dAj * kj(t))
             u += 1
           }
           alpha(i) = ai; alpha(j) = aj
@@ -131,6 +209,10 @@ object Smo {
       }
       iter += 1
     }
+
+    // Every exit path (numerical stall, maxIter) must leave the full
+    // gradient fresh for the rho computation below.
+    if (activeSize < n) reconstructGradient()
 
     // rho (LIBSVM Solver::calculate_rho): for a free SV (0 < alpha < C)
     // the KKT condition gives y_i f(x_i) = 1, which rearranges to

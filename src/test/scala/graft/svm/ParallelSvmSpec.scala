@@ -113,6 +113,32 @@ class ParallelSvmSpec extends SparkSpec {
     assert(errs.zip(errs.tail).forall { case (a, b) => b <= a || rounds.last.metric == b })
   }
 
+  test("referenceStop reproduces the reference's 2-round errorsum trace") {
+    // Reference trace (Driver.java:71-86): do-while
+    // `newerrorsum < olderrorsum && i < 3`, i from 1 — round 1 always
+    // "improves" on Long.MAX_VALUE and `i < 3` cuts after round 2, so
+    // the loop runs EXACTLY two rounds; the metric is the errorsum
+    // counter: per class, (long)(errorRate*100) (Itergsv.java:96-97).
+    val data = RingData.rings(spark, n = 400, k = 4, dim = 8)
+    val rbf = ParallelSvm.rbfParams(8)
+    val ref = ParallelSvm.iterative(data, k = 4, rbf, referenceStop = true)
+    val refRounds = ref.filter(_.stage == "iterative-round")
+    assert(refRounds.length == 2, s"reference trace must run exactly 2 rounds: $refRounds")
+    // errorsum is a sum of truncated percent points — always integral
+    refRounds.foreach(r => assert(r.metric == r.metric.floor, s"non-integral errorsum: $r"))
+    // per-class truncated percents are bounded by 100 * classes * subsets
+    assert(refRounds.head.metric <= 100.0 * 10 * 4)
+    // default mode on the same slice: same algorithm, finer metric
+    // (raw misclassification counts), up to 3 rounds
+    val std = ParallelSvm.iterative(data, k = 4, rbf)
+    val stdRounds = std.filter(_.stage == "iterative-round")
+    assert(stdRounds.nonEmpty && stdRounds.length <= 3)
+    // both traces grow the same round-1 global-SV set: the stop rule
+    // changes WHEN training stops, never what a round trains
+    assert(refRounds.head.nIn == stdRounds.head.nIn,
+      "round-1 global-SV count must be identical under both stop rules")
+  }
+
   test("accuracy helper agrees with confusion matrix") {
     val data = ParallelSvm.loadTraining(spark, sf0001, k = 1)
     val rows = data.collect()
