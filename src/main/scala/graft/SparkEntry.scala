@@ -69,6 +69,17 @@ object SparkEntry {
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPlantedRecall(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardConsecutive(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingPlantedRecall(s, d)),
+    // GRADED near-dup tiers (graft.dedup.NearDup): recall under genuine
+    // near-duplicates — truncation tiers at Jaccard ≈ 0.55/0.70/0.85,
+    // scattered-swap tiers for SimHash, exact-angle rotations at cosine
+    // 0.95/0.97/0.99, and noised ANN probes. Per-tier realized recall is
+    // compared to margins set below the analytic expectation; the
+    // booleans are oracle-pinned, so detuning bands/tables/multiprobe
+    // breaks the hash check.
+    "dedup_minhash_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.minhashNearRecall(s, d)),
+    "dedup_simhash_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.simhashNearRecall(s, d)),
+    "dedup_embedding_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.embeddingNearRecall(s, d)),
+    "ann_near_top1" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.annNearTop1(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshPlantedTop1(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfPlantedTop1(s, d)),
@@ -302,6 +313,34 @@ object SparkEntry {
     "dedup_embedding" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY 1""".stripMargin,
+    // Graded near-dup tier contracts: the engine computes per-tier
+    // realized recall against margins set below the analytic
+    // expectation (NearDup.scala documents the derivations and the
+    // probe-measured values); the oracle pins the booleans. Deterministic
+    // pipelines make these stable per sf; a detuned knob (bands, tables,
+    // multiprobe width, signature length) flips a boolean = hash break.
+    "dedup_minhash_near" ->
+      """SELECT * FROM (VALUES
+        |  ('j55', true, true, true),
+        |  ('j70', true, true, true),
+        |  ('j85', true, true, true)) AS t(tier, planted_ok, recall_ok, jaccard_ok)
+        |ORDER BY tier""".stripMargin,
+    "dedup_simhash_near" ->
+      """SELECT * FROM (VALUES
+        |  ('swap15', true, true),
+        |  ('swap30', true, true)) AS t(tier, planted_ok, recall_ok)
+        |ORDER BY tier""".stripMargin,
+    "dedup_embedding_near" ->
+      """SELECT * FROM (VALUES
+        |  ('c95', true, true, true),
+        |  ('c97', true, true, true),
+        |  ('c99', true, true, true)) AS t(tier, planted_ok, recall_ok, cosine_ok)
+        |ORDER BY tier""".stripMargin,
+    "ann_near_top1" ->
+      """SELECT * FROM (VALUES
+        |  ('ivf', true),
+        |  ('lsh', true)) AS t(method, top1_ok)
+        |ORDER BY method""".stripMargin,
     // Each probe's exact duplicate is planted in the corpus; the index
     // must return it as the top-1 neighbor at cosine 1.0.
     "ann_lsh" ->

@@ -312,8 +312,8 @@ object Dedup {
                                 shingleN: Int, bucketCap: Int = 10000): DataFrame =
     simhashCandidatesOf(docs(spark, sfDir), shingleN, bucketCap)
 
-  private def simhashCandidatesOf(d: DataFrame,
-                                  shingleN: Int, bucketCap: Int = 10000): DataFrame = {
+  private[graft] def simhashCandidatesOf(d: DataFrame,
+                                         shingleN: Int, bucketCap: Int = 10000): DataFrame = {
     val fp = simhashFingerprintsOf(d, shingleN)
     val banded = capBuckets(
       fp.select(
@@ -395,9 +395,9 @@ object Dedup {
     embeddingCandidatesOf(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), nTables, planesPerTable, bucketCap)
 
-  private def embeddingCandidatesOf(emb: DataFrame,
-                                    nTables: Int, planesPerTable: Int,
-                                    bucketCap: Int = 10000): DataFrame = {
+  private[graft] def embeddingCandidatesOf(emb: DataFrame,
+                                           nTables: Int, planesPerTable: Int,
+                                           bucketCap: Int = 10000): DataFrame = {
     val banded = capBuckets(
       emb.select(col("vec_id"),
         explode(graft.similarity.Ann.tableBuckets(col("embedding"), nTables, planesPerTable)).as("tb"))
