@@ -32,11 +32,26 @@ object Bench {
           None
       }
     }
+    // Inter-query hygiene: memory-sink temp views (streaming queries
+    // register one per run, holding Complete-mode results in driver
+    // memory) and any cached plans must not tax later queries' GC —
+    // round-2 bench showed the four alphabetically-post-streaming svm_*
+    // queries inflated 2.7-8.5× versus their isolated-JVM times, while
+    // every query measured clean in a fresh JVM. The explicit GC pays a
+    // bounded pause OUTSIDE the timed region instead of unbounded
+    // collector debt inside the next query's timing.
+    def cleanup(): Unit = {
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // name order: stable run-to-run and round-to-round for diffing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(name, fn)
       val warm = timeOnce(name, fn)
       val best = (cold.toSeq ++ warm.toSeq).minOption
+      cleanup()
       (name, best, cold)
     }
     def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("-1")
