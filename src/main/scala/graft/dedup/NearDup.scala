@@ -15,7 +15,7 @@ import graft.functions.VectorOps
   *    word-3-gram Jaccard lands at ≈ the kept fraction, exercising the
   *    minhash banding exactly where its collision probability
   *    1-(1-J^r)^b starts to bend (J=0.55 → ≈0.79 at 16×4);
-  *  - text: replace every 25th / 12th token — small scattered edits,
+  *  - text: replace every 30th / 15th token — small scattered edits,
   *    the SimHash regime (few flipped fingerprint bits);
   *  - embeddings: rotate by an exact angle toward a deterministic
   *    per-id direction — planted cosine is EXACTLY cos θ (0.99 / 0.97 /
@@ -122,7 +122,8 @@ object NearDup {
     * Scattered single-token swaps flip few fingerprint bits on long
     * docs; candidate generation is structural for hamming ≤ 7
     * (4×16-bit bands + hamming-1 multiprobe) and probabilistic above —
-    * measured mean hamming ≈ 6 at swap30 and ≈ 10 at swap15, so the
+    * measured mean hamming ≈ 7.5 at swap30 and ≈ 9.7 at swap15 (sf0.01,
+    * over recovered pairs), so the
     * light tier leans on the structural bound while the heavy tier
     * genuinely exercises the probabilistic band-collision regime (which
     * is why its pin sits lower).

@@ -349,8 +349,12 @@ object ParallelSvm {
             "maxGlobalSvs only with driver/executor memory to match, or use cascade()")
       }
 
-      val statRows = roundOut.filter(_.sv.isEmpty).collect().sortBy(_.subset)
-      val newSvRows = roundOut.filter(_.sv.isDefined).collect() // ≤ maxGlobalSvs by the check above
+      // One collect for the whole round (bounded: k stat rows + at most
+      // maxGlobalSvs SV rows by the check above), split driver-side —
+      // persist() is best-effort, so every extra job here risks
+      // re-running the SMO training stage on evicted partitions.
+      val (newSvRows, statRowsUnsorted) = roundOut.collect().partition(_.sv.isDefined)
+      val statRows = statRowsUnsorted.sortBy(_.subset)
       roundOut.unpersist()
 
       val errSum = statRows.map(_.errs).sum

@@ -194,8 +194,19 @@ object Smo {
         if (aj > p.c) { aj = p.c; ai = yi * (sum - yj * aj) }
         if (ai < 0) ai = 0 else if (ai > p.c) ai = p.c
         val dAi = ai - oldAi; val dAj = aj - oldAj
-        if (math.abs(dAi) < 1e-14 && math.abs(dAj) < 1e-14) converged = true
-        else {
+        if (math.abs(dAi) < 1e-14 && math.abs(dAj) < 1e-14) {
+          // Numerical stall: the active-set maximal violating pair is
+          // box-clipped into no progress. Like the eps branch above,
+          // this may only terminate the solver on the FULL set —
+          // otherwise shrunk variables whose gradients drifted back
+          // into violation would never be reconsidered.
+          if (activeSize == n) converged = true
+          else {
+            reconstructGradient()
+            activeSize = n
+            sinceShrink = shrinkEvery
+          }
+        } else {
           // gradient update over the ACTIVE set only — shrunk gradients
           // stay stale until reconstruction
           var u = 0

@@ -38,7 +38,7 @@ object NearProbe {
         max("hamming").as("max_h"))
       .orderBy("k").collect()
     sh.foreach(r => println(s"NEARPROBE simhash k=${r.getInt(0)} n=${r.getLong(1)} " +
-      s"recall=${r.getLong(1).toDouble / nElig} avgHam=${r.getDouble(2)} maxHam=${r.get(2)}"))
+      s"recall=${r.getLong(1).toDouble / nElig} avgHam=${r.getDouble(2)} maxHam=${r.get(3)}"))
 
     val nVec = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(pmod(col("vec_id"), lit(10)) === 0).count()
