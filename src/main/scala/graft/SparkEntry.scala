@@ -57,6 +57,9 @@ object SparkEntry {
     "q_setops" -> Analytics.qSetOps _,
     "q_salted_join" -> Analytics.qSaltedJoin _,
     "q_sql_vec" -> Analytics.qSqlVec _,
+    "q_skew_histogram" -> Analytics.qSkewHistogram _,
+    "q_approx_distinct" -> Analytics.qApproxDistinct _,
+    "q_range_join" -> Analytics.qRangeJoin _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     "dedup_survivors" -> Dedup.exactSurvivors _,
@@ -92,6 +95,8 @@ object SparkEntry {
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "corpus_filter" -> graft.text.CorpusFilter.funnel _,
+    "corpus_pack" -> graft.text.CorpusShard.pack _,
+    "corpus_split" -> graft.text.CorpusShard.split _,
     // §2d — streaming
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),
@@ -254,6 +259,28 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id % 10 = 0
         |ORDER BY id_a""".stripMargin,
+    "q_skew_histogram" ->
+      """WITH k AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT length(bin(cnt)) AS log2_bucket, count(*) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The sketch's 5%-accuracy boolean is the pinned contract; the
+    // oracle computes only the exact count (HLL internals are
+    // engine-specific by nature).
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Bucketization must be invisible: the oracle is the PLAIN
+    // inequality join.
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT event_id AS window_id, epoch_us(ts) - 600000000 AS ws, epoch_us(ts) + 600000000 AS we
+        |  FROM events ORDER BY value DESC, event_id LIMIT 20
+        |)
+        |SELECT w.window_id, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+        |FROM w JOIN (SELECT epoch_us(ts) AS t, value FROM events) e
+        |  ON e.t >= w.ws AND e.t < w.we
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Salting must be invisible: the oracle is the PLAIN join.
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
@@ -476,6 +503,31 @@ object SparkEntry {
         |  CAST(sum(keeper * quality * is_en) AS BIGINT) AS n_retained,
         |  round(avg(CASE WHEN keeper * quality * is_en = 1 THEN n_tokens END), 2) AS avg_tokens_retained
         |FROM fl""".stripMargin,
+    "corpus_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id % 4 AS bucket,
+        |    length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, bucket, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |)
+        |SELECT lang, bucket, CAST(floor((cum - n_tokens) / 2000.0) AS INT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "corpus_split" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN (doc_id * 1103515245 + 12345) % 2147483648 < 1717986918 THEN 'train'
+        |         WHEN (doc_id * 1103515245 + 12345) % 2147483648 < 1932735283 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), c AS (SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2)
+        |SELECT lang, split, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 4) AS frac
+        |FROM c ORDER BY 1, 2""".stripMargin,
     "stream_dedup" ->
       """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

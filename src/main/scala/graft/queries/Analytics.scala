@@ -305,6 +305,70 @@ object Analytics {
                      tolUs: Long = 8210L * 86400L * 1000000L): DataFrame =
     qAsofJoin(spark, sfDir, tolerance = Some(tolUs))
 
+  /** Key-skew diagnostic: the log2 histogram of per-key row counts —
+    * what you inspect BEFORE choosing between a plain, broadcast, or
+    * salted join on a key. Two-level aggregation: the per-key count is
+    * map-side combined (shuffle carries one row per distinct key), and
+    * the histogram is |buckets| rows. `length(bin(cnt))` is
+    * floor(log2)+1 in exact integer arithmetic — float log2 disagrees
+    * across engines at exact powers of two.
+    */
+  def qSkewHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    loadEvents(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy(length(bin(col("cnt"))).as("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"))
+      .orderBy("log2_bucket")
+
+  /** Sketch-based distinct counting with an accuracy CONTRACT: HLL++
+    * (`approx_count_distinct`, rsd 2%) next to the exact count, with
+    * the |approx-exact|/exact <= 5% boolean pinned by the oracle. At
+    * 100 TB the exact distinct is a full shuffle of every distinct key;
+    * the sketch is a fixed few-KB buffer per group that partial-aggs
+    * map-side — this query is the certificate that the cheap path is
+    * trustworthy on this data.
+    */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    loadEvents(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("approx_ok"))
+      .orderBy("event_type")
+
+  /** Interval/range join WITHOUT an equi key, in the shape that scales:
+    * the 20 highest-value events define ±10-minute incident windows;
+    * every event landing in a window is aggregated per window. The
+    * naive plan is a broadcast-nested-loop over the inequality —
+    * O(n·w) comparisons always. Instead each window EXPLODES into the
+    * fixed-width time buckets it overlaps and the corpus joins on the
+    * bucket as an equi key (hash join, codegen) with the exact interval
+    * test as a residual filter — O(n + candidates). Bucket width =
+    * window width, so each window spans ≤ 3 buckets and a probe row
+    * joins ≤ its true windows + same-bucket near-misses.
+    */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketUs = 20L * 60L * 1000000L // bucket = full window width
+    val ev = loadEvents(spark, sfDir)
+    val windows = ev.orderBy(desc("value"), asc("event_id")).limit(20)
+      .select(col("event_id").as("window_id"),
+        (unix_micros(col("ts")) - 600000000L).as("ws"),
+        (unix_micros(col("ts")) + 600000000L).as("we"))
+      .withColumn("bucket",
+        explode(sequence(floor(col("ws") / bucketUs), floor(col("we") / bucketUs))))
+    ev.select(col("event_id"), col("value"), unix_micros(col("ts")).as("t"))
+      .withColumn("bucket", floor(col("t") / bucketUs))
+      .join(broadcast(windows), "bucket")
+      .where(col("t") >= col("ws") && col("t") < col("we"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("window_id")
+  }
+
   /** Batch equivalent of the streaming windowed aggregation
     * (graft.streaming.EventStream) — 1h tumbling windows per event_type.
     */

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sharding for training-data pipelines: token-budget shard
+  * packing and a deterministic stratified train/val/test split — the
+  * two operations between "filtered corpus" and "tokenizer input".
+  *
+  * Scale doctrine:
+  *  - Packing is windowed per (lang, bucket), never globally: a single
+  *    global cumulative sum is one sort on one reducer — the classic
+  *    100 TB deadlock. Bucketing the window key bounds every sort to
+  *    corpus/(langs*buckets) rows and keeps all shards independently
+  *    addressable as (lang, bucket, shard).
+  *  - The split is a pure per-row arithmetic hash — no sampling job, no
+  *    global state, reproducible across engines and re-runs. That is
+  *    the only split mechanism that survives a corpus too large to
+  *    shuffle: membership must be computable from the row alone.
+  */
+object CorpusShard {
+
+  /** Documents per shard-packing bucket key. 4 buckets × 5 langs = 20
+    * independent windows at test scale; at cluster scale this knob is
+    * raised so each window's sort fits one task comfortably.
+    */
+  val PackBuckets = 4
+
+  /** Whitespace-token budget per shard. */
+  val ShardTokenBudget = 2000L
+
+  /** Assign each document to a training shard by cumulative token
+    * budget within its (lang, bucket) window: a document starts in the
+    * shard its preceding cumulative count falls in, so shards hold
+    * ~budget tokens in doc_id order. Emits the per-shard census
+    * (n_docs, token total, doc_id span) — the manifest a downstream
+    * tokenizer run consumes.
+    */
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(PackBuckets)).as("bucket"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("n_tokens")) / ShardTokenBudget).cast("int"))
+      .groupBy("lang", "bucket", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "bucket", "shard")
+  }
+
+  /** LCG constants (Knuth/glibc; public domain folklore) — chosen so
+    * the oracle reproduces the split with plain integer arithmetic.
+    * Thresholds are 0.80 / 0.90 of 2^31: the comparison reads the high
+    * bits of the mixed value, not the structured low bits.
+    */
+  private val SplitA = 1103515245L
+  private val SplitC = 12345L
+  private val SplitM = 2147483648L
+  private val TrainLt = 1717986918L // floor(0.80 * 2^31)
+  private val ValLt = 1932735283L   // floor(0.90 * 2^31)
+
+  /** Deterministic stratified 80/10/10 split: membership is a pure
+    * function of doc_id, so any engine (and any re-run over a grown
+    * corpus) agrees on every row without coordination. Reports the
+    * per-(lang, split) census with the realized within-lang fraction.
+    */
+  def split(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = pmod(col("doc_id") * SplitA + SplitC, lit(SplitM))
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"),
+        when(h < TrainLt, "train").when(h < ValLt, "val").otherwise("test").as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+    // the window runs over the tiny aggregated frame (langs × 3 rows)
+    counts
+      .withColumn("frac",
+        round(col("n_docs") / sum("n_docs").over(Window.partitionBy("lang")), 4))
+      .orderBy("lang", "split")
+  }
+}

@@ -120,4 +120,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(m("both_f_and_o") + m("f_only") == nF)
     assert(m("both_f_and_o") + m("o_only") == nO)
   }
+
+  test("skew histogram: key and row totals reconcile with the table") {
+    val rows = Analytics.qSkewHistogram(spark, sf0001).collect()
+    val ev = Analytics.loadEvents(spark, sf0001)
+    assert(rows.map(_.getAs[Long]("n_keys")).sum == ev.select("user_id").distinct().count())
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == ev.count())
+    // each bucket's max count fits the bucket's [2^(b-1), 2^b) range
+    rows.foreach { r =>
+      val b = r.getAs[Int]("log2_bucket")
+      val mx = r.getAs[Long]("max_cnt")
+      assert(mx >= (1L << (b - 1)) && mx < (1L << b), s"bucket $b max $mx")
+    }
+  }
+
+  test("approx distinct: sketch lands within the pinned 5% of exact") {
+    val rows = Analytics.qApproxDistinct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")),
+      "HLL++ at rsd 2% must stay within 5% of the exact distinct count")
+  }
+
+  test("range join: bucketized equi-join equals the naive inequality join") {
+    val got = Analytics.qRangeJoin(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("window_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    val ev = Analytics.loadEvents(spark, sf0001)
+      .select(col("event_id"), col("value"), unix_micros(col("ts")).as("t"))
+    val windows = ev.orderBy(desc("value"), asc("event_id")).limit(20)
+      .select(col("event_id").as("window_id"), (col("t") - 600000000L).as("ws"),
+        (col("t") + 600000000L).as("we"))
+    val naive = ev.join(windows, col("t") >= col("ws") && col("t") < col("we"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v")).collect()
+      .map(r => r.getAs[Long]("window_id") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("v"))).toMap
+    assert(got == naive, "bucketization must be invisible in the result")
+    // every window catches at least its own anchor event
+    assert(got.values.forall(_._1 >= 1) && got.size == 20)
+  }
 }

@@ -107,4 +107,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"no cross join allowed in svm_evaluate scoring pass:\n$p")
   }
+
+  test("q_range_join: interval join runs as a hash join on time buckets, not a nested loop") {
+    // The whole point of the bucketization: an inequality-only join
+    // would plan as BroadcastNestedLoopJoin — O(n·w) comparisons at any
+    // scale. The bucket column makes it an equi hash join with the
+    // interval test as a residual filter.
+    val p = plan(Analytics.qRangeJoin(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"expected a hash join on the bucket key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not degrade to a nested loop:\n$p")
+  }
+
+  test("q_skew_histogram: both aggregation levels are map-side combined") {
+    val p = plan(Analytics.qSkewHistogram(spark, sf0001))
+    assert("partial_".r.findAllIn(p).size >= 2,
+      s"per-key count and histogram must both partial-agg:\n$p")
+  }
+
+  test("corpus_pack: window and shard aggregation share one shuffle") {
+    // The window partitions by (lang, bucket); the following groupBy on
+    // (lang, bucket, shard) is satisfied by the same hash partitioning
+    // (subset rule), so the agg must NOT re-exchange. Only the window
+    // shuffle and the final presentation sort may move data.
+    val df = graft.text.CorpusShard.pack(spark, sf0001)
+    val p = plan(df)
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).toSeq
+    val hashExchanges = exchanges.count(_.contains("hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (the window's), got $hashExchanges:\n$p")
+  }
 }

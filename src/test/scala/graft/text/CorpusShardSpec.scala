@@ -1,0 +1,69 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusShardSpec extends SparkSpec {
+
+  test("pack: every document lands in exactly one shard and token totals reconcile") {
+    val shards = CorpusShard.pack(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nDocs = docs.count()
+    val totalTokens = docs
+      .agg(sum(regexp_count(col("text"), lit("\\S+")))).collect()(0).getLong(0)
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(shards.map(_.getAs[Long]("shard_tokens")).sum == totalTokens)
+  }
+
+  test("pack: shards are contiguous from 0 and start under budget within each window") {
+    val rows = CorpusShard.pack(spark, sf0001).collect()
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"))).foreach {
+      case (_, ws) =>
+        val ids = ws.map(_.getAs[Int]("shard")).sorted
+        assert(ids.head == 0 && ids.sameElements(ids.head to ids.last),
+          s"shard ids must be contiguous: ${ids.mkString(",")}")
+        // a shard holds the docs whose preceding cumulative count lies in
+        // [shard*budget, (shard+1)*budget): all but its last doc started
+        // under the budget line, so every NON-final shard's span except
+        // the overhang is bounded — cheap invariant: each non-final
+        // shard carries at least one document and a positive token count
+        ws.foreach { r =>
+          assert(r.getAs[Long]("n_docs") >= 1 && r.getAs[Long]("shard_tokens") > 0)
+          assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+        }
+    }
+  }
+
+  test("pack: doc_id spans of consecutive shards never overlap (order preserved)") {
+    val rows = CorpusShard.pack(spark, sf0001).collect()
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"))).foreach {
+      case (_, ws) =>
+        val byShard = ws.sortBy(_.getAs[Int]("shard"))
+        byShard.zip(byShard.tail).foreach { case (a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"),
+            "packing must preserve doc_id order across shards")
+        }
+    }
+  }
+
+  test("split: per-lang fractions sum to 1 and land near 80/10/10") {
+    val rows = CorpusShard.split(spark, sf001).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val fracSum = rs.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fracSum - 1.0) < 0.001, s"$lang fracs must sum to 1, got $fracSum")
+    }
+    // split is per-row arithmetic, so pooled across langs the realized
+    // fractions concentrate near the design point
+    val n = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val trainFrac = rows.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum / n
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"pooled train frac $trainFrac")
+  }
+
+  test("split: membership is a pure function of doc_id — stable across runs") {
+    val a = CorpusShard.split(spark, sf0001).collect().map(_.toString).sorted
+    val b = CorpusShard.split(spark, sf0001).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
