@@ -101,7 +101,8 @@ object SparkEntry {
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),
     "stream_dedup" -> ((s: SparkSession, d: String) => graft.streaming.DocStream.runDedupBounded(s, d)),
-    "stream_join" -> ((s: SparkSession, d: String) => EventStream.runEnrichJoinBounded(s, d))
+    "stream_join" -> ((s: SparkSession, d: String) => EventStream.runEnrichJoinBounded(s, d)),
+    "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -536,6 +537,13 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // flatMapGroupsWithState running stats must converge to the plain
+    // batch aggregate — the custom state store is an implementation
+    // detail, not a semantic.
+    "stream_user_stats" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+        |  max(epoch_us(ts)) AS last_seen
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_token_budget" ->
       """WITH t AS (
         |  SELECT length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t,

@@ -72,6 +72,36 @@ object EventStream {
       .toDF("user_id", "n_events", "total_value", "last_seen")
   }
 
+  /** Bounded run of [[runningUserStats]]: Update-mode emissions land in
+    * the memory sink once per (micro-batch, active user); the final
+    * state is the row with the largest n_events per user (the counter
+    * strictly increases across a user's emissions), packed through one
+    * struct-max aggregation. The batch groupBy over the same events is
+    * the SQL oracle — custom state must converge to it exactly.
+    */
+  def runUserStatsBounded(spark: SparkSession, sfDir: String,
+                          queryName: String = "graft_stream_userstats"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts stays a plain long (nanos truncated to micros — the external
+    // comparison granularity): the state fold only needs ordering
+    val stream = FileStreams.readStream(spark, s"$sfDir/events.parquet")
+      .withColumn("ts", expr("ts div 1000"))
+    val q = runningUserStats(stream)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"), col("last_seen"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        col("fin.total_value").as("total_value"), col("fin.last_seen").as("last_seen"))
+      .orderBy("user_id")
+  }
+
   /** Stream-static join: the event stream enriched against the (static)
     * customer dimension, rolled up per market segment. The static side
     * broadcasts — a stream-static equi-join is STATELESS (each
