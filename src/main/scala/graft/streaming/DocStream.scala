@@ -25,6 +25,32 @@ object DocStream {
       .select(col("source"), md5(lower(col("text"))).as("text_hash"))
       .dropDuplicates("source", "text_hash")
 
+  /** Deduped stream into a CHECKPOINTED parquet file sink — the
+    * production shape: the checkpoint (source offsets + dedup state +
+    * sink commit log) makes the pipeline exactly-once end to end.
+    * Restarting the query against the same checkpoint reprocesses
+    * nothing and appends nothing; killing it mid-run and restarting
+    * loses nothing. The memory-sink runners are parity harnesses; this
+    * is the sink a real corpus-dedup deployment writes.
+    *
+    * Returns the sink as a DataFrame (read back through the sink's own
+    * commit log via the parquet read, so uncommitted files never leak).
+    */
+  def runDedupToFileSink(spark: SparkSession, sfDir: String,
+                         outDir: String, checkpointDir: String): DataFrame = {
+    val stream = FileStreams.readStream(spark, s"$sfDir/documents.parquet")
+    val q = dedupedDocs(stream)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Bounded run: file-stream the documents table, dedup across
     * micro-batches, then count unique docs per source from the sink —
     * on a bounded input this must equal the batch distinct count (the

@@ -151,4 +151,21 @@ class StreamingSpec extends SparkSpec {
       s"streamed sessions must match batch sessions; extras: ${streamKeys -- batchKeys}")
     assert(streamKeys.nonEmpty, "watermark must finalize at least the early sessions")
   }
+
+  test("checkpointed file sink is exactly-once: a restart appends nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-filesink-").toString
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val first = DocStream.runDedupToFileSink(spark, sf0001, out, ckpt).collect()
+    val batch = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), md5(lower(col("text"))).as("text_hash"))
+      .distinct().collect()
+    assert(first.map(_.toSeq).toSet == batch.map(_.toSeq).toSet,
+      "file-sink contents must equal the batch distinct set")
+    // restart against the same checkpoint: offsets are committed, the
+    // dedup state is restored — nothing reprocessed, nothing appended
+    val second = DocStream.runDedupToFileSink(spark, sf0001, out, ckpt).collect()
+    assert(second.length == first.length,
+      s"restart must be a no-op: ${first.length} -> ${second.length} rows")
+  }
 }
