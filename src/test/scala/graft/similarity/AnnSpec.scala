@@ -27,6 +27,23 @@ class AnnSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") >= 0.2, s"recall ${row.getAs[Double]("recall")}")
   }
 
+  test("LSH recall knob: more tables never hurts, fewer planes never hurts recall") {
+    // The tuning contract a deployment relies on: nTables multiplies
+    // the chance a true neighbor shares >= 1 bucket (union of tables),
+    // planesPerTable sharpens buckets (higher precision, lower recall).
+    // Deterministic seeds make the realized recalls reproducible.
+    def recallAt(nTables: Int, planes: Int): Double =
+      Ann.lshSummary(spark, sf0001, k = 5, probeEvery = 100,
+        nTables = nTables, planesPerTable = planes)
+        .collect()(0).getAs[Double]("recall")
+    val r2 = recallAt(2, 6); val r8 = recallAt(8, 6); val r16 = recallAt(16, 6)
+    assert(r2 <= r8 + 1e-9 && r8 <= r16 + 1e-9,
+      s"recall must not degrade with more tables: $r2 -> $r8 -> $r16")
+    val rCoarse = recallAt(8, 3)
+    assert(rCoarse >= r8 - 1e-9,
+      s"coarser buckets (fewer planes) must not lower recall: $rCoarse vs $r8")
+  }
+
   test("tableBuckets is deterministic and table-distinct") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(10)

@@ -57,6 +57,44 @@ class SmoSpec extends AnyFunSuite {
     assert(data.forall(d => model.predict(d.features) == d.label))
   }
 
+  test("full-set KKT criterion holds at exit even when shrinking engaged") {
+    // Overlapping classes, n large enough that shrinking fires many
+    // times (shrinkEvery = min(n, 1000)). Pins the solution contract
+    // shrinking must never weaken: any exit path that declared
+    // convergence while shrunk variables still violated KKT would show
+    // up here — the eps criterion is recomputed on the FULL problem
+    // from the returned alphas, from scratch.
+    val rng = new scala.util.Random(7)
+    val n = 600
+    val xs = Array.tabulate(n) { i =>
+      val cls = i % 2
+      // means ±0.3 with unit-ish noise: heavily overlapping
+      Array.fill(4)(((if (cls == 1) 0.3 else -0.3) + rng.nextGaussian()).toFloat)
+    }
+    val y = Array.tabulate(n)(i => if (i % 2 == 1) 1.toByte else (-1).toByte)
+    val p = Smo.Params(kernel = Kernel.Linear, c = 1.0)
+    val (alpha, _) = Smo.solveBinary(xs, y, p)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { s += a(k).toDouble * b(k); k += 1 }; s
+    }
+    val grad = Array.tabulate(n) { t =>
+      var s = 0.0
+      for (j <- 0 until n if alpha(j) > 0) s += alpha(j) * y(j) * dot(xs(j), xs(t))
+      y(t) * s - 1.0
+    }
+    var gmax = Double.NegativeInfinity; var gmin = Double.PositiveInfinity
+    for (t <- 0 until n) {
+      val v = -y(t) * grad(t)
+      val inUp  = (y(t) > 0 && alpha(t) < p.c) || (y(t) < 0 && alpha(t) > 0)
+      val inLow = (y(t) > 0 && alpha(t) > 0)   || (y(t) < 0 && alpha(t) < p.c)
+      if (inUp && v > gmax) gmax = v
+      if (inLow && v < gmin) gmin = v
+    }
+    assert(gmax - gmin <= p.eps + 1e-9,
+      s"full-set KKT violation ${gmax - gmin} exceeds eps=${p.eps}")
+  }
+
   test("alphas respect the box and the equality constraint") {
     val pos = for (a <- 0 until 10) yield lp(1, 1f + a * 0.05f, 0.5f)
     val neg = for (a <- 0 until 10) yield lp(0, -1f - a * 0.05f, -0.5f)
