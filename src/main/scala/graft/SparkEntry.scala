@@ -60,6 +60,7 @@ object SparkEntry {
     "q_skew_histogram" -> Analytics.qSkewHistogram _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
+    "q_json_extract" -> Analytics.qJsonExtract _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     "dedup_survivors" -> Dedup.exactSurvivors _,
@@ -271,6 +272,11 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+        |  round(avg(k), 2) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Bucketization must be invisible: the oracle is the PLAIN
     // inequality join.
     "q_range_join" ->

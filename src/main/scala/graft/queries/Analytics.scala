@@ -340,6 +340,23 @@ object Analytics {
           col("n_exact") * 0.05).as("approx_ok"))
       .orderBy("event_type")
 
+  /** Semi-structured extraction: the event payload is a JSON string
+    * column, parsed schema-on-read with `from_json` in the scan
+    * projection — one pass, no ETL staging table, malformed documents
+    * degrade to NULL (PERMISSIVE) and are COUNTED rather than dropped
+    * silently (n vs n_parsed). At 100 TB the alternative — exploding
+    * raw JSON into a staged wide table — doubles storage and the
+    * write path; schema-on-read keeps extraction inside the query.
+    */
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    loadEvents(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+        round(avg("k"), 2).as("avg_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Interval/range join WITHOUT an equi key, in the shape that scales:
     * the 20 highest-value events define ±10-minute incident windows;
     * every event landing in a window is aggregated per window. The

@@ -141,6 +141,19 @@ class AnalyticsSpec extends SparkSpec {
       "HLL++ at rsd 2% must stay within 5% of the exact distinct count")
   }
 
+  test("json extraction parses every well-formed payload; malformed degrades to null") {
+    val rows = Analytics.qJsonExtract(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // this corpus is fully well-formed: nothing silently dropped
+    rows.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("n_parsed")))
+    // PERMISSIVE contract on malformed input: null, not an exception
+    import spark.implicits._
+    val parsed = Seq("""{"k": 7}""", "not json", """{"k": "x"}""").toDF("props")
+      .select(from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k")).collect()
+    assert(parsed.map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq ==
+      Seq(Some(7), None, None))
+  }
+
   test("range join: bucketized equi-join equals the naive inequality join") {
     val got = Analytics.qRangeJoin(spark, sf0001).collect()
       .map(r => r.getAs[Long]("window_id") ->
