@@ -527,8 +527,8 @@ object SparkEntry {
     "corpus_split" ->
       """WITH s AS (
         |  SELECT lang,
-        |    CASE WHEN (doc_id * 1103515245 + 12345) % 2147483648 < 1717986918 THEN 'train'
-        |         WHEN (doc_id * 1103515245 + 12345) % 2147483648 < 1932735283 THEN 'val'
+        |    CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 < 1717986918 THEN 'train'
+        |         WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 < 1932735283 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents
         |), c AS (SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2)
@@ -547,7 +547,8 @@ object SparkEntry {
     // batch aggregate — the custom state store is an implementation
     // detail, not a semantic.
     "stream_user_stats" ->
-      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+      """SELECT user_id, count(*) AS n_events,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value,
         |  max(epoch_us(ts)) AS last_seen
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_token_budget" ->

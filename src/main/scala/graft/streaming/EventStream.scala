@@ -67,7 +67,12 @@ object EventStream {
             n += 1; sum += v; if (t > last) last = t
           }
           state.update((n, sum, last))
-          Iterator.single((user, n, math.rint(sum * 100) / 100, last))
+          // floor(x*100 + 0.5)/100, not rint: rint rounds half-even
+          // while SQL round() rounds half-away — on an exactly
+          // representable .xx5 sum the two differ and the oracle
+          // hash breaks; this formula is pure IEEE ops any engine
+          // reproduces (same rule as Analytics.qMovingAvg)
+          Iterator.single((user, n, math.floor(sum * 100 + 0.5) / 100, last))
       }
       .toDF("user_id", "n_events", "total_value", "last_seen")
   }

@@ -9,24 +9,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FileStreams {
 
-  /** One streamable dir per table path for the JVM's lifetime: a
-    * CHECKPOINTED query records the source path in its offset log, so a
-    * restart must resolve the same table to the same directory — a
-    * fresh temp dir per call would fail the restart (and defeat
-    * exactly-once).
+  /** A checkpointed query records the source path in its offset and
+    * seen-files logs, so EVERY run — same JVM or a restarted process —
+    * must resolve the same table to the same directory, or the restart
+    * re-reads the whole input as new files (defeating exactly-once).
+    * The dir name is therefore a pure function of the table path (md5),
+    * not a random temp dir.
     */
-  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** A streamable directory for `tablePath` (itself if already a dir). */
   def streamableDir(tablePath: String): String = {
     val src = java.nio.file.Paths.get(tablePath)
     if (java.nio.file.Files.isDirectory(src)) src.toString
-    else dirs.computeIfAbsent(tablePath, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
-      dir.toFile.deleteOnExit()
-      java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+    else {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(tablePath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft-stream-$digest")
+      java.nio.file.Files.createDirectories(dir)
+      val link = dir.resolve(src.getFileName)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, src)
       dir.toString
-    })
+    }
   }
 
   /** File-stream `tablePath` with the schema of its batch read. */

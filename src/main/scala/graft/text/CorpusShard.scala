@@ -70,9 +70,16 @@ object CorpusShard {
     * function of doc_id, so any engine (and any re-run over a grown
     * corpus) agrees on every row without coordination. Reports the
     * per-(lang, split) census with the realized within-lang fraction.
+    *
+    * The id is reduced mod 2^31 BEFORE the multiply: congruence makes
+    * the result identical for ids under 2^31, and the product then
+    * peaks at ~2^62 — inside int64 for ANY id, where the raw multiply
+    * would silently wrap (or, under ANSI/DuckDB, throw) past
+    * doc_id ≈ 8.4e9 — exactly the multi-billion-row corpora this
+    * operator exists for.
     */
   def split(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = pmod(col("doc_id") * SplitA + SplitC, lit(SplitM))
+    val h = pmod(pmod(col("doc_id"), lit(SplitM)) * SplitA + SplitC, lit(SplitM))
     val counts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("lang"),
         when(h < TrainLt, "train").when(h < ValLt, "val").otherwise("test").as("split"))

@@ -120,9 +120,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_skew_histogram: both aggregation levels are map-side combined") {
+    // Count partial HashAggregate OPERATORS, not 'partial_' substrings:
+    // the histogram level alone prints three partial_ functions, so a
+    // raw substring count >= 2 would stay green even if the per-key
+    // level — the one that matters at scale — lost its combine.
     val p = plan(Analytics.qSkewHistogram(spark, sf0001))
-    assert("partial_".r.findAllIn(p).size >= 2,
-      s"per-key count and histogram must both partial-agg:\n$p")
+    val partialAggOps = p.linesIterator
+      .count(l => l.contains("HashAggregate") && l.contains("partial_"))
+    assert(partialAggOps >= 2,
+      s"per-key count and histogram must EACH have a partial HashAggregate:\n$p")
   }
 
   test("corpus_pack: window and shard aggregation share one shuffle") {

@@ -67,7 +67,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val batch = graft.queries.Analytics.loadEvents(spark, sf0001)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .agg(count(lit(1)).as("n"), (floor(sum("value") * 100 + 0.5) / 100).as("v"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(streamed.keySet == batch.keySet)
     val diffs = streamed.collect { case (k, v) if batch(k) != v => (k, v, batch(k)) }
