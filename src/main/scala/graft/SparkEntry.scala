@@ -61,6 +61,7 @@ object SparkEntry {
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
+    "q_approx_percentile" -> Analytics.qApproxPercentile _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     "dedup_survivors" -> Dedup.exactSurvivors _,
@@ -272,6 +273,12 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The GK sketch's in-band boolean is the pinned contract; the
+    // oracle computes only the exact percentile (sketch internals are
+    // engine-specific by nature).
+    "q_approx_percentile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50, TRUE AS approx_ok
+        |FROM lineitem""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n, count(k) AS n_parsed,
         |  round(avg(k), 2) AS avg_k, min(k) AS min_k, max(k) AS max_k

@@ -251,6 +251,25 @@ object Analytics {
         round(min("l_extendedprice"), 2).as("pmin"),
         round(max("l_extendedprice"), 2).as("pmax"))
 
+  /** Quantile-sketch contract (twin of [[qApproxDistinct]]):
+    * `percentile_approx` (GK sketch, accuracy 10000 → rank error
+    * ≤ n/10000) beside the exact interpolated percentile, with the
+    * sketch pinned inside the exact [p49, p51] band by the oracle. The
+    * exact percentile needs the full sorted value set per group; the
+    * sketch is a bounded buffer that partial-aggs map-side — at 100 TB
+    * only the sketch path is runnable, and this query is its
+    * trustworthiness certificate on this data.
+    */
+  def qApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.49)").as("lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi"))
+      .select(col("exact_p50"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi")).as("approx_ok"))
+
   /** As-of join through the custom operator (graft.plans.AsOfJoin):
     * enrich each event with the latest order (by date) of its customer
     * cohort at or before the event time, then aggregate per cohort.

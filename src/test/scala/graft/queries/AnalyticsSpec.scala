@@ -141,6 +141,13 @@ class AnalyticsSpec extends SparkSpec {
       "HLL++ at rsd 2% must stay within 5% of the exact distinct count")
   }
 
+  test("approx percentile sketch lands inside the exact [p49, p51] band") {
+    val r = Analytics.qApproxPercentile(spark, sf0001).collect()(0)
+    assert(r.getAs[Boolean]("approx_ok"),
+      "GK sketch at accuracy 10000 must land within the exact p49-p51 band")
+    assert(r.getAs[Double]("exact_p50") > 0)
+  }
+
   test("json extraction parses every well-formed payload; malformed degrades to null") {
     val rows = Analytics.qJsonExtract(spark, sf0001).collect()
     assert(rows.nonEmpty)
