@@ -97,8 +97,8 @@ object SparkEntry {
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "corpus_filter" -> graft.text.CorpusFilter.funnel _,
-    "corpus_pack" -> graft.text.CorpusShard.pack _,
-    "corpus_split" -> graft.text.CorpusShard.split _,
+    "corpus_pack" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.pack(s, d)),
+    "corpus_split" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.split(s, d)),
     // §2d — streaming
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),

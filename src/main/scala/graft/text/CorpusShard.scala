@@ -37,16 +37,18 @@ object CorpusShard {
     * (n_docs, token total, doc_id span) — the manifest a downstream
     * tokenizer run consumes.
     */
-  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+  def pack(spark: SparkSession, sfDir: String,
+           budget: Long = ShardTokenBudget,
+           buckets: Int = PackBuckets): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id"), lit(PackBuckets)).as("bucket"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"),
         TextOps.wsTokenCount(col("text")).cast("long").as("n_tokens"))
     val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("cum", sum("n_tokens").over(w))
       .withColumn("shard",
-        floor((col("cum") - col("n_tokens")) / ShardTokenBudget).cast("int"))
+        floor((col("cum") - col("n_tokens")) / budget).cast("int"))
       .groupBy("lang", "bucket", "shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("shard_tokens"),
@@ -57,14 +59,12 @@ object CorpusShard {
 
   /** LCG constants (Knuth/glibc; public domain folklore) — chosen so
     * the oracle reproduces the split with plain integer arithmetic.
-    * Thresholds are 0.80 / 0.90 of 2^31: the comparison reads the high
+    * Thresholds are fraction × 2^31: the comparison reads the high
     * bits of the mixed value, not the structured low bits.
     */
   private val SplitA = 1103515245L
   private val SplitC = 12345L
   private val SplitM = 2147483648L
-  private val TrainLt = 1717986918L // floor(0.80 * 2^31)
-  private val ValLt = 1932735283L   // floor(0.90 * 2^31)
 
   /** Deterministic stratified 80/10/10 split: membership is a pure
     * function of doc_id, so any engine (and any re-run over a grown
@@ -78,11 +78,16 @@ object CorpusShard {
     * doc_id ≈ 8.4e9 — exactly the multi-billion-row corpora this
     * operator exists for.
     */
-  def split(spark: SparkSession, sfDir: String): DataFrame = {
+  def split(spark: SparkSession, sfDir: String,
+            trainFrac: Double = 0.80, valFrac: Double = 0.10): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      s"invalid split fractions ($trainFrac, $valFrac)")
+    val trainLt = math.floor(trainFrac * SplitM).toLong
+    val valLt = math.floor((trainFrac + valFrac) * SplitM).toLong
     val h = pmod(pmod(col("doc_id"), lit(SplitM)) * SplitA + SplitC, lit(SplitM))
     val counts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("lang"),
-        when(h < TrainLt, "train").when(h < ValLt, "val").otherwise("test").as("split"))
+        when(h < trainLt, "train").when(h < valLt, "val").otherwise("test").as("split"))
       .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
     // the window runs over the tiny aggregated frame (langs × 3 rows)
     counts

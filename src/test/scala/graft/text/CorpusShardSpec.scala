@@ -46,6 +46,30 @@ class CorpusShardSpec extends SparkSpec {
     }
   }
 
+  test("pack: budget sweep — totals invariant, shard count shrinks as budget grows") {
+    val budgets = Seq(500L, 2000L, 8000L)
+    val results = budgets.map(b => b -> CorpusShard.pack(spark, sf0001, budget = b).collect())
+    val totals = results.map { case (_, rows) =>
+      (rows.map(_.getAs[Long]("n_docs")).sum, rows.map(_.getAs[Long]("shard_tokens")).sum)
+    }
+    assert(totals.distinct.length == 1,
+      s"doc and token totals must be budget-invariant: $totals")
+    val shardCounts = results.map(_._2.length)
+    assert(shardCounts.zip(shardCounts.tail).forall { case (a, b) => a >= b },
+      s"shard count must weakly decrease with budget: $shardCounts")
+  }
+
+  test("split: custom fractions shift the realized census accordingly") {
+    val even = CorpusShard.split(spark, sf001, trainFrac = 0.5, valFrac = 0.25).collect()
+    val n = even.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val frac = Map("train" -> 0.5, "val" -> 0.25, "test" -> 0.25).map { case (s, want) =>
+      s -> (even.filter(_.getAs[String]("split") == s).map(_.getAs[Long]("n_docs")).sum / n, want)
+    }
+    frac.foreach { case (s, (got, want)) =>
+      assert(math.abs(got - want) < 0.12, s"$s realized $got vs design $want")
+    }
+  }
+
   test("split: per-lang fractions sum to 1 and land near 80/10/10") {
     val rows = CorpusShard.split(spark, sf001).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
