@@ -236,10 +236,11 @@ object SparkEntry {
         |  count(CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL THEN 1 END) AS n_matched
         |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin,
     "q_percentiles" ->
-      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
-        |  round(min(l_extendedprice), 2) AS pmin, round(max(l_extendedprice), 2) AS pmax
+      """SELECT floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90,
+        |  floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99,
+        |  floor(min(l_extendedprice) * 100 + 0.5) / 100 AS pmin,
+        |  floor(max(l_extendedprice) * 100 + 0.5) / 100 AS pmax
         |FROM lineitem""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
@@ -277,7 +278,8 @@ object SparkEntry {
     // oracle computes only the exact percentile (sketch internals are
     // engine-specific by nature).
     "q_approx_percentile" ->
-      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50, TRUE AS approx_ok
+      """SELECT floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS exact_p50,
+        |  TRUE AS approx_ok
         |FROM lineitem""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n, count(k) AS n_parsed,

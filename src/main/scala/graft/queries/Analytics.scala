@@ -241,15 +241,25 @@ object Analytics {
         count(when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull, 1)).as("n_matched"))
   }
 
-  /** Exact percentiles of l_extendedprice (median/p90/p99). */
+  /** Exact percentiles of l_extendedprice (median/p90/p99). One
+    * array-argument percentile call: Spark's Percentile aggregate
+    * buffers the full value multiset PER EXPRESSION, so three scalar
+    * calls would sort the column three times. floor(x*100+0.5)/100,
+    * not round(): interpolated percentiles land on .xx5 midpoints
+    * where Spark's decimal HALF_UP and the oracle's binary rounding
+    * disagree (the repo-wide cross-engine rounding rule).
+    */
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"),
-        round(min("l_extendedprice"), 2).as("pmin"),
-        round(max("l_extendedprice"), 2).as("pmax"))
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        (floor(min("l_extendedprice") * 100 + 0.5) / 100).as("pmin"),
+        (floor(max("l_extendedprice") * 100 + 0.5) / 100).as("pmax"))
+      .select(
+        (floor(col("ps")(0) * 100 + 0.5) / 100).as("p50"),
+        (floor(col("ps")(1) * 100 + 0.5) / 100).as("p90"),
+        (floor(col("ps")(2) * 100 + 0.5) / 100).as("p99"),
+        col("pmin"), col("pmax"))
 
   /** Quantile-sketch contract (twin of [[qApproxDistinct]]):
     * `percentile_approx` (GK sketch, accuracy 10000 → rank error
@@ -263,12 +273,13 @@ object Analytics {
   def qApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx"),
-        expr("percentile(l_extendedprice, 0.49)").as("lo"),
-        expr("percentile(l_extendedprice, 0.51)").as("hi"))
-      .select(col("exact_p50"),
-        (col("approx") >= col("lo") && col("approx") <= col("hi")).as("approx_ok"))
+        // one exact buffer for all three quantiles (Percentile buffers
+        // the full multiset per expression); floor rule for the pin
+        expr("percentile(l_extendedprice, array(0.49D, 0.5D, 0.51D))").as("ps"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx"))
+      .select(
+        (floor(col("ps")(1) * 100 + 0.5) / 100).as("exact_p50"),
+        (col("approx") >= col("ps")(0) && col("approx") <= col("ps")(2)).as("approx_ok"))
 
   /** As-of join through the custom operator (graft.plans.AsOfJoin):
     * enrich each event with the latest order (by date) of its customer

@@ -26,8 +26,14 @@ object FileStreams {
         System.getProperty("java.io.tmpdir"), s"graft-stream-$digest")
       java.nio.file.Files.createDirectories(dir)
       val link = dir.resolve(src.getFileName)
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link, src)
+      // NOFOLLOW + catch: the shared deterministic dir is reachable from
+      // concurrent JVMs (Bench and Verify on the same table), so the
+      // exists/create pair must tolerate losing the race; NOFOLLOW also
+      // keeps a dangling link from reading as absent forever.
+      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        try java.nio.file.Files.createSymbolicLink(link, src)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
       dir.toString
     }
   }

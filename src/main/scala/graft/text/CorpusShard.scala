@@ -40,6 +40,9 @@ object CorpusShard {
   def pack(spark: SparkSession, sfDir: String,
            budget: Long = ShardTokenBudget,
            buckets: Int = PackBuckets): DataFrame = {
+    // non-ANSI Spark turns /0 and pmod(_, 0) into silent NULL shard
+    // ids (every doc collapses into one null shard) — fail loudly
+    require(budget > 0 && buckets > 0, s"invalid pack knobs ($budget, $buckets)")
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"),
         pmod(col("doc_id"), lit(buckets)).as("bucket"),
