@@ -96,6 +96,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprints _,
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
+    "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
     "corpus_filter" -> graft.text.CorpusFilter.funnel _,
     "corpus_pack" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.pack(s, d)),
     "corpus_split" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.split(s, d)),
@@ -487,6 +488,34 @@ object SparkEntry {
         |  round(coalesce(sum(f.binval), 0.0), 4) AS l1,
         |  round(coalesce(max(f.binval), 0.0), 4) AS peak
         |FROM h LEFT JOIN f ON h.doc_id = f.doc_id GROUP BY h.doc_id ORDER BY media_id""".stripMargin,
+    // Frame boundaries mirror Multimodal.sampleFrames exactly (integer
+    // size = max(n/4, 1); last frame absorbs the tail); each frame's
+    // high-nibble histogram is rebuilt from the odd hex positions of
+    // its byte range. Empty frames (payload shorter than the frame
+    // grid) surface with peak 0.0 via the LEFT JOIN.
+    "mm_frames" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+        |), fr AS (
+        |  SELECT media_id, hx, n, f, greatest(n // 4, 1) AS sz FROM h, (SELECT unnest(generate_series(0, 3)) AS f)
+        |), rng AS (
+        |  SELECT media_id, hx, f,
+        |    least(f * sz, n) AS b0,
+        |    CASE WHEN f = 3 THEN n ELSE least(least(f * sz, n) + sz, n) END AS b1
+        |  FROM fr
+        |), nb AS (
+        |  SELECT media_id, f, b1 - b0 AS flen,
+        |    unnest([substr(hx, 2 * (b0 + i) + 1, 1) FOR i IN generate_series(0, b1 - b0 - 1)]) AS nib
+        |  FROM rng WHERE b1 > b0
+        |), c AS (
+        |  SELECT media_id, f, any_value(flen) AS flen, nib, count(*) AS cnt FROM nb GROUP BY media_id, f, nib
+        |), pk AS (
+        |  SELECT media_id, f, round(CAST(CAST(max(cnt) AS FLOAT) / CAST(any_value(flen) AS FLOAT) AS DOUBLE), 4) AS peak
+        |  FROM c GROUP BY media_id, f
+        |)
+        |SELECT r.media_id AS media_id, CAST(r.f AS INTEGER) AS frame, coalesce(pk.peak, 0.0) AS peak
+        |FROM rng r LEFT JOIN pk ON r.media_id = pk.media_id AND r.f = pk.f
+        |ORDER BY media_id, frame""".stripMargin,
     // Composite pipeline funnel: dedup keepers + quality gates + langid
     // rebuilt stage by stage from the already-oracle-validated fragments.
     "corpus_filter" ->

@@ -139,4 +139,16 @@ object Multimodal {
       })
       .toDF("media_id", "frame", "features")
   }
+
+  /** Oracle surface for [[sampleFrames]]: per-frame peak histogram
+    * fraction. The stub's bucket is the byte's HIGH NIBBLE, so an
+    * external engine can rebuild each frame's histogram from the
+    * odd-position characters of `hex(payload)` over the frame's byte
+    * range — recovering the decode contract without a codec.
+    */
+  def frameSummary(spark: SparkSession, sfDir: String, nFrames: Int = 4): DataFrame =
+    sampleFrames(spark, sfDir, nFrames)
+      .select(col("media_id"), col("frame"),
+        round(array_max(col("features")).cast("double"), 4).as("peak"))
+      .orderBy("media_id", "frame")
 }
