@@ -97,6 +97,7 @@ object SparkEntry {
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
+    "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeSummary(s, d)),
     "corpus_filter" -> graft.text.CorpusFilter.funnel _,
     "corpus_pack" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.pack(s, d)),
     "corpus_split" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.split(s, d)),
@@ -516,6 +517,26 @@ object SparkEntry {
         |SELECT r.media_id AS media_id, CAST(r.f AS INTEGER) AS frame, coalesce(pk.peak, 0.0) AS peak
         |FROM rng r LEFT JOIN pk ON r.media_id = pk.media_id AND r.f = pk.f
         |ORDER BY media_id, frame""".stripMargin,
+    // Resampled byte i of a 64x64 resize = payload byte (i*n)//4096
+    // (Multimodal.resizeStub); its value is rebuilt from the two hex
+    // chars at that byte. Empty payloads resample to all zeros.
+    "mm_resize" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+        |), s AS (
+        |  SELECT media_id, hx,
+        |    unnest([ (i * n) // 4096 FOR i IN generate_series(0, 4095) ]) AS j
+        |  FROM h WHERE n > 0
+        |), sums AS (
+        |  SELECT media_id,
+        |    CAST(sum((strpos('0123456789ABCDEF', substr(hx, 2*j + 1, 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, 2*j + 2, 1)) - 1) AS BIGINT) AS byte_sum
+        |  FROM s GROUP BY media_id
+        |)
+        |SELECT h.media_id AS media_id, CAST(4096 AS INTEGER) AS n_bytes,
+        |  coalesce(sums.byte_sum, 0) AS byte_sum
+        |FROM h LEFT JOIN sums ON h.media_id = sums.media_id
+        |ORDER BY media_id""".stripMargin,
     // Composite pipeline funnel: dedup keepers + quality gates + langid
     // rebuilt stage by stage from the already-oracle-validated fragments.
     "corpus_filter" ->

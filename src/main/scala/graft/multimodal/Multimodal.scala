@@ -118,6 +118,26 @@ object Multimodal {
         lit(w).as("width"), lit(h).as("height"), lit("resized").as("origin")))
   }
 
+  /** Oracle surface for [[resize]]: the resampled payload reduced to an
+    * exact checksum (unsigned byte sum + length), so byte-identical
+    * resampling is verifiable externally from hex(payload) arithmetic —
+    * any off-by-one in the sampling index changes the sum.
+    */
+  def resizeSummary(spark: SparkSession, sfDir: String,
+                    w: Int = 64, h: Int = 64): DataFrame = {
+    import spark.implicits._
+    resize(spark, sfDir, w, h)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        var s = 0L; var i = 0
+        while (i < bytes.length) { s += bytes(i) & 0xFF; i += 1 }
+        (id, bytes.length, s)
+      })
+      .toDF("media_id", "n_bytes", "byte_sum")
+      .orderBy("media_id")
+  }
+
   /** STUB frame sampling: a real system would decode a video payload
     * and keep every k-th frame. Deterministic fake: split the payload
     * into `nFrames` contiguous chunks and emit one row per frame with
