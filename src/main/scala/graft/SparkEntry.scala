@@ -518,19 +518,21 @@ object SparkEntry {
         |FROM rng r LEFT JOIN pk ON r.media_id = pk.media_id AND r.f = pk.f
         |ORDER BY media_id, frame""".stripMargin,
     // Resampled byte i of a 64x64 resize = payload byte (i*n)//4096
-    // (Multimodal.resizeStub); its value is rebuilt from the two hex
-    // chars at that byte. Empty payloads resample to all zeros.
+    // (Multimodal.resizeStub). Closed form over the n ACTUAL bytes
+    // instead of the 4096 samples: byte j is hit by samples
+    // i in [ceil(j*4096/n), ceil((j+1)*4096/n)), so its multiplicity
+    // is the ceil difference — identical sum, ~10x fewer unnested rows
+    // for sub-4096-byte payloads. Empty payloads resample to all zeros.
     "mm_resize" ->
       """WITH h AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
         |), s AS (
-        |  SELECT media_id, hx,
-        |    unnest([ (i * n) // 4096 FOR i IN generate_series(0, 4095) ]) AS j
-        |  FROM h WHERE n > 0
+        |  SELECT media_id, hx, n, unnest(generate_series(0, n - 1)) AS j FROM h WHERE n > 0
         |), sums AS (
         |  SELECT media_id,
-        |    CAST(sum((strpos('0123456789ABCDEF', substr(hx, 2*j + 1, 1)) - 1) * 16
-        |         + strpos('0123456789ABCDEF', substr(hx, 2*j + 2, 1)) - 1) AS BIGINT) AS byte_sum
+        |    CAST(sum( ( (((j + 1) * 4096 + n - 1) // n) - ((j * 4096 + n - 1) // n) ) *
+        |      ((strpos('0123456789ABCDEF', substr(hx, 2*j + 1, 1)) - 1) * 16
+        |       + strpos('0123456789ABCDEF', substr(hx, 2*j + 2, 1)) - 1) ) AS BIGINT) AS byte_sum
         |  FROM s GROUP BY media_id
         |)
         |SELECT h.media_id AS media_id, CAST(4096 AS INTEGER) AS n_bytes,
