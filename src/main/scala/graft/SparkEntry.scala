@@ -285,7 +285,7 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n, count(k) AS n_parsed,
-        |  round(avg(k), 2) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |  floor(avg(k) * 100 + 0.5) / 100 AS avg_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Bucketization must be invisible: the oracle is the PLAIN
@@ -295,7 +295,7 @@ object SparkEntry {
         |  SELECT event_id AS window_id, epoch_us(ts) - 600000000 AS ws, epoch_us(ts) + 600000000 AS we
         |  FROM events ORDER BY value DESC, event_id LIMIT 20
         |)
-        |SELECT w.window_id, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+        |SELECT w.window_id, count(*) AS n_events, floor(sum(e.value) * 100 + 0.5) / 100 AS total_value
         |FROM w JOIN (SELECT epoch_us(ts) AS t, value FROM events) e
         |  ON e.t >= w.ws AND e.t < w.we
         |GROUP BY 1 ORDER BY 1""".stripMargin,

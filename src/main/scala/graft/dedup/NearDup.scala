@@ -55,7 +55,7 @@ object NearDup {
     * shingles, the kept prefix preserves ≈ frac·T-2 of them and
     * introduces none.
     */
-  private def truncateTokens(text: Column, frac: Double): Column = {
+  private[graft] def truncateTokens(text: Column, frac: Double): Column = {
     val toks = Dedup.tokens(text)
     concat_ws(" ", slice(toks, lit(1), greatest(ceil(size(toks) * frac), lit(3)).cast("int")))
   }
@@ -63,25 +63,48 @@ object NearDup {
   /** Docs eligible for near-planting: long enough that tier fractions
     * are meaningfully separated (60+ tokens → ≥ 9 tokens between tiers).
     */
-  private def eligibleDocs(spark: SparkSession, sfDir: String, plantEvery: Int,
-                           minTokens: Int): DataFrame =
+  private[graft] def eligibleDocs(spark: SparkSession, sfDir: String, plantEvery: Int,
+                                  minTokens: Int): DataFrame =
     docs(spark, sfDir)
       .filter(col("doc_id") % plantEvery === 0 &&
         regexp_count(col("text"), lit("\\S+")) >= minTokens)
       .select("doc_id", "text")
+
+  /** Loud id-space guard (fail-loudly doctrine): all tier arithmetic
+    * assumes natural ids < PlantOffset — once a scale factor crosses
+    * that, planted ids ALIAS real ones and the `% PlantOffset` pair
+    * filters silently misclassify pairs, corrupting recall instead of
+    * failing. One column-pruned max() scan per contract query is the
+    * price of never reporting a corrupted recall number.
+    */
+  private[graft] def guardIds(d: DataFrame, idCol: String): Unit = {
+    val m = d.agg(max(col(idCol))).head()
+    if (!m.isNullAt(0))
+      require(m.getLong(0) < PlantOffset,
+        s"planting id-space collision: max($idCol) = ${m.getLong(0)} >= PlantOffset $PlantOffset — " +
+          "raise Dedup.PlantOffset above the corpus id range")
+  }
+
+  /** Tier-truncated copies unioned onto `base`; `elig` is the (ideally
+    * cached) eligible frame — passed in so contract queries can compute
+    * eligibility ONCE instead of once per tier union.
+    */
+  private[graft] def plantedJaccardFrom(base: DataFrame, elig: DataFrame): DataFrame =
+    JaccardTiers.foldLeft(base.select("doc_id", "text")) {
+      case (acc, (_, frac, k, _)) =>
+        acc.unionByName(elig.select(
+          (col("doc_id") + k * PlantOffset).as("doc_id"),
+          truncateTokens(col("text"), frac).as("text")))
+    }
 
   /** Corpus + one truncated copy per Jaccard tier at
     * `doc_id + tierMultiple * PlantOffset`.
     */
   def plantedJaccardDocs(spark: SparkSession, sfDir: String,
                          plantEvery: Int = 2, minTokens: Int = 60): DataFrame = {
-    val elig = eligibleDocs(spark, sfDir, plantEvery, minTokens)
-    JaccardTiers.foldLeft(docs(spark, sfDir).select("doc_id", "text")) {
-      case (acc, (_, frac, k, _)) =>
-        acc.unionByName(elig.select(
-          (col("doc_id") + k * PlantOffset).as("doc_id"),
-          truncateTokens(col("text"), frac).as("text")))
-    }
+    val d = docs(spark, sfDir)
+    guardIds(d, "doc_id")
+    plantedJaccardFrom(d, eligibleDocs(spark, sfDir, plantEvery, minTokens))
   }
 
   /** Per-tier MinHash recall contract. Output: one row per tier with
@@ -96,24 +119,33 @@ object NearDup {
   def minhashNearRecall(spark: SparkSession, sfDir: String,
                         plantEvery: Int = 2, minTokens: Int = 60): DataFrame = {
     import spark.implicits._
-    val nPlanted = eligibleDocs(spark, sfDir, plantEvery, minTokens).count()
-    val cands = Dedup.minhashCandidatesOf(plantedJaccardDocs(spark, sfDir, plantEvery, minTokens))
-      .filter(col("id_a") < PlantOffset && col("id_b") > col("id_a") &&
-        (col("id_b") - col("id_a")) % PlantOffset === 0)
-      .withColumn("k", ((col("id_b") - col("id_a")) / PlantOffset).cast("int"))
-    // one aggregation job: per-tier found count (tier-thresholded) + mean jaccard
-    val aggs = JaccardTiers.flatMap { case (name, frac, k, _) =>
-      Seq(
-        count(when(col("k") === k && col("jaccard") >= frac - 0.15, 1)).as(s"n_$name"),
-        avg(when(col("k") === k && col("jaccard") >= frac - 0.15, col("jaccard"))).as(s"j_$name"))
-    }
-    val r = cands.agg(aggs.head, aggs.tail: _*).collect()(0)
-    JaccardTiers.map { case (name, frac, _, minRecall) =>
-      val nFound = r.getAs[Long](s"n_$name")
-      val meanJ = Option(r.getAs[java.lang.Double](s"j_$name")).map(_.toDouble).getOrElse(0.0)
-      val recall = if (nPlanted == 0) 0.0 else nFound.toDouble / nPlanted
-      (name, nPlanted > 0 && nFound > 0, recall >= minRecall, math.abs(meanJ - frac) <= 0.12)
-    }.toDF("tier", "planted_ok", "recall_ok", "jaccard_ok").orderBy("tier")
+    val d = docs(spark, sfDir)
+    guardIds(d, "doc_id")
+    // Eligibility (a full-corpus regexp filter) computed ONCE: cached,
+    // counted from the cache, and reused by every tier union — the
+    // uncached formulation re-scanned the corpus once per tier plus
+    // once for the count.
+    val elig = eligibleDocs(spark, sfDir, plantEvery, minTokens).persist()
+    try {
+      val nPlanted = elig.count()
+      val cands = Dedup.minhashCandidatesOf(plantedJaccardFrom(d, elig))
+        .filter(col("id_a") < PlantOffset && col("id_b") > col("id_a") &&
+          (col("id_b") - col("id_a")) % PlantOffset === 0)
+        .withColumn("k", ((col("id_b") - col("id_a")) / PlantOffset).cast("int"))
+      // one aggregation job: per-tier found count (tier-thresholded) + mean jaccard
+      val aggs = JaccardTiers.flatMap { case (name, frac, k, _) =>
+        Seq(
+          count(when(col("k") === k && col("jaccard") >= frac - 0.15, 1)).as(s"n_$name"),
+          avg(when(col("k") === k && col("jaccard") >= frac - 0.15, col("jaccard"))).as(s"j_$name"))
+      }
+      val r = cands.agg(aggs.head, aggs.tail: _*).collect()(0)
+      JaccardTiers.map { case (name, frac, _, minRecall) =>
+        val nFound = r.getAs[Long](s"n_$name")
+        val meanJ = Option(r.getAs[java.lang.Double](s"j_$name")).map(_.toDouble).getOrElse(0.0)
+        val recall = if (nPlanted == 0) 0.0 else nFound.toDouble / nPlanted
+        (name, nPlanted > 0 && nFound > 0, recall >= minRecall, math.abs(meanJ - frac) <= 0.12)
+      }.toDF("tier", "planted_ok", "recall_ok", "jaccard_ok").orderBy("tier")
+    } finally { elig.unpersist(); () }
   }
 
   // --------------------------------------------------- simhash swap tiers
@@ -141,15 +173,19 @@ object NearDup {
           concat(lit("graftswap"), pmod(i, lit(7)))).otherwise(t)))
   }
 
-  def plantedSwapDocs(spark: SparkSession, sfDir: String,
-                      plantEvery: Int = 2, minTokens: Int = 60): DataFrame = {
-    val elig = eligibleDocs(spark, sfDir, plantEvery, minTokens)
-    SimTiers.foldLeft(docs(spark, sfDir).select("doc_id", "text")) {
+  private[graft] def plantedSwapFrom(base: DataFrame, elig: DataFrame): DataFrame =
+    SimTiers.foldLeft(base.select("doc_id", "text")) {
       case (acc, (_, every, k, _)) =>
         acc.unionByName(elig.select(
           (col("doc_id") + k * PlantOffset).as("doc_id"),
           swapTokens(col("text"), every).as("text")))
     }
+
+  def plantedSwapDocs(spark: SparkSession, sfDir: String,
+                      plantEvery: Int = 2, minTokens: Int = 60): DataFrame = {
+    val d = docs(spark, sfDir)
+    guardIds(d, "doc_id")
+    plantedSwapFrom(d, eligibleDocs(spark, sfDir, plantEvery, minTokens))
   }
 
   /** Per-tier SimHash recall contract over the swap tiers; found =
@@ -160,21 +196,25 @@ object NearDup {
                         plantEvery: Int = 2, minTokens: Int = 60,
                         maxHamming: Int = 12): DataFrame = {
     import spark.implicits._
-    val nPlanted = eligibleDocs(spark, sfDir, plantEvery, minTokens).count()
-    val cands = Dedup.simhashCandidatesOf(
-        plantedSwapDocs(spark, sfDir, plantEvery, minTokens), shingleN = 2)
-      .filter(col("id_a") < PlantOffset && col("id_b") > col("id_a") &&
-        (col("id_b") - col("id_a")) % PlantOffset === 0)
-      .withColumn("k", ((col("id_b") - col("id_a")) / PlantOffset).cast("int"))
-    val aggs = SimTiers.map { case (name, _, k, _) =>
-      count(when(col("k") === k && col("hamming") <= maxHamming, 1)).as(s"n_$name")
-    }
-    val r = cands.agg(aggs.head, aggs.tail: _*).collect()(0)
-    SimTiers.map { case (name, _, _, minRecall) =>
-      val nFound = r.getAs[Long](s"n_$name")
-      val recall = if (nPlanted == 0) 0.0 else nFound.toDouble / nPlanted
-      (name, nPlanted > 0 && nFound > 0, recall >= minRecall)
-    }.toDF("tier", "planted_ok", "recall_ok").orderBy("tier")
+    val d = docs(spark, sfDir)
+    guardIds(d, "doc_id")
+    val elig = eligibleDocs(spark, sfDir, plantEvery, minTokens).persist()
+    try {
+      val nPlanted = elig.count()
+      val cands = Dedup.simhashCandidatesOf(plantedSwapFrom(d, elig), shingleN = 2)
+        .filter(col("id_a") < PlantOffset && col("id_b") > col("id_a") &&
+          (col("id_b") - col("id_a")) % PlantOffset === 0)
+        .withColumn("k", ((col("id_b") - col("id_a")) / PlantOffset).cast("int"))
+      val aggs = SimTiers.map { case (name, _, k, _) =>
+        count(when(col("k") === k && col("hamming") <= maxHamming, 1)).as(s"n_$name")
+      }
+      val r = cands.agg(aggs.head, aggs.tail: _*).collect()(0)
+      SimTiers.map { case (name, _, _, minRecall) =>
+        val nFound = r.getAs[Long](s"n_$name")
+        val recall = if (nPlanted == 0) 0.0 else nFound.toDouble / nPlanted
+        (name, nPlanted > 0 && nFound > 0, recall >= minRecall)
+      }.toDF("tier", "planted_ok", "recall_ok").orderBy("tier")
+    } finally { elig.unpersist(); () }
   }
 
   // ---------------------------------------------- embedding cosine tiers
@@ -218,16 +258,19 @@ object NearDup {
             .cast("float")).as("embedding"))
   }
 
-  /** Embedding corpus + one rotated copy per cosine tier. */
-  def plantedCosineEmbeddings(spark: SparkSession, sfDir: String,
-                              plantEvery: Int = 10): DataFrame = {
-    val e = emb(spark, sfDir).select("vec_id", "embedding")
-    val base = e.filter(pmod(col("vec_id"), lit(plantEvery)) === 0)
+  private[graft] def plantedCosineFrom(e: DataFrame, base: DataFrame): DataFrame =
     CosineTiers.foldLeft(e) { case (acc, (_, cosT, k, _)) =>
       acc.unionByName(
         rotatedTo(base, cosT).select(
           (col("vec_id") + k * PlantOffset).as("vec_id"), col("embedding")))
     }
+
+  /** Embedding corpus + one rotated copy per cosine tier. */
+  def plantedCosineEmbeddings(spark: SparkSession, sfDir: String,
+                              plantEvery: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir).select("vec_id", "embedding")
+    guardIds(e, "vec_id")
+    plantedCosineFrom(e, e.filter(pmod(col("vec_id"), lit(plantEvery)) === 0))
   }
 
   /** Per-tier embedding-LSH recall contract. cosine_ok pins that the
@@ -237,25 +280,30 @@ object NearDup {
   def embeddingNearRecall(spark: SparkSession, sfDir: String,
                           plantEvery: Int = 10): DataFrame = {
     import spark.implicits._
-    val nPlanted = emb(spark, sfDir).filter(pmod(col("vec_id"), lit(plantEvery)) === 0).count()
-    val cands = Dedup.embeddingCandidatesOf(
-        plantedCosineEmbeddings(spark, sfDir, plantEvery),
-        nTables = 8, planesPerTable = 8)
-      .filter(col("id_a") < PlantOffset && col("id_b") > col("id_a") &&
-        (col("id_b") - col("id_a")) % PlantOffset === 0)
-      .withColumn("k", ((col("id_b") - col("id_a")) / PlantOffset).cast("int"))
-    val aggs = CosineTiers.flatMap { case (name, cosT, k, _) =>
-      Seq(
-        count(when(col("k") === k && col("cosine") >= cosT - 0.02, 1)).as(s"n_$name"),
-        avg(when(col("k") === k && col("cosine") >= cosT - 0.02, col("cosine"))).as(s"c_$name"))
-    }
-    val r = cands.agg(aggs.head, aggs.tail: _*).collect()(0)
-    CosineTiers.map { case (name, cosT, _, minRecall) =>
-      val nFound = r.getAs[Long](s"n_$name")
-      val meanC = Option(r.getAs[java.lang.Double](s"c_$name")).map(_.toDouble).getOrElse(0.0)
-      val recall = if (nPlanted == 0) 0.0 else nFound.toDouble / nPlanted
-      (name, nPlanted > 0 && nFound > 0, recall >= minRecall, math.abs(meanC - cosT) <= 0.005)
-    }.toDF("tier", "planted_ok", "recall_ok", "cosine_ok").orderBy("tier")
+    val e = emb(spark, sfDir).select("vec_id", "embedding")
+    guardIds(e, "vec_id")
+    val base = e.filter(pmod(col("vec_id"), lit(plantEvery)) === 0).persist()
+    try {
+      val nPlanted = base.count()
+      val cands = Dedup.embeddingCandidatesOf(
+          plantedCosineFrom(e, base),
+          nTables = 8, planesPerTable = 8)
+        .filter(col("id_a") < PlantOffset && col("id_b") > col("id_a") &&
+          (col("id_b") - col("id_a")) % PlantOffset === 0)
+        .withColumn("k", ((col("id_b") - col("id_a")) / PlantOffset).cast("int"))
+      val aggs = CosineTiers.flatMap { case (name, cosT, k, _) =>
+        Seq(
+          count(when(col("k") === k && col("cosine") >= cosT - 0.02, 1)).as(s"n_$name"),
+          avg(when(col("k") === k && col("cosine") >= cosT - 0.02, col("cosine"))).as(s"c_$name"))
+      }
+      val r = cands.agg(aggs.head, aggs.tail: _*).collect()(0)
+      CosineTiers.map { case (name, cosT, _, minRecall) =>
+        val nFound = r.getAs[Long](s"n_$name")
+        val meanC = Option(r.getAs[java.lang.Double](s"c_$name")).map(_.toDouble).getOrElse(0.0)
+        val recall = if (nPlanted == 0) 0.0 else nFound.toDouble / nPlanted
+        (name, nPlanted > 0 && nFound > 0, recall >= minRecall, math.abs(meanC - cosT) <= 0.005)
+      }.toDF("tier", "planted_ok", "recall_ok", "cosine_ok").orderBy("tier")
+    } finally { base.unpersist(); () }
   }
 
   // ------------------------------------------------- ANN near-probe top-1

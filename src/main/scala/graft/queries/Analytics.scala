@@ -384,7 +384,10 @@ object Analytics {
         from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
-        round(avg("k"), 2).as("avg_k"), min("k").as("min_k"), max("k").as("max_k"))
+        // floor(x*100+0.5)/100, not round(): an avg of many ints lands on
+        // .xx5 boundaries where Spark and DuckDB round doubles apart.
+        (floor(avg("k") * 100 + 0.5) / 100).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
   /** Interval/range join WITHOUT an equi key, in the shape that scales:
@@ -412,7 +415,10 @@ object Analytics {
       .join(broadcast(windows), "bucket")
       .where(col("t") >= col("ws") && col("t") < col("we"))
       .groupBy("window_id")
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      // floor rule (not round): a sum of many doubles is exactly the
+      // shape where cross-engine rounding of .xx5 diverges.
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum("value") * 100 + 0.5) / 100).as("total_value"))
       .orderBy("window_id")
   }
 

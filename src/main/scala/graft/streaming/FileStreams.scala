@@ -17,21 +17,37 @@ object FileStreams {
     * not a random temp dir.
     */
   def streamableDir(tablePath: String): String = {
-    val src = java.nio.file.Paths.get(tablePath)
-    if (java.nio.file.Files.isDirectory(src)) src.toString
+    import java.nio.file.{Files, LinkOption, Paths}
+    val src = Paths.get(tablePath)
+    if (Files.isDirectory(src)) src.toString
     else {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(tablePath.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft-stream-$digest")
-      java.nio.file.Files.createDirectories(dir)
+      // Scoped under a per-user root: a world-shared /tmp name would let
+      // another user's pre-existing dir (or pre-planted symlink) break —
+      // or hijack — the stream listing on a multi-user host.
+      val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft-$user", s"stream-$digest")
+      Files.createDirectories(dir)
       val link = dir.resolve(src.getFileName)
-      // NOFOLLOW + catch: the shared deterministic dir is reachable from
-      // concurrent JVMs (Bench and Verify on the same table), so the
-      // exists/create pair must tolerate losing the race; NOFOLLOW also
-      // keeps a dangling link from reading as absent forever.
-      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        try java.nio.file.Files.createSymbolicLink(link, src)
+      // NOFOLLOW + catch: the deterministic dir is reachable from
+      // concurrent JVMs of the same user (Bench and Verify on the same
+      // table), so the exists/create pair must tolerate losing the race;
+      // NOFOLLOW also keeps a dangling link from reading as absent
+      // forever. A link whose target no longer matches the source (stale
+      // from a renamed/recreated table) is repaired, not trusted.
+      if (Files.exists(link, LinkOption.NOFOLLOW_LINKS)) {
+        val stale = !Files.isSymbolicLink(link) ||
+          Files.readSymbolicLink(link) != src ||
+          !Files.exists(src)
+        if (stale) {
+          Files.delete(link)
+          try Files.createSymbolicLink(link, src)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      } else {
+        try Files.createSymbolicLink(link, src)
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
       dir.toString

@@ -113,12 +113,26 @@ object ParallelSvm {
     *        task that solves it — the reference's entire output contract
     *        is this saved model (Lastcascade.java:31-37 saveModelToHdfs,
     *        called at Lastcascade.java:136); without it a LibSVM user
-    *        has nothing to load.
+    *        has nothing to load. MUST be on a filesystem every executor
+    *        AND the driver can reach (hdfs/s3a/nfs): the write happens
+    *        inside an executor task, so on a multi-node cluster a bare
+    *        local path lands on one executor's local disk where nobody
+    *        can read it back. Warned about below, loudly, when the
+    *        master isn't local.
     */
   def cascade(data: Dataset[Ex], k: Int, params: Smo.Params,
               modelPath: Option[String] = None): (Seq[LayerStat], SvmModel) = {
     val spark = data.sparkSession
     import spark.implicits._
+    for (p <- modelPath) {
+      val scheme = Option(new java.net.URI(p).getScheme).getOrElse("file")
+      if (scheme == "file" && !spark.sparkContext.isLocal)
+        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          s"cascade modelPath '$p' is a bare local path but the master is " +
+            s"'${spark.sparkContext.master}': the model is written from an " +
+            "executor task and will land on ONE executor's local disk — " +
+            "use a shared filesystem (hdfs/s3a/nfs) on a cluster")
+    }
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     require(k >= 1 && (k & (k - 1)) == 0, s"subset count must be a power of 2, got $k")
