@@ -1,67 +1,142 @@
 package graft
-import org.apache.spark.sql.SparkSession
-/** Driver-run benchmark: every SparkEntry query timed at the given
-  * scale factor. Each query runs twice and reports the faster (warm)
-  * time — the first pass pays plan compilation + codegen, which on a
-  * long-lived cluster is amortized across thousands of runs; cold
-  * times are kept in `queries_cold` for reference.
+
+/** Driver-run benchmark, one FRESH JVM per query.
+  *
+  * Round-3 verdict: a shared-process bench contaminates per-query
+  * numbers no matter how much inter-query hygiene it does — back-to-back
+  * shuffle-heavy pipelines taxed each other up to 3.6× versus their
+  * fresh-JVM times, so per-query numbers from a shared JVM can't be
+  * trusted as regression signals. This harness generalizes the Probe
+  * pattern: the parent holds NO SparkSession; each query runs in a
+  * forked JVM (same flags sbt injected into this one), cold then warm,
+  * and reports one marker line the parent aggregates.
+  *
+  * The aggregate JSON is BOTH printed (driver contract: one JSON line
+  * on stdout) and written to BENCH.out.json — BENCH_r03.json was lost
+  * to stdout truncation; a file artifact can't be.
   */
 object Bench {
+
+  /** JVM flags to propagate into children: the JDK17 add-opens set,
+    * system properties, and the heap cap — exactly what build.sbt put
+    * on THIS JVM.
+    */
+  private def inheritedJvmArgs: Seq[String] = {
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val b = Seq.newBuilder[String]
+    var expectValue = false
+    in.forEach { a =>
+      if (expectValue) { b += a; expectValue = false }
+      else if (a == "--add-opens" || a == "--add-exports") { b += a; expectValue = true }
+      else if (a.startsWith("--add-opens=") || a.startsWith("-D") ||
+        a.startsWith("-Xmx") || a.startsWith("-Xms")) b += a
+    }
+    b.result()
+  }
+
+  /** This JVM's classpath (sbt run sets it to classes + all deps). */
+  private def classpath: String = System.getProperty("java.class.path")
+
+  private def javaBin: String =
+    java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
+
+  /** Fork one child for `name`; returns (cold, warm) or None on
+    * failure/timeout. Child stderr is inherited (Spark logs stay
+    * visible); stdout is scanned for the BENCHONE marker line.
+    */
+  private def runOne(name: String, sfDir: String, cpus: String,
+                     timeoutSec: Long): Option[(Double, Double)] = {
+    val cmd = (Seq(javaBin) ++ inheritedJvmArgs ++
+      Seq("-cp", classpath, "graft.BenchOne", name, sfDir, cpus)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val outReader = new Thread {
+      var marker: Option[String] = None
+      override def run(): Unit = {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var line = br.readLine()
+        while (line != null) {
+          if (line.startsWith("BENCHONE ")) marker = Some(line.stripPrefix("BENCHONE "))
+          line = br.readLine()
+        }
+      }
+    }
+    outReader.start()
+    val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      System.err.println(s"[bench] $name TIMED OUT after ${timeoutSec}s — killing child")
+      p.destroyForcibly()
+      p.waitFor()
+    }
+    outReader.join(10000)
+    if (!finished || p.exitValue() != 0) {
+      System.err.println(s"[bench] $name FAILED (exit=${if (finished) p.exitValue() else "timeout"})")
+      None
+    } else outReader.marker.flatMap { m =>
+      m.split(" ") match {
+        case Array(cold, warm) => Some((cold.toDouble, warm.toDouble))
+        case _ => System.err.println(s"[bench] $name bad marker: $m"); None
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "600").toLong
+    // name order: stable run-to-run and round-to-round for diffing;
+    // an explicit arg list narrows the run (local iteration)
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val r = runOne(name, sfDir, cpus, timeoutSec)
+      r.foreach { case (c, w) => System.err.println(f"[bench] $name cold=$c%.2f warm=$w%.2f") }
+      name -> r
+    }
+    def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("-1")
+    def jmap(kv: Seq[(String, Option[Double])]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val failed = results.collect { case (n, None) => "\"" + n + "\"" }
+    val total = results.flatMap(_._2.map(_._2)).sum
+    val qs = jmap(results.map { case (n, r) => n -> r.map(_._2) })
+    val cold = jmap(results.map { case (n, r) => n -> r.map(_._1) })
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir","harness":"fork-per-query"}"""
+    val outFile = java.nio.file.Paths.get("BENCH.out.json").toAbsolutePath
+    java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
+    System.err.println(s"[bench] wrote $outFile")
+    println(json)
+  }
+}
+
+/** Child of [[Bench]]: runs ONE query in a fresh JVM — cold then warm —
+  * and prints `BENCHONE <cold> <warm>` on stdout. The untimed warmup
+  * covers session/executor init and first-job codegen so the cold
+  * number measures the query, not the JVM.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, cpus) = args
+    val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: session/executor init, parquet footer reads and
-    // first-job codegen otherwise land on whichever query runs first.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    val fn = SparkEntry.queries(name)
+    def once(): Double = {
       val t0 = System.nanoTime()
-      // A failed query must be loud AND visible in the JSON (-1 time,
-      // listed under "failed") — recording its fast elapsed time would
-      // silently poison the benchmark.
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
-      }
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
     }
-    // Inter-query hygiene: memory-sink temp views (streaming queries
-    // register one per run, holding Complete-mode results in driver
-    // memory) and any cached plans must not tax later queries' GC —
-    // round-2 bench showed the four alphabetically-post-streaming svm_*
-    // queries inflated 2.7-8.5× versus their isolated-JVM times, while
-    // every query measured clean in a fresh JVM. The explicit GC pays a
-    // bounded pause OUTSIDE the timed region instead of unbounded
-    // collector debt inside the next query's timing.
-    def cleanup(): Unit = {
-      spark.catalog.listTables().collect()
-        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
-      spark.catalog.clearCache()
-      System.gc()
-    }
-    // name order: stable run-to-run and round-to-round for diffing
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timeOnce(name, fn)
-      val warm = timeOnce(name, fn)
-      val best = (cold.toSeq ++ warm.toSeq).minOption
-      cleanup()
-      (name, best, cold)
-    }
-    def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("-1")
-    def jmap(kv: Seq[(String, Option[Double])]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    val failed = results.collect { case (n, None, _) => "\"" + n + "\"" }
-    val total = results.flatMap(_._2).sum
-    val qs = jmap(results.map(r => r._1 -> r._2))
-    val cold = jmap(results.map(r => r._1 -> r._3))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val cold = once()
+    val warm = math.min(cold, once())
+    println(f"BENCHONE $cold%.4f $warm%.4f")
     spark.stop()
   }
 }

@@ -82,6 +82,13 @@ object SparkEntry {
     // booleans are oracle-pinned, so detuning bands/tables/multiprobe
     // breaks the hash check.
     "dedup_minhash_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.minhashNearRecall(s, d)),
+    // Pair → cluster → survivor: verified near-dup pairs are clustered
+    // by connected components (min-label propagation + pointer jumping)
+    // and ONE keeper survives per cluster. The planted 2-link chains
+    // (J(a,b) ≈ J(b,c) ≈ 0.90, J(a,c) ≈ 0.81, threshold 0.85) make the
+    // closure itself the thing under test: {a, a+1M, a+2M} must merge
+    // without an a–c pair ever being emitted.
+    "dedup_near_survivors" -> ((s: SparkSession, d: String) => graft.dedup.Cluster.nearDupSurvivors(s, d)),
     "dedup_simhash_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.simhashNearRecall(s, d)),
     "dedup_embedding_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.embeddingNearRecall(s, d)),
     "ann_near_top1" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.annNearTop1(s, d)),
@@ -370,6 +377,22 @@ object SparkEntry {
         |  ('j70', true, true, true),
         |  ('j85', true, true, true)) AS t(tier, planted_ok, recall_ok, jaccard_ok)
         |ORDER BY tier""".stripMargin,
+    // Survivor manifest over the planted 2-link chains: the expected
+    // transitive closure is pure id arithmetic — every eligible doc a
+    // roots cluster {a, a+1M, a+2M}; all other docs are singleton
+    // keepers. A one-hop "closure", a cross-chain merge, or a missed
+    // LSH edge each produce a different manifest.
+    "dedup_near_survivors" ->
+      """WITH elig AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 2 = 0 AND length(regexp_extract_all(text, '\S+')) >= 60
+        |), manifest AS (
+        |  SELECT doc_id, doc_id AS cluster_id FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM elig
+        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM elig
+        |)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+        |FROM manifest ORDER BY doc_id""".stripMargin,
     "dedup_simhash_near" ->
       """SELECT * FROM (VALUES
         |  ('swap15', true, true),
