@@ -32,6 +32,11 @@ object SparkEntry {
     "svm_bagging_train" -> SvmQueries.baggingTrain _,
     "svm_iterative_train" -> SvmQueries.iterativeTrain _,
     "svm_cascade_train_rbf" -> SvmQueries.cascadeTrainRbf _,
+    // closed-form solver fidelity: four tiny problems whose max-margin
+    // solutions are known analytically (KKT by hand) — α-vector, SV
+    // set, rho and dual objective all pinned as exact literals. The
+    // numeric ground truth the rows-only training traces lack.
+    "svm_solver_pin" -> ((s: SparkSession, d: String) => graft.svm.SolverPin.solverPin(s, d)),
     "svm_predict" -> SvmQueries.predictFixed _,
     "svm_evaluate" -> SvmQueries.centroidEvaluate _,
     "svm_model_io" -> SvmQueries.modelIo _,
@@ -93,6 +98,12 @@ object SparkEntry {
     "dedup_embedding_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.embeddingNearRecall(s, d)),
     "ann_near_top1" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.annNearTop1(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
+    // recall@10 among DENSE competition: every center gets 12 planted
+    // neighbors at graded cosines 0.99..0.88, ground truth is the
+    // engine's own (separately oracle-ranked) brute force, and realized
+    // recall must clear 0.95 per method (measured 0.991-1.0; detuned
+    // tables/nProbe fall below the pin).
+    "ann_recall_atk" -> ((s: SparkSession, d: String) => Ann.annRecallAtK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshPlantedTop1(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfPlantedTop1(s, d)),
     "text_langid" -> TextOps.langId _,
@@ -133,6 +144,23 @@ object SparkEntry {
         |SELECT CAST(i AS INTEGER) AS subset,
         |  CAST(n // 8 + CASE WHEN i < n % 8 THEN 1 ELSE 0 END AS BIGINT) AS n_rows
         |FROM c, (SELECT unnest(generate_series(0, 7)) AS i) ORDER BY 1""".stripMargin,
+    // Closed-form SMO pins: every number below is the EXACT analytic
+    // max-margin solution (SolverPin.scala derives each by hand); the
+    // solver must land on them, not near them.
+    "svm_solver_pin" ->
+      """SELECT * FROM (VALUES
+        |  ('p1_sym', 0, 1, CAST(0.5 AS DOUBLE), true, CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+        |  ('p1_sym', 1, -1, CAST(0.5 AS DOUBLE), true, CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+        |  ('p2_offset', 0, 1, CAST(0.125 AS DOUBLE), true, CAST(1.0 AS DOUBLE), CAST(0.125 AS DOUBLE)),
+        |  ('p2_offset', 1, -1, CAST(0.125 AS DOUBLE), true, CAST(1.0 AS DOUBLE), CAST(0.125 AS DOUBLE)),
+        |  ('p3_bounded', 0, 1, CAST(0.4 AS DOUBLE), true, CAST(0.0 AS DOUBLE), CAST(0.72 AS DOUBLE)),
+        |  ('p3_bounded', 1, -1, CAST(0.4 AS DOUBLE), true, CAST(0.0 AS DOUBLE), CAST(0.72 AS DOUBLE)),
+        |  ('p4_interior', 0, 1, CAST(0.125 AS DOUBLE), true, CAST(1.0 AS DOUBLE), CAST(0.125 AS DOUBLE)),
+        |  ('p4_interior', 1, 1, CAST(0.0 AS DOUBLE), false, CAST(1.0 AS DOUBLE), CAST(0.125 AS DOUBLE)),
+        |  ('p4_interior', 2, -1, CAST(0.125 AS DOUBLE), true, CAST(1.0 AS DOUBLE), CAST(0.125 AS DOUBLE)),
+        |  ('p4_interior', 3, -1, CAST(0.0 AS DOUBLE), false, CAST(1.0 AS DOUBLE), CAST(0.125 AS DOUBLE))
+        |) AS t(problem, point_id, y, alpha, is_sv, rho, dual_obj)
+        |ORDER BY problem, point_id""".stripMargin,
     "svm_predict" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(c AS INTEGER) AS c,
@@ -408,6 +436,11 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('ivf', true),
         |  ('lsh', true)) AS t(method, top1_ok)
+        |ORDER BY method""".stripMargin,
+    "ann_recall_atk" ->
+      """SELECT * FROM (VALUES
+        |  ('ivf', true, true),
+        |  ('lsh', true, true)) AS t(method, planted_ok, recall_ok)
         |ORDER BY method""".stripMargin,
     // Each probe's exact duplicate is planted in the corpus; the index
     // must return it as the top-1 neighbor at cosine 1.0.

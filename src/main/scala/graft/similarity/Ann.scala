@@ -81,6 +81,11 @@ object Ann {
     val data = emb(spark, sfDir)
     val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    bruteForceTopKOf(data, probes, k)
+  }
+
+  /** [[bruteForceTopK]] over an arbitrary corpus and probe frame. */
+  def bruteForceTopKOf(data: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = data.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
     val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
@@ -154,6 +159,65 @@ object Ann {
     lshTopKOf(data, probes, k = 1, nTables, planesPerTable)
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .orderBy("probe_id")
+  }
+
+  // ------------------------------------------- recall@k on dense clusters
+
+  /** Corpus + a PLANTED DENSE NEIGHBORHOOD around every
+    * `vec_id % centerEvery == 0` vector: `members` copies rotated by
+    * exact graded angles (cosine 1-0.01j for member j — 0.99 down to
+    * 0.88 at the default 12), ids at `center + j*PlantOffset`. Every
+    * center thus has MORE true near neighbors than k, at controlled
+    * graded distances — the regime where recall@k is a meaningful
+    * number rather than a needle-in-haystack detection test.
+    */
+  def clusteredEmbeddings(spark: SparkSession, sfDir: String,
+                          centerEvery: Int = 20, members: Int = 12,
+                          offset: Long = 1000000L): DataFrame = {
+    val e = emb(spark, sfDir).select("vec_id", "embedding")
+    graft.dedup.NearDup.guardIds(e, "vec_id")
+    val centers = e.filter(pmod(col("vec_id"), lit(centerEvery)) === 0)
+    (1 to members).foldLeft(e) { (acc, j) =>
+      acc.unionByName(
+        graft.dedup.NearDup.rotatedTo(centers, 1.0 - 0.01 * j)
+          .select((col("vec_id") + j * offset).as("vec_id"), col("embedding")))
+    }
+  }
+
+  /** recall@k contract for BOTH ANN indexes over the clustered corpus:
+    * each center probes for its top-k; ground truth is the engine's own
+    * exact brute force over the same corpus (its per-neighbor ranking
+    * is separately oracle-verified by ann_bruteforce); realized recall
+    * must clear a per-method pin. Output: one oracle-pinned boolean row
+    * per method. This is THE number an ANN user quotes — recall@k among
+    * genuinely dense competition, not planted-copy top-1 detection.
+    */
+  def annRecallAtK(spark: SparkSession, sfDir: String, k: Int = 10,
+                   centerEvery: Int = 20, members: Int = 12,
+                   minRecallLsh: Double = 0.95, minRecallIvf: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    // one eager materialization shared by all three pipelines (brute,
+    // lsh, ivf — plus k-means passes inside ivf)
+    val data = clusteredEmbeddings(spark, sfDir, centerEvery, members).localCheckpoint()
+    val probes = data
+      .filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(centerEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .localCheckpoint()
+    val nProbes = probes.count()
+    val brute = bruteForceTopKOf(data, probes, k)
+      .select("probe_id", "neighbor_id").localCheckpoint()
+    val nTruth = brute.count() // = k * nProbes
+    def recallOf(ann: DataFrame): Double = {
+      val hits = brute.join(ann.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id")).count()
+      if (nTruth == 0) 0.0 else hits.toDouble / nTruth
+    }
+    val lshRecall = recallOf(lshTopKOf(data, probes, k, nTables = 8, planesPerTable = 6))
+    val ivfRecall = recallOf(Ivf.ivfTopKOf(data, probes, k, nLists = 16, nProbe = 4))
+    Seq(
+      ("ivf", nProbes > 0, ivfRecall >= minRecallIvf),
+      ("lsh", nProbes > 0, lshRecall >= minRecallLsh))
+      .toDF("method", "planted_ok", "recall_ok").orderBy("method")
   }
 
   /** Single-row LSH-ANN quality summary: probe count, result count, and

@@ -71,6 +71,27 @@ class AnnSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") >= 0.25, s"recall ${row.getAs[Double]("recall")}")
   }
 
+  test("recall@10 on dense clusters: both methods clear their pins, and the pin has teeth") {
+    val rows = Ann.annRecallAtK(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
+    rows.foreach(r => assert(r.getBoolean(1) && r.getBoolean(2),
+      s"${r.getString(0)} failed its recall@k contract: $r"))
+    // teeth: a detuned index (2 tables instead of 8) must FAIL the pin —
+    // otherwise the contract guards nothing
+    val data = Ann.clusteredEmbeddings(spark, sf0001).localCheckpoint()
+    val probes = data
+      .filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(20)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val brute = Ann.bruteForceTopKOf(data, probes, 10).select("probe_id", "neighbor_id")
+    val nTruth = brute.count()
+    val detunedHits = brute.join(
+      Ann.lshTopKOf(data, probes, 10, nTables = 2, planesPerTable = 6)
+        .select("probe_id", "neighbor_id"),
+      Seq("probe_id", "neighbor_id")).count()
+    assert(detunedHits.toDouble / nTruth < 0.95,
+      s"detuned LSH still clears the pin (${detunedHits.toDouble / nTruth}) — pin too weak")
+  }
+
   test("hyperplanes are seed-deterministic") {
     val p1 = Ann.hyperplanes(4, 8, seed = 7L)
     val p2 = Ann.hyperplanes(4, 8, seed = 7L)
