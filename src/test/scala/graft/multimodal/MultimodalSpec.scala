@@ -21,25 +21,85 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f1.sum - 1.0f) < 1e-5)
   }
 
-  test("feature extraction yields one fixed-width vector per media row") {
-    val feats = Multimodal.extractFeatures(spark, sf0001)
-    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
-    assert(feats.count() == n)
-    val r = feats.limit(3).collect()
-    assert(r.forall(_.getSeq[Float](1).length == 16))
+  // ------------------------------------------------------ real PPM codec
+
+  test("PPM round trip: encode then decode is the identity") {
+    val img = Ppm.Image(3, 2, Array.tabulate(18)(i => (i * 11 % 256).toByte))
+    val back = Ppm.decode(Ppm.encode(img))
+    assert(back.isDefined)
+    assert(back.get.width == 3 && back.get.height == 2)
+    assert(back.get.raster.toSeq == img.raster.toSeq)
   }
 
-  test("resize rewrites payload to the target size with updated metadata") {
-    val rows = Multimodal.resize(spark, sf0001, w = 8, h = 8).limit(10).collect()
+  test("PPM parser: comments and flexible whitespace per spec; trailing bytes ignored") {
+    val raster = Array.tabulate(12)(_.toByte)
+    val header = "P6 # comment\n# another comment\n 2\t2 # dims\n255\n".getBytes("US-ASCII")
+    val payload = header ++ raster ++ Array[Byte](9, 9, 9)
+    val img = Ppm.decode(payload)
+    assert(img.isDefined && img.get.width == 2 && img.get.height == 2)
+    assert(img.get.raster.toSeq == raster.toSeq)
+  }
+
+  test("PPM parser: malformed payloads return None, never throw") {
+    val good = Ppm.encode(Ppm.Image(2, 2, new Array[Byte](12)))
+    assert(Ppm.decode(Array[Byte]()).isEmpty, "empty")
+    assert(Ppm.decode("P5\n2 2\n255\n".getBytes ++ new Array[Byte](12)).isEmpty, "wrong magic")
+    assert(Ppm.decode(good.take(4)).isEmpty, "truncated header")
+    assert(Ppm.decode(good.dropRight(1)).isEmpty, "short raster")
+    assert(Ppm.decode("P6\n0 2\n255\n".getBytes).isEmpty, "zero width")
+    assert(Ppm.decode("P6\n2 2\n70000\n".getBytes ++ new Array[Byte](12)).isEmpty, "maxval > 255")
+  }
+
+  test("nearest-neighbor resize follows the floor rule") {
+    // 2x1 -> 4x1: x=0,1 map to src 0; x=2,3 map to src 1
+    val img = Ppm.Image(2, 1, Array[Byte](1, 2, 3, 10, 20, 30))
+    val out = Ppm.resizeNearest(img, 4, 1)
+    assert(out.raster.toSeq == Seq[Byte](1, 2, 3, 1, 2, 3, 10, 20, 30, 10, 20, 30))
+  }
+
+  test("ppmTable payloads are genuine P6 images the codec accepts; id%13=0 malformed") {
+    val rows = Multimodal.ppmTable(spark, sf0001).limit(30).collect()
     rows.foreach { r =>
-      assert(r.getAs[Array[Byte]]("payload").length == 64)
-      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
-      assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 8)
+      val id = r.getLong(0)
+      val decoded = Ppm.decode(r.getAs[Array[Byte]](1))
+      if (id % 13 == 0) assert(decoded.isEmpty, s"media $id should be malformed")
+      else {
+        assert(decoded.isDefined, s"media $id should decode")
+        val img = decoded.get
+        assert(img.width == 2 + (id % 6) && img.height == 2 + (id % 4))
+        // raster byte i = (id*31 + i*7) % 256 — the formula the oracle uses
+        img.raster.zipWithIndex.foreach { case (b, i) =>
+          assert((b & 0xFF) == ((id * 31 + i * 7) % 256).toInt, s"media $id byte $i")
+        }
+      }
     }
-    // deterministic: same input -> same bytes
-    val a = Multimodal.resizeStub("hello multimodal world".getBytes, 4, 4)
-    val b = Multimodal.resizeStub("hello multimodal world".getBytes, 4, 4)
-    assert(a.toSeq == b.toSeq)
+  }
+
+  test("feature summary: parsed dims + peak for valid rows, ok=false for malformed") {
+    val rows = Multimodal.featureSummary(spark, sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val (id, ok) = (r.getLong(0), r.getBoolean(1))
+      assert(ok == (id % 13 != 0), s"media $id ok=$ok")
+      if (ok) {
+        assert(r.getInt(2) == 2 + (id % 6) && r.getInt(3) == 2 + (id % 4))
+        val peak = r.getDouble(4)
+        assert(peak > 0.0 && peak <= 1.0)
+      } else assert(r.getInt(2) == 0 && r.getDouble(4) == 0.0)
+    }
+  }
+
+  test("resize re-encodes valid P6 at the target size; malformed rows carried") {
+    val rows = Multimodal.resize(spark, sf0001, 4, 4).limit(30).collect()
+    rows.foreach { r =>
+      val (id, ok, payload) = (r.getLong(0), r.getBoolean(1), r.getAs[Array[Byte]](2))
+      if (ok) {
+        val img = Ppm.decode(payload)
+        assert(img.isDefined && img.get.width == 4 && img.get.height == 4)
+        assert(payload.length == 59)
+      } else assert(id % 13 == 0 && payload.isEmpty)
+    }
   }
 
   test("frame sampling explodes each media row into nFrames feature rows") {
@@ -49,13 +109,5 @@ class MultimodalSpec extends SparkSpec {
     val perMedia = frames.groupBy("media_id").count().select("count").distinct().collect()
     assert(perMedia.length == 1 && perMedia(0).getLong(0) == 3)
     assert(frames.limit(5).collect().forall(_.getSeq[Float](2).length == 16))
-  }
-
-  test("feature summary l1 is ~1 for non-empty payloads") {
-    val rows = Multimodal.featureSummary(spark, sf0001).limit(20).collect()
-    rows.foreach { r =>
-      val l1 = r.getAs[Double]("l1")
-      assert(math.abs(l1 - 1.0) < 1e-3, s"l1=$l1")
-    }
   }
 }
