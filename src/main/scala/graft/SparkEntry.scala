@@ -118,6 +118,11 @@ object SparkEntry {
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeSummary(s, d)),
     "corpus_filter" -> graft.text.CorpusFilter.funnel _,
     "corpus_pack" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.pack(s, d)),
+    // physical shard write + read-back: the census of what was WRITTEN
+    // must equal the manifest — same oracle SQL as corpus_pack, so a
+    // dropped row, a partition-key mixup, or a lossy type round-trip
+    // through the partitioned layout breaks the hash.
+    "corpus_pack_write" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.writeShards(s, d)),
     "corpus_split" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.split(s, d)),
     // §2d — streaming
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
@@ -530,21 +535,33 @@ object SparkEntry {
     // a byte = its HIGH NIBBLE = the odd-position chars of hex(payload),
     // so the whole decode→feature→summary path is SQL-reproducible.
     // Float32 division on both sides keeps the doubles bit-comparable.
+    // REAL PPM decode: the engine parses genuine P6 bytes; the oracle
+    // never touches bytes — it recomputes expected output from the
+    // image GENERATION formula (raster byte i = (id*31+i*7)%256,
+    // w=2+id%6, h=2+id%4; id%13=0 payloads truncated => malformed).
+    // A parser off by one header byte shifts every raster value and
+    // the histograms diverge.
     "mm_features" ->
-      """WITH h AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
-        |), b AS (
-        |  SELECT doc_id, n, unnest([substr(hx, 2*i - 1, 1) FOR i IN generate_series(1, n)]) AS nib FROM h
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(2 + doc_id % 6 AS INTEGER) AS w,
+        |         CAST(2 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents
+        |), series AS (SELECT unnest(generate_series(0, 125)) AS i),
+        |bins AS (
+        |  SELECT media_id, w, h, ((media_id*31 + i*7) % 256) // 16 AS bin
+        |  FROM m JOIN series ON i < w*h*3 WHERE media_id % 13 <> 0
         |), c AS (
-        |  SELECT doc_id, any_value(n) AS n, nib, count(*) AS cnt FROM b GROUP BY doc_id, nib
-        |), f AS (
-        |  SELECT doc_id, CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS binval FROM c
+        |  SELECT media_id, any_value(w) AS w, any_value(h) AS h, bin, count(*) AS cnt
+        |  FROM bins GROUP BY media_id, bin
+        |), pk AS (
+        |  SELECT media_id, w AS width, h AS height,
+        |    floor(max(cnt) * 10000.0 / (w*h*3) + 0.5) / 10000.0 AS peak
+        |  FROM c GROUP BY media_id, w, h
         |)
-        |-- left join from h keeps empty-payload docs (engine emits l1=0, peak=0 for them)
-        |SELECT h.doc_id AS media_id,
-        |  round(coalesce(sum(f.binval), 0.0), 4) AS l1,
-        |  round(coalesce(max(f.binval), 0.0), 4) AS peak
-        |FROM h LEFT JOIN f ON h.doc_id = f.doc_id GROUP BY h.doc_id ORDER BY media_id""".stripMargin,
+        |SELECT media_id, true AS ok, width, height, peak FROM pk
+        |UNION ALL
+        |SELECT media_id, false, 0, 0, CAST(0.0 AS DOUBLE) FROM m WHERE media_id % 13 = 0
+        |ORDER BY media_id""".stripMargin,
     // Frame boundaries mirror Multimodal.sampleFrames exactly (integer
     // size = max(n/4, 1); last frame absorbs the tail); each frame's
     // high-nibble histogram is rebuilt from the odd hex positions of
@@ -573,27 +590,28 @@ object SparkEntry {
         |SELECT r.media_id AS media_id, CAST(r.f AS INTEGER) AS frame, coalesce(pk.peak, 0.0) AS peak
         |FROM rng r LEFT JOIN pk ON r.media_id = pk.media_id AND r.f = pk.f
         |ORDER BY media_id, frame""".stripMargin,
-    // Resampled byte i of a 64x64 resize = payload byte (i*n)//4096
-    // (Multimodal.resizeStub). Closed form over the n ACTUAL bytes
-    // instead of the 4096 samples: byte j is hit by samples
-    // i in [ceil(j*4096/n), ceil((j+1)*4096/n)), so its multiplicity
-    // is the ceil difference — identical sum, ~10x fewer unnested rows
-    // for sub-4096-byte payloads. Empty payloads resample to all zeros.
+    // REAL PPM resize: decode -> nearest-neighbor to 4x4 (src pixel
+    // (x*w//4, y*h//4)) -> P6 re-encode. Oracle recomputes the checksum
+    // from the generation formula + the same floor rule: resampled
+    // raster byte (x,y,c) = (id*31 + (((y*h//4)*w + x*w//4)*3 + c)*7)
+    // % 256; re-encoded payload = 11 header bytes ("P6\n4 4\n255\n",
+    // byte sum 456) + 48 raster bytes.
     "mm_resize" ->
-      """WITH h AS (
-        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+        |  FROM documents
+        |), grid AS (
+        |  SELECT i // 12 AS y, (i // 3) % 4 AS x, i % 3 AS c
+        |  FROM (SELECT unnest(generate_series(0, 47)) AS i)
         |), s AS (
-        |  SELECT media_id, hx, n, unnest(generate_series(0, n - 1)) AS j FROM h WHERE n > 0
-        |), sums AS (
         |  SELECT media_id,
-        |    CAST(sum( ( (((j + 1) * 4096 + n - 1) // n) - ((j * 4096 + n - 1) // n) ) *
-        |      ((strpos('0123456789ABCDEF', substr(hx, 2*j + 1, 1)) - 1) * 16
-        |       + strpos('0123456789ABCDEF', substr(hx, 2*j + 2, 1)) - 1) ) AS BIGINT) AS byte_sum
-        |  FROM s GROUP BY media_id
+        |    456 + sum((media_id*31 + (((y*h//4)*w + x*w//4)*3 + c)*7) % 256) AS byte_sum
+        |  FROM m, grid WHERE media_id % 13 <> 0 GROUP BY media_id
         |)
-        |SELECT h.media_id AS media_id, CAST(4096 AS INTEGER) AS n_bytes,
-        |  coalesce(sums.byte_sum, 0) AS byte_sum
-        |FROM h LEFT JOIN sums ON h.media_id = sums.media_id
+        |SELECT media_id, true AS ok, CAST(59 AS INTEGER) AS n_bytes,
+        |  CAST(byte_sum AS BIGINT) AS byte_sum FROM s
+        |UNION ALL
+        |SELECT media_id, false, 0, 0 FROM m WHERE media_id % 13 = 0
         |ORDER BY media_id""".stripMargin,
     // Composite pipeline funnel: dedup keepers + quality gates + langid
     // rebuilt stage by stage from the already-oracle-validated fragments.
@@ -628,6 +646,22 @@ object SparkEntry {
         |  round(avg(CASE WHEN keeper * quality * is_en = 1 THEN n_tokens END), 2) AS avg_tokens_retained
         |FROM fl""".stripMargin,
     "corpus_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id % 4 AS bucket,
+        |    length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, bucket, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |)
+        |SELECT lang, bucket, CAST(floor((cum - n_tokens) / 2000.0) AS INT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // identical to corpus_pack: the read-back census must equal the
+    // manifest exactly
+    "corpus_pack_write" ->
       """WITH d AS (
         |  SELECT doc_id, lang, doc_id % 4 AS bucket,
         |    length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens

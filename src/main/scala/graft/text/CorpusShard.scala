@@ -37,14 +37,17 @@ object CorpusShard {
     * (n_docs, token total, doc_id span) — the manifest a downstream
     * tokenizer run consumes.
     */
-  def pack(spark: SparkSession, sfDir: String,
-           budget: Long = ShardTokenBudget,
-           buckets: Int = PackBuckets): DataFrame = {
+  /** Per-document shard assignment — the row-level substrate shared by
+    * the census ([[pack]]) and the physical writer ([[writeShards]]):
+    * (doc_id, text, lang, bucket, n_tokens, shard).
+    */
+  private[graft] def assignments(spark: SparkSession, sfDir: String,
+                                 budget: Long, buckets: Int): DataFrame = {
     // non-ANSI Spark turns /0 and pmod(_, 0) into silent NULL shard
     // ids (every doc collapses into one null shard) — fail loudly
     require(budget > 0 && buckets > 0, s"invalid pack knobs ($budget, $buckets)")
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("text"), col("lang"),
         pmod(col("doc_id"), lit(buckets)).as("bucket"),
         TextOps.wsTokenCount(col("text")).cast("long").as("n_tokens"))
     val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
@@ -52,7 +55,57 @@ object CorpusShard {
     d.withColumn("cum", sum("n_tokens").over(w))
       .withColumn("shard",
         floor((col("cum") - col("n_tokens")) / budget).cast("int"))
+      .drop("cum")
+  }
+
+  def pack(spark: SparkSession, sfDir: String,
+           budget: Long = ShardTokenBudget,
+           buckets: Int = PackBuckets): DataFrame =
+    assignments(spark, sfDir, budget, buckets)
       .groupBy("lang", "bucket", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "bucket", "shard")
+
+  /** PHYSICALLY write the packed shards — the step that turns the
+    * census into files a tokenizer run can consume — and return the
+    * read-back census, which must equal [[pack]]'s manifest (the
+    * oracle for `corpus_pack_write` IS the manifest SQL).
+    *
+    * Layout: parquet partitioned by (lang, bucket, shard), so every
+    * shard is independently addressable as a directory and partition
+    * pruning serves shard-range reads without touching the rest.
+    * `maxRecordsPerFile` caps any single file regardless of how the
+    * budget knob is (mis)sized; at cluster scale pair it with the
+    * budget so one shard ≈ one task's comfortable input. The write
+    * shuffles on the partition keys first (one repartition) so each
+    * shard directory is written by ONE task — without it every input
+    * task appends a sliver file to every open shard.
+    */
+  def writeShards(spark: SparkSession, sfDir: String,
+                  outDir: Option[String] = None,
+                  budget: Long = ShardTokenBudget,
+                  buckets: Int = PackBuckets,
+                  maxRecordsPerFile: Int = 1000000): DataFrame = {
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = outDir.getOrElse(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-$user", s"shards-$digest").toString)
+    assignments(spark, sfDir, budget, buckets)
+      .repartition(col("lang"), col("bucket"), col("shard"))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("lang", "bucket", "shard")
+      .parquet(out)
+    // read-back census: partition-column types are directory-inferred
+    // (ints), cast back to the manifest's types for comparison
+    spark.read.parquet(out)
+      .groupBy(col("lang"), col("bucket").cast("long").as("bucket"),
+        col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("shard_tokens"),
         min("doc_id").as("first_doc"),

@@ -90,4 +90,42 @@ class CorpusShardSpec extends SparkSpec {
     val b = CorpusShard.split(spark, sf0001).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("writeShards: read-back census equals the manifest; layout is shard-addressable") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-spec").toString
+    try {
+      val census = CorpusShard.writeShards(spark, sf0001, Some(out)).collect().map(_.toString)
+      val manifest = CorpusShard.pack(spark, sf0001).collect().map(_.toString)
+      assert(census.toSeq == manifest.toSeq,
+        "what was WRITTEN must reconcile with what was PLANNED")
+      // every (lang,bucket,shard) is its own directory — partition
+      // pruning can address a single shard without touching the rest
+      val dirs = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .filter(p => p.getFileName.toString.startsWith("shard=")).count()
+      assert(dirs == manifest.length, s"$dirs shard dirs for ${manifest.length} manifest rows")
+      // the written rows are tokenizer-consumable: text + token count survive
+      val back = spark.read.parquet(out)
+      assert(back.columns.toSet == Set("doc_id", "text", "n_tokens", "lang", "bucket", "shard"))
+      assert(back.filter(col("text").isNull).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("writeShards: maxRecordsPerFile caps any single file") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-cap").toString
+    try {
+      CorpusShard.writeShards(spark, sf0001, Some(out), maxRecordsPerFile = 2).collect()
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toArray.map(_.toString)
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val n = spark.read.parquet(f).count()
+        assert(n <= 2, s"$f holds $n rows > cap 2")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
