@@ -112,6 +112,16 @@ object SparkEntry {
     "text_quality" -> TextOps.qualityScores _,
     "text_tokens" -> TextOps.tokenStats _,
     "text_fingerprint" -> TextOps.fingerprints _,
+    // PII scrub audit: planted id-derived emails/IPs/phones/SSNs must
+    // each be counted, located, measured (chars redacted) and fully
+    // removed (residual = 0) — the oracle recomputes all four numbers
+    // from the identical RE2 patterns on the rebuilt planted corpus.
+    "text_pii_scrub" -> ((s: SparkSession, d: String) => graft.text.Pii.piiScrub(s, d)),
+    // Repetition quality signal: word-3-gram multiset stats per lang;
+    // planted degenerate docs (10-token prefix × 5) must be flagged —
+    // the per-doc flag is exact integer arithmetic, so one missed or
+    // phantom flag is a hash break.
+    "text_repetition" -> ((s: SparkSession, d: String) => graft.text.Repetition.repetitionStats(s, d)),
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
@@ -526,6 +536,80 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(substring(s, i, 1)) AS BIGINT) FOR i IN generate_series(1, length(s))]), (a, x) -> (a * 31 + x) % 1000000007) AS fp_roll,
         |  substring(md5(s), 1, 16) AS fp_md5
         |FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents) t ORDER BY doc_id""".stripMargin,
+    // Word-3-gram MULTISET stats (multiplicity matters — this is the
+    // repetition signal, not the dedup shingle set); the planted
+    // prefix×5 docs land in n_docs_repetitive via exact int arithmetic.
+    "text_repetition" ->
+      """WITH planted AS (
+        |  SELECT doc_id, lang, lower(text) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, lang,
+        |    trim(repeat(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:10], ' ') || ' ', 5)) AS text
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND length(regexp_extract_all(text, '\S+')) >= 10
+        |), tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM planted
+        |), g AS (
+        |  SELECT doc_id, lang, unnest([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, length(t) - 2)]) AS gram
+        |  FROM tk WHERE length(t) >= 3
+        |), pg AS (
+        |  SELECT doc_id, lang, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+        |), pd AS (
+        |  SELECT doc_id, lang, sum(c) AS total, count(*) AS dist, max(c) AS maxc FROM pg GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(total) AS BIGINT) AS total_grams,
+        |  CAST(sum(dist) AS BIGINT) AS distinct_grams,
+        |  floor((1.0 - CAST(sum(dist) AS DOUBLE) / CAST(sum(total) AS DOUBLE)) * 10000 + 0.5) / 10000 AS rep_ratio,
+        |  CAST(sum(CASE WHEN (total - dist) * 5 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_repetitive,
+        |  floor(max(CAST(maxc AS DOUBLE) / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000 AS max_top_share
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+    // Pattern strings are the SAME RE2-safe dialect Spark runs
+    // (graft.text.Pii.Categories) — both engines must agree
+    // match-for-match on counts, matched docs, redacted chars and the
+    // zero residual after the full sequential redaction.
+    "text_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    text || CASE doc_id % 4
+        |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      WHEN 1 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id // 7) % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+        |      WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+        |    END AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), c AS (
+        |  SELECT text,
+        |    length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS m_email,
+        |    length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS m_ipv4,
+        |    length(regexp_extract_all(text, '\+1-\d{3}-\d{4}')) AS m_phone,
+        |    length(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS m_ssn,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS d_email,
+        |    length(text) - length(regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS d_ipv4,
+        |    length(text) - length(regexp_replace(text, '\+1-\d{3}-\d{4}', '<PHONE>', 'g')) AS d_phone,
+        |    length(text) - length(regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS d_ssn,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+1-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS red
+        |  FROM planted
+        |)
+        |SELECT 'email' AS category, CAST(sum(m_email) AS BIGINT) AS n_matches,
+        |  CAST(sum(CASE WHEN m_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(d_email) AS BIGINT) AS n_chars_redacted,
+        |  CAST(sum(length(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_residual FROM c
+        |UNION ALL
+        |SELECT 'ipv4', CAST(sum(m_ipv4) AS BIGINT), CAST(sum(CASE WHEN m_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(d_ipv4) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'phone', CAST(sum(m_phone) AS BIGINT), CAST(sum(CASE WHEN m_phone > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(d_phone) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\+1-\d{3}-\d{4}'))) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'ssn', CAST(sum(m_ssn) AS BIGINT), CAST(sum(CASE WHEN m_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(d_ssn) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) FROM c
+        |ORDER BY category""".stripMargin,
     "mm_metadata" ->
       """SELECT 'fake/image' AS mime, ((doc_id % 16) * 64 + 64) >= 512 AS is_wide, count(*) AS n,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
