@@ -127,6 +127,10 @@ object SparkEntry {
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeSummary(s, d)),
     "corpus_filter" -> graft.text.CorpusFilter.funnel _,
+    // Benchmark decontamination: 8-gram collision scan of the corpus
+    // against a probe set; planted contaminated docs must show
+    // n_hit_docs >= 2 / leaked=true per the arithmetic planting rule.
+    "corpus_decontaminate" -> ((s: SparkSession, d: String) => graft.text.Decontaminate.decontaminate(s, d)),
     "corpus_pack" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.pack(s, d)),
     // physical shard write + read-back: the census of what was WRITTEN
     // must equal the manifest — same oracle SQL as corpus_pack, so a
@@ -729,6 +733,32 @@ object SparkEntry {
         |  CAST(sum(keeper * quality * is_en) AS BIGINT) AS n_retained,
         |  round(avg(CASE WHEN keeper * quality * is_en = 1 THEN n_tokens END), 2) AS avg_tokens_retained
         |FROM fl""".stripMargin,
+    // Token-aligned 8-gram collision scan vs the probe set (first 8
+    // tokens of every 37th doc); the %74 plants wrap the probe phrase
+    // in filler, so the source doc AND the plant must both hit.
+    "corpus_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents
+        |), tk0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM base
+        |), planted AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id,
+        |    'decon filler opens here ' || array_to_string(t[1:8], ' ') || ' and filler closes' AS text
+        |  FROM tk0 WHERE doc_id % 74 = 0 AND length(t) >= 8
+        |), tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM planted
+        |  WHERE length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 8
+        |), p AS (
+        |  SELECT doc_id AS bench_doc_id, array_to_string(t[1:8], ' ') AS gram
+        |  FROM tk WHERE doc_id % 37 = 0 AND doc_id < 1000000
+        |), g AS (
+        |  SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, length(t) - 7)]) AS gram
+        |  FROM tk
+        |)
+        |SELECT bench_doc_id, CAST(count(*) AS BIGINT) AS n_hit_docs, count(*) > 1 AS leaked
+        |FROM g JOIN p USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
     "corpus_pack" ->
       """WITH d AS (
         |  SELECT doc_id, lang, doc_id % 4 AS bucket,
