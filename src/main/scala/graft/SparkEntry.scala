@@ -106,6 +106,11 @@ object SparkEntry {
     "ann_recall_atk" -> ((s: SparkSession, d: String) => Ann.annRecallAtK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshPlantedTop1(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfPlantedTop1(s, d)),
+    // Product quantization: compressed-domain ADC scan + exact re-rank;
+    // recall@10 over the same dense clustered corpus as ann_recall_atk,
+    // pinned >= 0.90 (measured via RecallProbe; detuned m/ksub/rerank
+    // falls below the pin).
+    "ann_pq" -> ((s: SparkSession, d: String) => graft.similarity.Pq.pqRecallAtK(s, d)),
     "text_langid" -> TextOps.langId _,
     "text_ngram_counts" -> ((s: SparkSession, d: String) => TextOps.ngramCounts(s, d)),
     "text_token_budget" -> TextOps.tokenBudget _,
@@ -460,6 +465,12 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('ivf', true, true),
         |  ('lsh', true, true)) AS t(method, planted_ok, recall_ok)
+        |ORDER BY method""".stripMargin,
+    // Same dense-cluster recall regime as ann_recall_atk, for the PQ
+    // compressed-domain scan + exact re-rank.
+    "ann_pq" ->
+      """SELECT * FROM (VALUES
+        |  ('pq', true, true)) AS t(method, planted_ok, recall_ok)
         |ORDER BY method""".stripMargin,
     // Each probe's exact duplicate is planted in the corpus; the index
     // must return it as the top-1 neighbor at cosine 1.0.

@@ -1,0 +1,177 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Product quantization (PQ) — the third ANN scale path beside
+  * [[Ann]]'s LSH and [[Ivf]]: vectors are compressed to `m` one-byte
+  * codes (one per subspace) and queries scan the COMPRESSED corpus via
+  * asymmetric distance computation (ADC), re-ranking only a small
+  * candidate set exactly. At 100 TB this is the memory lever: a
+  * 64-dim float vector (256 B) becomes m=8 codes (8 B) — the corpus
+  * fits executor memory 32× denser, and the scan reads codes, not
+  * vectors. (Classic composition stacks this inside [[Ivf]]'s lists —
+  * both stages here are built from the same assignment primitive, so
+  * composing is a filter on list_id before the ADC scan.)
+  *
+  * Scale design mirrors Ivf: codebooks are m×ksub×(dim/m) doubles —
+  * driver-local bytes by construction — so sub-vector assignment and
+  * the per-probe ADC distance are literal-codebook CODEGEN expressions
+  * (no crossJoin against a centroid table, no shuffle, no per-vector
+  * window). The ADC scan joins broadcast probes against the codes
+  * frame; only (probe, vec, adist) survive to the re-rank window, and
+  * exact embeddings are joined back for the top-`rerank` candidates
+  * ONLY.
+  *
+  * Correctness: k-means is data-dependent, so the oracle contract
+  * ([[pqRecallAtK]], `ann_pq`) follows the ann_recall_atk pattern —
+  * recall@k over [[Ann.clusteredEmbeddings]]' dense planted
+  * neighborhoods vs the engine's own (oracle-ranked) brute force,
+  * pinned as booleans. Detuning m/ksub/rerank drops recall below the
+  * pin and breaks the hash.
+  */
+object Pq {
+
+  /** Codebooks: `books(s)(code)` = centroid of subspace `s`. */
+  type Codebooks = Array[Array[Seq[Double]]]
+
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sub-vector `s` (0-based) of a double-array column. */
+  private def subSlice(vec: Column, s: Int, sub: Int): Column =
+    slice(vec, s * sub + 1, sub)
+
+  /** 0-based nearest-code argmin over a literal codebook — ties to the
+    * lowest code, same rule as [[Ivf.nearestIdExpr]].
+    */
+  private[similarity] def nearestCodeExpr(book: Array[Seq[Double]], subv: Column): Column = {
+    val dists = array(book.map(c => VectorOps.distSq(subv, array(c.map(lit): _*))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Literal nested-array codebook for subspace `s` (ADC lookup). */
+  private def bookLit(book: Array[Seq[Double]]): Column =
+    array(book.map(c => array(c.map(lit): _*)): _*)
+
+  /** Deterministic per-subspace k-means (joint Lloyd over all
+    * subspaces): init = evenly spaced vec_ids' sub-vectors (no RNG);
+    * each iteration is ONE corpus scan — the m-way sub-vector explode,
+    * literal-codebook assignment and (s, code, dim) partial-avg all
+    * happen inside the same stage, and only m·ksub·(dim/m) centroid
+    * doubles reach the driver per pass. Codes with no members keep
+    * their previous centroid (k-means' standard empty-cluster rule).
+    */
+  def trainCodebooks(data: DataFrame, m: Int, ksub: Int, iters: Int = 3): Codebooks = {
+    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    // Init: ksub deterministic pseudo-random rows via hash-ordered
+    // top-k (TakeOrderedAndProject — distributed, no global sort, no
+    // reliance on contiguous ids; planted corpora leave id holes).
+    val initRows = data
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Double](1))
+    require(initRows.nonEmpty, "empty corpus — no codebook init rows")
+    val seed = Array.tabulate(ksub)(i => initRows(i % initRows.length))
+    var books: Codebooks = Array.tabulate(m)(s =>
+      seed.map(v => v.slice(s * sub, s * sub + sub)))
+    for (_ <- 1 to iters) {
+      val parts = data.select(explode(array((0 until m).map { s =>
+        val sv = subSlice(dvec(col("embedding")), s, sub)
+        struct(lit(s).as("s"), nearestCodeExpr(books(s), sv).as("code"), sv.as("subvec"))
+      }: _*)).as("p"))
+        .select(col("p.s"), col("p.code"), posexplode(col("p.subvec")).as(Seq("i", "x")))
+        .groupBy("s", "code", "i")
+        .agg(avg("x").as("c"))
+        .groupBy("s", "code")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          e => e.getField("c")).as("cvec"))
+        .collect()
+      val next = books.map(_.clone())
+      parts.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Compressed corpus: (vec_id, codes array<int> of length m). */
+  def encode(data: DataFrame, books: Codebooks): DataFrame = {
+    val sub = books(0)(0).length
+    data.select(col("vec_id"),
+      array(books.indices.map(s =>
+        nearestCodeExpr(books(s), subSlice(dvec(col("embedding")), s, sub))): _*).as("codes"))
+  }
+
+  /** ADC squared distance between a probe vector and a codes column —
+    * sum over subspaces of distSq(probe sub-vector, codebook[code]).
+    * Pure literal-codebook codegen arithmetic per scanned row.
+    */
+  private def adcDistExpr(books: Codebooks, probeVec: Column, codes: Column): Column = {
+    val sub = books(0)(0).length
+    books.indices.map { s =>
+      VectorOps.distSq(
+        subSlice(probeVec, s, sub),
+        element_at(bookLit(books(s)), element_at(codes, s + 1) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** PQ top-k with exact re-rank: ADC scan of the compressed corpus →
+    * top-`rerank` candidates per probe → exact cosine on candidates
+    * only → top-k.
+    */
+  def pqTopKOf(data: DataFrame, probes: DataFrame, k: Int,
+               m: Int = 8, ksub: Int = 16, iters: Int = 3,
+               rerank: Int = 50): DataFrame = {
+    val books = trainCodebooks(data, m, ksub, iters)
+    val codes = encode(data, books)
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+    val candidates = codes
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("adist", adcDistExpr(books, dvec(col("probe_vec")), col("codes")))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select("probe_id", "vec_id")
+    val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
+    candidates
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** recall@k contract over the dense clustered corpus (`ann_pq`):
+    * same regime as [[Ann.annRecallAtK]] — every center has 12 graded
+    * planted neighbors, ground truth is the engine's own brute force,
+    * and the realized PQ recall must clear the pin. One boolean row.
+    */
+  def pqRecallAtK(spark: SparkSession, sfDir: String, k: Int = 10,
+                  centerEvery: Int = 20, members: Int = 12,
+                  minRecall: Double = 0.90): DataFrame = {
+    import spark.implicits._
+    val data = Ann.clusteredEmbeddings(spark, sfDir, centerEvery, members).localCheckpoint()
+    val probes = data
+      .filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(centerEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .localCheckpoint()
+    val nProbes = probes.count()
+    val brute = Ann.bruteForceTopKOf(data, probes, k)
+      .select("probe_id", "neighbor_id").localCheckpoint()
+    val nTruth = brute.count()
+    val hits = brute.join(
+      pqTopKOf(data, probes, k).select("probe_id", "neighbor_id"),
+      Seq("probe_id", "neighbor_id")).count()
+    val recall = if (nTruth == 0) 0.0 else hits.toDouble / nTruth
+    Seq(("pq", nProbes > 0, recall >= minRecall))
+      .toDF("method", "planted_ok", "recall_ok").orderBy("method")
+  }
+}
