@@ -143,6 +143,11 @@ object SparkEntry {
     // through the partitioned layout breaks the hash.
     "corpus_pack_write" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.writeShards(s, d)),
     "corpus_split" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.split(s, d)),
+    // Mixture rebalance: downsample strata to a target language mix
+    // (limiting stratum kept whole) via the split LCG — achievable
+    // total, rates, kept counts and realized shares all reproduced by
+    // the oracle's integer arithmetic.
+    "corpus_mix" -> ((s: SparkSession, d: String) => graft.text.CorpusMix.mix(s, d)),
     // §2d — streaming
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),
@@ -811,6 +816,32 @@ object SparkEntry {
         |SELECT lang, split, n_docs,
         |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 4) AS frac
         |FROM c ORDER BY 1, 2""".stripMargin,
+    // Achievable total T = min(n_l / w_l); limiting stratum kept whole,
+    // others thinned to w_l*T/n_l via the same LCG as corpus_split.
+    "corpus_mix" ->
+      """WITH w(lang, w) AS (VALUES
+        |  ('de', CAST(0.10 AS DOUBLE)), ('en', CAST(0.50 AS DOUBLE)), ('es', CAST(0.20 AS DOUBLE)),
+        |  ('fr', CAST(0.10 AS DOUBLE)), ('zh', CAST(0.10 AS DOUBLE))
+        |), c AS (
+        |  SELECT lang, count(*) AS n_before FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT c.lang, c.n_before, w.w,
+        |    min(CAST(c.n_before AS DOUBLE) / w.w) OVER () AS t_max
+        |  FROM c JOIN w USING (lang)
+        |), r2 AS (
+        |  SELECT lang, n_before, w,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE), w * t_max / n_before) * 2147483648) AS BIGINT) AS thresh
+        |  FROM r
+        |), k AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN r2 ON d.lang = r2.lang
+        |  WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 < r2.thresh
+        |  GROUP BY 1
+        |)
+        |SELECT r2.lang, CAST(r2.n_before AS BIGINT) AS n_before, CAST(k.n_kept AS BIGINT) AS n_kept,
+        |  floor(r2.w * 10000 + 0.5) / 10000 AS target_share,
+        |  floor(CAST(k.n_kept AS DOUBLE) / (SELECT sum(n_kept) FROM k) * 10000 + 0.5) / 10000 AS realized_share
+        |FROM r2 JOIN k USING (lang) ORDER BY lang""".stripMargin,
     "stream_dedup" ->
       """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -113,14 +113,10 @@ object CorpusShard {
       .orderBy("lang", "bucket", "shard")
   }
 
-  /** LCG constants (Knuth/glibc; public domain folklore) — chosen so
-    * the oracle reproduces the split with plain integer arithmetic.
-    * Thresholds are fraction × 2^31: the comparison reads the high
-    * bits of the mixed value, not the structured low bits.
-    */
-  private val SplitA = 1103515245L
-  private val SplitC = 12345L
-  private val SplitM = 2147483648L
+  // LCG constants shared with CorpusMix — see CorpusShardLcg.
+  // Thresholds are fraction × 2^31: the comparison reads the high
+  // bits of the mixed value, not the structured low bits.
+  import CorpusShardLcg.{SplitA, SplitC, SplitM}
 
   /** Deterministic stratified 80/10/10 split: membership is a pure
     * function of doc_id, so any engine (and any re-run over a grown
