@@ -111,6 +111,11 @@ object SparkEntry {
     // pinned >= 0.90 (measured via RecallProbe; detuned m/ksub/rerank
     // falls below the pin).
     "ann_pq" -> ((s: SparkSession, d: String) => graft.similarity.Pq.pqRecallAtK(s, d)),
+    // IVF-PQ composition (billion-scale shape: coarse lists restrict
+    // the scan, ADC ranks in compressed domain, exact re-rank): the
+    // planted duplicate shares list AND code word, so it must return
+    // top-1 at cosine 1.0.
+    "ann_ivf_pq" -> ((s: SparkSession, d: String) => graft.similarity.Pq.ivfPqPlantedTop1(s, d)),
     "text_langid" -> TextOps.langId _,
     "text_ngram_counts" -> ((s: SparkSession, d: String) => TextOps.ngramCounts(s, d)),
     "text_token_budget" -> TextOps.tokenBudget _,
@@ -477,6 +482,11 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('pq', true, true)) AS t(method, planted_ok, recall_ok)
         |ORDER BY method""".stripMargin,
+    // Planted duplicate shares coarse list and PQ code word -> must be
+    // the top-1 IVF-PQ neighbor at cosine 1.0.
+    "ann_ivf_pq" ->
+      """SELECT vec_id AS probe_id, vec_id + 1000000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
     // Each probe's exact duplicate is planted in the corpus; the index
     // must return it as the top-1 neighbor at cosine 1.0.
     "ann_lsh" ->

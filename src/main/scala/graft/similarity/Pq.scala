@@ -149,6 +149,71 @@ object Pq {
       .orderBy("probe_id", "rk")
   }
 
+  /** IVF-PQ composition — the standard billion-scale index: the IVF
+    * coarse quantizer restricts the scan to nProbe inverted lists, and
+    * within those lists distance is the PQ ADC approximation, re-ranked
+    * exactly. Both stages are literal-table codegen expressions; the
+    * list filter happens BEFORE any per-probe work, so the scanned
+    * fraction is nProbe/nLists of the codes frame — at 100 TB the scan
+    * reads a few percent of an already-32×-compressed corpus.
+    */
+  def ivfPqTopKOf(data: DataFrame, probes: DataFrame, k: Int,
+                  nLists: Int = 16, nProbe: Int = 4,
+                  m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                  rerank: Int = 50): DataFrame = {
+    val cent = Ivf.trainCentroids(data, nLists, iters)
+    val books = trainCodebooks(data, m, ksub, iters)
+    // compressed corpus with list assignment: ONE scan computes both
+    // the coarse list id and the m sub-codes (all literal-table exprs)
+    val centsLocal = cent.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val sub = books(0)(0).length
+    val codes = data.select(col("vec_id"),
+      Ivf.nearestIdExpr(centsLocal, dvec(col("embedding"))).as("list_id"),
+      array(books.indices.map(s =>
+        nearestCodeExpr(books(s), subSlice(dvec(col("embedding")), s, sub))): _*).as("codes"))
+    val wp = Window.partitionBy("probe_id").orderBy(col("dist"), col("list_id"))
+    val probeLists = probes
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", VectorOps.distSq(dvec(col("probe_vec")), col("cvec")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select("probe_id", "list_id")
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+    val candidates = codes
+      .join(probeLists.hint("broadcast"), "list_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(probes), "probe_id")
+      .withColumn("adist", adcDistExpr(books, dvec(col("probe_vec")), col("codes")))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select("probe_id", "vec_id")
+    val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
+    candidates
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Oracle-verified IVF-PQ query (`ann_ivf_pq`): each probe's exact
+    * duplicate is planted; identical vectors share the coarse list AND
+    * the code word (ADC distance 0), so the composed index must return
+    * the copy top-1 at cosine 1.0.
+    */
+  def ivfPqPlantedTop1(spark: SparkSession, sfDir: String,
+                       probeEvery: Int = 50, offset: Long = 1000000L): DataFrame = {
+    val data = Ann.plantedEmbeddings(spark, sfDir, probeEvery, offset)
+    val probes = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    ivfPqTopKOf(data, probes, k = 1)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .orderBy("probe_id")
+  }
+
   /** recall@k contract over the dense clustered corpus (`ann_pq`):
     * same regime as [[Ann.annRecallAtK]] — every center has 12 graded
     * planted neighbors, ground truth is the engine's own brute force,

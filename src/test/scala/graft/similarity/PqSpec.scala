@@ -55,6 +55,30 @@ class PqSpec extends SparkSpec {
     assert(rows(0).getAs[Boolean]("recall_ok"))
   }
 
+  test("ivf-pq composition finds planted duplicates top-1 at cosine 1.0") {
+    val rows = Pq.ivfPqPlantedTop1(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("probe_id") + 1000000L)
+      assert(r.getAs[Double]("cosine") == 1.0)
+    }
+  }
+
+  test("ivf-pq recall on the dense clustered corpus stays high") {
+    val clustered = Ann.clusteredEmbeddings(spark, sf0001).localCheckpoint()
+    val probes = clustered
+      .filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(20)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val brute = Ann.bruteForceTopKOf(clustered, probes, 10)
+      .select("probe_id", "neighbor_id").localCheckpoint()
+    val nTruth = brute.count()
+    val hits = brute.join(
+      Pq.ivfPqTopKOf(clustered, probes, 10).select("probe_id", "neighbor_id"),
+      Seq("probe_id", "neighbor_id")).count()
+    val recall = hits.toDouble / nTruth
+    assert(recall >= 0.90, s"ivf-pq recall@10 = $recall")
+  }
+
   test("a starved re-rank budget degrades recall (knob monotonicity)") {
     import spark.implicits._
     val clustered = Ann.clusteredEmbeddings(spark, sf0001).localCheckpoint()
