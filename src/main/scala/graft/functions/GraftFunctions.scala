@@ -25,6 +25,23 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c)))
 
+  /** All-category PII redaction of a string column (see
+    * [[graft.text.Pii]]) — Column form delegates to the shared rule
+    * list; the SQL registration builds the same nested RegExpReplace
+    * tree at the expression level, so `pii_redact(text)` in SQL is the
+    * identical codegen'd plan.
+    */
+  def pii_redact(c: Column): Column = graft.text.Pii.redactAll(c)
+
+  private def piiRedactExpr(
+      subject: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    graft.text.Pii.Categories.foldLeft(subject) { case (acc, (_, pat, tag)) =>
+      RegExpReplace(acc, Literal(pat), Literal(tag))
+    }
+  }
+
   /** Register all graft functions for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -38,6 +55,8 @@ object GraftFunctions {
       es => SimHashAgg(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       es => RollingHashExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("pii_redact",
+      es => piiRedactExpr(es.head), "scala_udf")
   }
 
   /** Config-driven registration for [[graft.GraftExtensions]]
@@ -55,5 +74,6 @@ object GraftFunctions {
     fn("vec_distsq", es => DistSqExpr(es.head, es(1)))
     fn("simhash_agg", es => SimHashAgg(es.head).toAggregateExpression())
     fn("rolling_hash", es => RollingHashExpr(es.head))
+    fn("pii_redact", es => piiRedactExpr(es.head))
   }
 }

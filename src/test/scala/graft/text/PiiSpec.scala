@@ -52,6 +52,20 @@ class PiiSpec extends SparkSpec {
     }
   }
 
+  test("pii_redact is SQL-callable and matches the Column form") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("a", "mail x@y.com ip 10.0.0.1 tel +1-555-1234 s 123-45-6789"))
+      .toDF("k", "text").createOrReplaceTempView("pii_probe")
+    try {
+      val viaSql = spark.sql("SELECT pii_redact(text) AS red FROM pii_probe")
+        .head().getString(0)
+      val viaCol = Seq("mail x@y.com ip 10.0.0.1 tel +1-555-1234 s 123-45-6789")
+        .toDF("text").select(Pii.redactAll(col("text"))).head().getString(0)
+      assert(viaSql == viaCol)
+      assert(viaSql == "mail <EMAIL> ip <IP> tel <PHONE> s <SSN>")
+    } finally spark.catalog.dropTempView("pii_probe")
+  }
+
   test("scrub leaves PII-free documents byte-identical") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     val joined = Pii.scrub(d).select(col("doc_id"), col("text").as("scrubbed"))
