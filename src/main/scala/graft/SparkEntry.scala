@@ -49,6 +49,7 @@ object SparkEntry {
     "q_window" -> Analytics.qWindow _,
     "q_rollup" -> Analytics.qRollup _,
     "q_cube" -> Analytics.qCube _,
+    "q_grouping_sets" -> Analytics.qGroupingSets _,
     "q_events_sessionize" -> Analytics.qSessionize _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
@@ -255,6 +256,12 @@ object SparkEntry {
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // The two marginals + grand total, no cross cells — the sets
+    // rollup/cube cannot express.
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_events_sessionize" ->
       """WITH e AS (

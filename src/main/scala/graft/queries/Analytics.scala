@@ -105,6 +105,21 @@ object Analytics {
       .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the shape rollup/cube can't express:
+    * the two one-dimension marginals plus the grand total, WITHOUT the
+    * (status, priority) cross cells. One pass, one shuffle (the sets
+    * expand map-side exactly like rollup); at scale this is the cheap
+    * way to get k independent marginal reports from one scan instead
+    * of k separate aggregations.
+    */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** Pivot: order totals as a (priority × status) matrix — Spark's
     * pivot with an EXPLICIT value list (omit it and the planner runs an
     * extra distinct-collect job over 100 TB just to learn the columns).

@@ -51,6 +51,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand(0).getAs[Long]("n") == leafN)
   }
 
+  test("grouping sets: marginals + grand total only, no cross cells") {
+    val rows = Analytics.qGroupingSets(spark, sf0001).collect()
+    // no (status, priority) cross cells in this set list
+    assert(!rows.exists(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val statusN = rows.filter(r => !r.isNullAt(0)).map(_.getAs[Long]("n")).sum
+    val prioN = rows.filter(r => !r.isNullAt(1)).map(_.getAs[Long]("n")).sum
+    // each marginal partitions the same order set
+    assert(statusN == grand(0).getAs[Long]("n"))
+    assert(prioN == grand(0).getAs[Long]("n"))
+  }
+
   test("sessionization: session counts are positive and bounded by events") {
     val rows = Analytics.qSessionize(spark, sf0001).collect()
     assert(rows.nonEmpty)
