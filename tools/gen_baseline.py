@@ -22,13 +22,15 @@ lines.append("the round-3 judge showed contaminates shuffle-heavy queries up to"
 lines.append("3.6x — numbers below are NOT comparable to those tables, only to")
 lines.append("future fork-per-query runs.")
 lines.append("")
-lines.append("Variance: fresh-JVM per-query times reproduce within roughly ±30%")
-lines.append("run-to-run on this host (MLlib LinearSVC and the k-means builds")
-lines.append("swing the most; sub-second queries sit near the ~0.3-0.5 s")
-lines.append("measurement floor of a cold session). Treat a regression as real")
-lines.append("only if it reproduces across 2+ runs of `graft.tools.Probe <query>`")
-lines.append("or `graft.Bench <query...>` — and only on a QUIET machine:")
-lines.append("concurrent sbt/test runs visibly inflate everything.")
+lines.append("Variance (MEASURED, two full back-to-back quiet runs at this HEAD,")
+lines.append("tools/bench_variance.py): totals 125.0 s vs 117.7 s (6%); median")
+lines.append("per-query warm ratio 1.09; 72/78 queries reproduce within 1.3x; the")
+lines.append("only >1.5x excursion was a 0.3-0.8 s sub-second query at the")
+lines.append("measurement floor. MLlib LinearSVC swings the most of the real")
+lines.append("queries (~1.5x). Treat a regression as real only if it reproduces")
+lines.append("across 2+ runs of `graft.tools.Probe <query>` or")
+lines.append("`graft.Bench <query...>` — and only on a QUIET machine: concurrent")
+lines.append("sbt/test runs visibly inflate everything.")
 lines.append("")
 lines.append(f"Total warm: **{total:.1f} s** across {len(qs)} queries.")
 lines.append("")
