@@ -108,6 +108,37 @@ class PlanAuditSpec extends SparkSpec {
       s"no cross join allowed in svm_evaluate scoring pass:\n$p")
   }
 
+  test("text_pii_scrub: the audit is one codegen scan, no interpreted lambdas") {
+    // all four detectors + the sequential redaction are regexp
+    // expressions in a single projection; one HOF would interpret the
+    // per-document hot path of a corpus-wide scrub.
+    val p = finalPlan(graft.text.Pii.piiScrub(spark, sf0001))
+    assert(hasCodegenSpan(p), s"expected codegen spans:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"no interpreted HOF lambdas allowed on the scrub path:\n$p")
+  }
+
+  test("text_repetition: gram counting aggregates partially before the shuffle") {
+    val p = plan(graft.text.Repetition.repetitionStats(spark, sf0001))
+    assert(p.contains("partial_"),
+      s"expected map-side partial aggregation of gram counts:\n$p")
+  }
+
+  test("corpus_mix: the rate table joins broadcast; the corpus never shuffles for it") {
+    val p = plan(graft.text.CorpusMix.mix(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate-table join must be broadcast:\n$p")
+  }
+
+  test("pq encode/assignment is a literal-codebook projection — no join, no shuffle") {
+    val data = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val books = graft.similarity.Pq.trainCodebooks(data, m = 8, ksub = 16, iters = 1)
+    val p = plan(graft.similarity.Pq.encode(data, books))
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"PQ encoding must be a narrow map over the scan:\n$p")
+  }
+
   test("q_range_join: interval join runs as a hash join on time buckets, not a nested loop") {
     // The whole point of the bucketization: an inequality-only join
     // would plan as BroadcastNestedLoopJoin — O(n·w) comparisons at any
