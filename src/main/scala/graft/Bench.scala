@@ -92,21 +92,32 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val r = runOne(name, sfDir, cpus, timeoutSec)
-      r.foreach { case (c, w) => System.err.println(f"[bench] $name cold=$c%.2f warm=$w%.2f") }
-      name -> r
-    }
     def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("-1")
     def jmap(kv: Seq[(String, Option[Double])]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    val failed = results.collect { case (n, None) => "\"" + n + "\"" }
-    val total = results.flatMap(_._2.map(_._2)).sum
-    val qs = jmap(results.map { case (n, r) => n -> r.map(_._2) })
-    val cold = jmap(results.map { case (n, r) => n -> r.map(_._1) })
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir","harness":"fork-per-query"}"""
+    def toJson(results: Seq[(String, Option[(Double, Double)])], partial: Boolean): String = {
+      val failed = results.collect { case (n, None) => "\"" + n + "\"" }
+      val total = results.flatMap(_._2.map(_._2)).sum
+      val qs = jmap(results.map { case (n, r) => n -> r.map(_._2) })
+      val cold = jmap(results.map { case (n, r) => n -> r.map(_._1) })
+      val part = if (partial) s""","partial":true,"remaining":${names.length - results.length}""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir","harness":"fork-per-query"$part}"""
+    }
     val outFile = java.nio.file.Paths.get("BENCH.out.json").toAbsolutePath
-    java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
+    // The full fork-per-query sweep takes tens of minutes; rewrite the
+    // artifact after EVERY query so an externally killed run still
+    // leaves a parseable file (marked "partial") instead of nothing.
+    val acc = Seq.newBuilder[(String, Option[(Double, Double)])]
+    var done = 0
+    names.foreach { name =>
+      val r = runOne(name, sfDir, cpus, timeoutSec)
+      r.foreach { case (c, w) => System.err.println(f"[bench] $name cold=$c%.2f warm=$w%.2f") }
+      acc += (name -> r)
+      done += 1
+      java.nio.file.Files.write(outFile,
+        toJson(acc.result(), partial = done < names.length).getBytes("UTF-8"))
+    }
+    val json = toJson(acc.result(), partial = false)
     System.err.println(s"[bench] wrote $outFile")
     println(json)
   }
