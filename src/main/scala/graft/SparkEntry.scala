@@ -133,6 +133,10 @@ object SparkEntry {
     // the per-doc flag is exact integer arithmetic, so one missed or
     // phantom flag is a hash break.
     "text_repetition" -> ((s: SparkSession, d: String) => graft.text.Repetition.repetitionStats(s, d)),
+    // Two-pass vocabulary-statistics scoring (OOV/rare-token filter):
+    // corpus vocab counts, then docs scored against the rare set;
+    // planted nonce-token docs (frequency exactly 1) must be flagged.
+    "text_rare_tokens" -> ((s: SparkSession, d: String) => graft.text.RareTokens.rareTokenStats(s, d)),
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
@@ -600,6 +604,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN (total - dist) * 5 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_repetitive,
         |  floor(max(CAST(maxc AS DOUBLE) / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000 AS max_top_share
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+    // Corpus vocab counts -> rare set (tf <= 2) -> per-doc rare counts
+    // -> lang rollup; the nonce plants are frequency-1 by construction.
+    "text_rare_tokens" ->
+      """WITH planted AS (
+        |  SELECT doc_id, lang, lower(text) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 6000000 AS doc_id, lang,
+        |    lower(text) || ' xq' || CAST(doc_id AS VARCHAR) || 'za xq' || CAST(doc_id AS VARCHAR) || 'zb' AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), tk AS (
+        |  SELECT doc_id, lang, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok FROM planted
+        |), v AS (
+        |  SELECT tok, count(*) AS tf FROM tk GROUP BY 1
+        |), r AS (SELECT tok FROM v WHERE tf <= 2
+        |), pd AS (
+        |  SELECT tk.doc_id, tk.lang, count(*) AS n_rare FROM tk JOIN r USING (tok) GROUP BY 1, 2
+        |)
+        |SELECT a.lang, count(*) AS n_docs,
+        |  CAST(sum(coalesce(pd.n_rare, 0)) AS BIGINT) AS rare_occurrences,
+        |  CAST(sum(CASE WHEN coalesce(pd.n_rare, 0) >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+        |FROM (SELECT doc_id, lang FROM planted) a LEFT JOIN pd ON a.doc_id = pd.doc_id AND a.lang = pd.lang
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Pattern strings are the SAME RE2-safe dialect Spark runs
     // (graft.text.Pii.Categories) — both engines must agree
     // match-for-match on counts, matched docs, redacted chars and the
