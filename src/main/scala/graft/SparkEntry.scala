@@ -96,6 +96,10 @@ object SparkEntry {
     // without an a–c pair ever being emitted.
     "dedup_near_survivors" -> ((s: SparkSession, d: String) => graft.dedup.Cluster.nearDupSurvivors(s, d)),
     "dedup_simhash_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.simhashNearRecall(s, d)),
+    // Incremental (continual-crawl) dedup: a synthetic new batch
+    // (verbatim / truncated / reversed+nonce copies by id arithmetic)
+    // classified against the snapshot as exact_dup / near_dup / novel.
+    "dedup_incremental" -> ((s: SparkSession, d: String) => graft.dedup.Incremental.incrementalClassify(s, d)),
     "dedup_embedding_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.embeddingNearRecall(s, d)),
     "ann_near_top1" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.annNearTop1(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
@@ -471,6 +475,19 @@ object SparkEntry {
         |  ('swap15', true, true),
         |  ('swap30', true, true)) AS t(tier, planted_ok, recall_ok)
         |ORDER BY tier""".stripMargin,
+    // The class counts follow from the batch-construction predicates:
+    // verbatim copies are exact, 90%-truncations of >= 60-token docs
+    // verify at Jaccard ~ 0.90 >= 0.85, reversed+nonce docs match
+    // nothing. Precedence exact > near > novel.
+    "dedup_incremental" ->
+      """SELECT 'exact_dup' AS category, count(*) AS n_docs FROM documents WHERE doc_id % 8 = 0
+        |UNION ALL
+        |SELECT 'near_dup', count(*) FROM documents
+        |WHERE doc_id % 8 = 1 AND length(regexp_extract_all(text, '\S+')) >= 60
+        |UNION ALL
+        |SELECT 'novel', count(*) FROM documents
+        |WHERE doc_id % 8 = 2 AND length(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) >= 3
+        |ORDER BY category""".stripMargin,
     "dedup_embedding_near" ->
       """SELECT * FROM (VALUES
         |  ('c95', true, true, true),
