@@ -166,6 +166,10 @@ object SparkEntry {
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),
     "stream_dedup" -> ((s: SparkSession, d: String) => graft.streaming.DocStream.runDedupBounded(s, d)),
+    // Scrub on the ingest path: stateless per-doc audit inside the
+    // micro-batch, rollup over the sink; bounded input == batch scrub,
+    // so the oracle is the SAME SQL as text_pii_scrub.
+    "stream_pii_scrub" -> ((s: SparkSession, d: String) => graft.streaming.DocStream.runScrubBounded(s, d)),
     "stream_join" -> ((s: SparkSession, d: String) => EventStream.runEnrichJoinBounded(s, d)),
     "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d))
   )
@@ -175,6 +179,53 @@ object SparkEntry {
   //    HUGEINT) and rank/size results to INTEGER to mirror Spark types;
   //  - list lambdas use 1-based indices; `s[1]`/`s[2]` unpack list_zip;
   //  - doubles are rounded identically on both sides.
+  /** Shared by text_pii_scrub (batch) and stream_pii_scrub (bounded
+    * stream): the audit numbers must be identical.
+    */
+  private val PiiScrubOracle: String =
+    """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    text || CASE doc_id % 4
+        |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      WHEN 1 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id // 7) % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+        |      WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+        |    END AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), c AS (
+        |  SELECT text,
+        |    length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS m_email,
+        |    length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS m_ipv4,
+        |    length(regexp_extract_all(text, '\+1-\d{3}-\d{4}')) AS m_phone,
+        |    length(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS m_ssn,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS d_email,
+        |    length(text) - length(regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS d_ipv4,
+        |    length(text) - length(regexp_replace(text, '\+1-\d{3}-\d{4}', '<PHONE>', 'g')) AS d_phone,
+        |    length(text) - length(regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS d_ssn,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+1-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS red
+        |  FROM planted
+        |)
+        |SELECT 'email' AS category, CAST(sum(m_email) AS BIGINT) AS n_matches,
+        |  CAST(sum(CASE WHEN m_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(d_email) AS BIGINT) AS n_chars_redacted,
+        |  CAST(sum(length(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_residual FROM c
+        |UNION ALL
+        |SELECT 'ipv4', CAST(sum(m_ipv4) AS BIGINT), CAST(sum(CASE WHEN m_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(d_ipv4) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'phone', CAST(sum(m_phone) AS BIGINT), CAST(sum(CASE WHEN m_phone > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(d_phone) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\+1-\d{3}-\d{4}'))) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'ssn', CAST(sum(m_ssn) AS BIGINT), CAST(sum(CASE WHEN m_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(d_ssn) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) FROM c
+        |ORDER BY category""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "svm_part_stats" ->
       "SELECT label, count(*) AS n FROM embeddings GROUP BY ROLLUP(label) ORDER BY label NULLS FIRST",
@@ -647,49 +698,7 @@ object SparkEntry {
     // (graft.text.Pii.Categories) — both engines must agree
     // match-for-match on counts, matched docs, redacted chars and the
     // zero residual after the full sequential redaction.
-    "text_pii_scrub" ->
-      """WITH planted AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id,
-        |    text || CASE doc_id % 4
-        |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-        |      WHEN 1 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id // 7) % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
-        |      WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |      ELSE ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
-        |    END AS text
-        |  FROM documents WHERE doc_id % 5 = 0
-        |), c AS (
-        |  SELECT text,
-        |    length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS m_email,
-        |    length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS m_ipv4,
-        |    length(regexp_extract_all(text, '\+1-\d{3}-\d{4}')) AS m_phone,
-        |    length(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS m_ssn,
-        |    length(text) - length(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS d_email,
-        |    length(text) - length(regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS d_ipv4,
-        |    length(text) - length(regexp_replace(text, '\+1-\d{3}-\d{4}', '<PHONE>', 'g')) AS d_phone,
-        |    length(text) - length(regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS d_ssn,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |      '\+1-\d{3}-\d{4}', '<PHONE>', 'g'),
-        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS red
-        |  FROM planted
-        |)
-        |SELECT 'email' AS category, CAST(sum(m_email) AS BIGINT) AS n_matches,
-        |  CAST(sum(CASE WHEN m_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
-        |  CAST(sum(d_email) AS BIGINT) AS n_chars_redacted,
-        |  CAST(sum(length(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_residual FROM c
-        |UNION ALL
-        |SELECT 'ipv4', CAST(sum(m_ipv4) AS BIGINT), CAST(sum(CASE WHEN m_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(sum(d_ipv4) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) FROM c
-        |UNION ALL
-        |SELECT 'phone', CAST(sum(m_phone) AS BIGINT), CAST(sum(CASE WHEN m_phone > 0 THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(sum(d_phone) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\+1-\d{3}-\d{4}'))) AS BIGINT) FROM c
-        |UNION ALL
-        |SELECT 'ssn', CAST(sum(m_ssn) AS BIGINT), CAST(sum(CASE WHEN m_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(sum(d_ssn) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) FROM c
-        |ORDER BY category""".stripMargin,
+    "text_pii_scrub" -> PiiScrubOracle,
     "mm_metadata" ->
       """SELECT 'fake/image' AS mime, ((doc_id % 16) * 64 + 64) >= 512 AS is_wide, count(*) AS n,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
@@ -905,6 +914,8 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Bounded streaming scrub == the batch scrub: identical audit SQL.
+    "stream_pii_scrub" -> PiiScrubOracle,
     // Stream-static join on a bounded input == the batch join.
     "stream_join" ->
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value

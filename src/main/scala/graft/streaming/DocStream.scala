@@ -51,6 +51,30 @@ object DocStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming PII scrub — redaction on the INGEST path, before
+    * anything is persisted (the shape a compliance pipeline requires:
+    * raw text must never land in the sink). The per-document audit
+    * projection is stateless ([[graft.text.Pii.perDocAudit]]), so it
+    * runs inside the micro-batch with no state store; the rollup
+    * aggregates the SINK table (same pattern as [[runDedupBounded]] —
+    * chaining a global aggregate after the stream would force
+    * Complete/Update mode for no benefit). On a bounded input the
+    * audit must equal the batch scrub exactly, which is the oracle.
+    */
+  def runScrubBounded(spark: SparkSession, sfDir: String,
+                      queryName: String = "graft_stream_pii"): DataFrame = {
+    val stream = FileStreams.readStream(spark, s"$sfDir/documents.parquet")
+    val q = graft.text.Pii.perDocAudit(graft.text.Pii.plantedPiiRows(stream))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.text.Pii.auditRollup(spark.table(queryName))
+  }
+
   /** Bounded run: file-stream the documents table, dedup across
     * micro-batches, then count unique docs per source from the sink —
     * on a bounded input this must equal the batch distinct count (the

@@ -52,51 +52,76 @@ object Pii {
 
   // ---------------------------------------------------- planted corpus
 
+  /** The id-derived PII payload appended to planted docs. Which
+    * category lands on a doc cycles with `doc_id % 4`; every payload
+    * embeds id-derived digits (lpad'd where width matters) so a
+    * detector that truncates, anchors wrong, or drops leading zeros
+    * misses SOME plant and fails loudly. Shared by the batch and
+    * streaming planting paths.
+    */
+  def plantPayload(docId: Column): Column =
+    when(docId % 4 === 0,
+      concat(lit(" contact user"), docId.cast("string"), lit("@example.com")))
+      .when(docId % 4 === 1,
+        concat(lit(" from 10."), (docId % 200).cast("string"), lit("."),
+          ((docId / 7).cast("long") % 200).cast("string"), lit("."),
+          (docId % 250).cast("string")))
+      .when(docId % 4 === 2,
+        concat(lit(" call +1-555-"), lpad((docId % 10000).cast("string"), 4, "0")))
+      .otherwise(
+        concat(lit(" ssn "), lpad((docId % 900 + 100).cast("string"), 3, "0"),
+          lit("-"), lpad((docId % 90 + 10).cast("string"), 2, "0"),
+          lit("-"), lpad((docId % 9000 + 1000).cast("string"), 4, "0")))
+
   /** Corpus + one PII-bearing copy of every 5th document at
-    * `doc_id + 3·PlantOffset`. Which category lands on a doc cycles
-    * with `doc_id % 4`; every payload embeds id-derived digits (lpad'd
-    * where width matters) so a detector that truncates, anchors wrong,
-    * or drops leading zeros misses SOME plant and fails loudly.
+    * `doc_id + 3·PlantOffset` (see [[plantPayload]]).
     */
   def plantedPiiDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     graft.dedup.NearDup.guardIds(d, "doc_id")
-    val payload =
-      when(col("doc_id") % 4 === 0,
-        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"), lit("."),
-            expr("(doc_id div 7) % 200").cast("string"), lit("."),
-            (col("doc_id") % 250).cast("string")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-        .otherwise(
-          concat(lit(" ssn "), lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
-            lit("-"), lpad((col("doc_id") % 90 + 10).cast("string"), 2, "0"),
-            lit("-"), lpad((col("doc_id") % 9000 + 1000).cast("string"), 4, "0")))
     d.select(col("doc_id"), col("text"))
       .unionByName(
         d.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 3 * PlantOffset).as("doc_id"),
-            concat(col("text"), payload).as("text")))
+            concat(col("text"), plantPayload(col("doc_id"))).as("text")))
   }
+
+  /** STREAM-safe planting: one input row explodes into (original,
+    * conditional planted copy) — equivalent rows to [[plantedPiiDocs]]'
+    * union, but a single stateless projection, so it composes with a
+    * streaming source (a self-union of one file stream would read the
+    * input twice and double the source bookkeeping).
+    */
+  def plantedPiiRows(docs: DataFrame): DataFrame =
+    docs.select(explode(array(
+      struct(col("doc_id"), col("text")),
+      struct((col("doc_id") + 3 * PlantOffset).as("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), plantPayload(col("doc_id")))).as("text"))))
+      .as("r"))
+      .select("r.*")
+      .filter(col("text").isNotNull)
 
   // ------------------------------------------------------- audit query
 
-  /** Per-category scrub audit over the planted corpus. ONE corpus scan:
-    * all per-category counts and the fully-redacted text are computed
-    * in a single projection, aggregated once, then pivoted to long
-    * rows driver-side (a 1-row → 4-row explode, not a shuffle).
+  /** Stateless per-document audit projection: per-category match
+    * counts, redaction deltas, and the fully-redacted text — ONE scan,
+    * no shuffle, safe on a streaming frame.
     */
-  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val planted = plantedPiiDocs(spark, sfDir)
-    val projected = planted.select(
+  def perDocAudit(planted: DataFrame): DataFrame =
+    planted.select(
       Categories.flatMap { case (cat, pat, tag) =>
         Seq(
           regexp_count(col("text"), lit(pat)).cast("long").as(s"m_$cat"),
           (length(col("text")) - length(regexp_replace(col("text"), lit(pat), lit(tag))))
             .cast("long").as(s"d_$cat"))
       } :+ redactAll(col("text")).as("red"): _*)
+
+  /** Rollup of [[perDocAudit]] rows to the 4-row per-category audit
+    * (aggregated once, then pivoted long driver-side — a 1-row → 4-row
+    * explode, not a shuffle).
+    */
+  def auditRollup(projected: DataFrame): DataFrame = {
     val aggCols: Seq[Column] = Categories.flatMap { case (cat, pat, _) =>
       Seq(
         sum(col(s"m_$cat")).as(s"nm_$cat"),
@@ -115,4 +140,8 @@ object Pii {
       .select("r.*")
       .orderBy("category")
   }
+
+  /** Per-category scrub audit over the planted corpus. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    auditRollup(perDocAudit(plantedPiiDocs(spark, sfDir)))
 }

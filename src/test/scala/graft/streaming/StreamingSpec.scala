@@ -17,6 +17,15 @@ class StreamingSpec extends SparkSpec {
       "bounded streaming dropDuplicates must equal the batch distinct count")
   }
 
+  test("streaming PII scrub audit equals the batch scrub exactly") {
+    val streamed = DocStream.runScrubBounded(spark, sf0001, "spec_stream_pii")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.text.Pii.piiScrub(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"ingest-path scrub must match the batch audit:\n$streamed\nvs\n$batch")
+  }
+
   test("stream-static enrichment join converges to the batch join") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.runEnrichJoinBounded(spark, sf0001, "spec_stream_join")
