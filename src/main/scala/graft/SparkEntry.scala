@@ -144,6 +144,11 @@ object SparkEntry {
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
+    // REAL RIFF/PCM WAV parse (magic strings, little-endian fields,
+    // chunk sizing) over arithmetic-generated audio; rate/samples/
+    // duration/loudness recomputed by the oracle from the generation
+    // formula, malformed payloads counted not crashed.
+    "mm_audio" -> ((s: SparkSession, d: String) => Multimodal.audioSummary(s, d)),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeSummary(s, d)),
     "corpus_filter" -> graft.text.CorpusFilter.funnel _,
     // Benchmark decontamination: 8-gram collision scan of the corpus
@@ -763,6 +768,19 @@ object SparkEntry {
         |SELECT r.media_id AS media_id, CAST(r.f AS INTEGER) AS frame, coalesce(pk.peak, 0.0) AS peak
         |FROM rng r LEFT JOIN pk ON r.media_id = pk.media_id AND r.f = pk.f
         |ORDER BY media_id, frame""".stripMargin,
+    // Expected decode output from the WAV generation formula: sample i
+    // of clip id is (id*31 + i*7) mod 256; 8-bit mono PCM at 8 kHz.
+    "mm_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(64 + (doc_id % 50) * 8 AS BIGINT) AS n FROM documents
+        |)
+        |SELECT media_id, true AS ok, 8000 AS sample_rate, n AS n_samples,
+        |  n * 1000 // 8000 AS duration_ms,
+        |  CAST(list_sum([abs(((media_id * 31 + i * 7) % 256) - 128) FOR i IN generate_series(0, n - 1)]) AS BIGINT) AS loudness
+        |FROM m WHERE media_id % 13 <> 0
+        |UNION ALL
+        |SELECT media_id, false, 0, 0, 0, 0 FROM m WHERE media_id % 13 = 0
+        |ORDER BY media_id""".stripMargin,
     // REAL PPM resize: decode -> nearest-neighbor to 4x4 (src pixel
     // (x*w//4, y*h//4)) -> P6 re-encode. Oracle recomputes the checksum
     // from the generation formula + the same floor rule: resampled
