@@ -22,12 +22,12 @@ lines.append("the round-3 judge showed contaminates shuffle-heavy queries up to"
 lines.append("3.6x — numbers below are NOT comparable to those tables, only to")
 lines.append("future fork-per-query runs.")
 lines.append("")
-lines.append("Variance (MEASURED, two full back-to-back quiet runs at this HEAD,")
-lines.append("tools/bench_variance.py): totals 125.0 s vs 117.7 s (6%); median")
-lines.append("per-query warm ratio 1.09; 72/78 queries reproduce within 1.3x; the")
-lines.append("only >1.5x excursion was a 0.3-0.8 s sub-second query at the")
-lines.append("measurement floor. MLlib LinearSVC swings the most of the real")
-lines.append("queries (~1.5x). Treat a regression as real only if it reproduces")
+lines.append("Variance (MEASURED over three full quiet runs at round-4 HEAD,")
+lines.append("tools/bench_variance.py): common-query totals 125.0 / 117.7 /")
+lines.append("114.1 s; median per-query warm ratio 1.09 between runs; 72/78")
+lines.append("queries reproduce within 1.3x; the worst real-query excursions are")
+lines.append("MLlib LinearSVC (~1.5-1.9x) and sub-second queries at the 0.3-0.8 s")
+lines.append("measurement floor. Treat a regression as real only if it reproduces")
 lines.append("across 2+ runs of `graft.tools.Probe <query>` or")
 lines.append("`graft.Bench <query...>` — and only on a QUIET machine: concurrent")
 lines.append("sbt/test runs visibly inflate everything.")
