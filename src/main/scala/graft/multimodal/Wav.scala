@@ -43,8 +43,10 @@ object Wav {
     val bits = le16(payload, 34)
     if (channels < 1 || sampleRate < 1 || bits != 8) return None
     if (!magic(payload, 36, "data")) return None
+    // le32 is unsigned (values in [0, 2^32)); the overrun check alone
+    // rejects every malformed size, including ones with the sign bit set
     val dataSize = le32(payload, 40)
-    if (dataSize < 0 || 44L + dataSize > payload.length) return None
+    if (44L + dataSize > payload.length) return None
     Some(Audio(channels, sampleRate,
       java.util.Arrays.copyOfRange(payload, 44, 44 + dataSize.toInt)))
   }

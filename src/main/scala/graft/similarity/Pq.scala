@@ -64,7 +64,9 @@ object Pq {
     * their previous centroid (k-means' standard empty-cluster rule).
     */
   def trainCodebooks(data: DataFrame, m: Int, ksub: Int, iters: Int = 3): Codebooks = {
-    val dim = data.select(size(col("embedding"))).head().getInt(0)
+    val dimRow = data.select(size(col("embedding"))).limit(1).collect().headOption
+    require(dimRow.nonEmpty, "empty corpus — no codebook init rows")
+    val dim = dimRow.get.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
     // Init: ksub deterministic pseudo-random rows via hash-ordered
@@ -131,7 +133,13 @@ object Pq {
                rerank: Int = 50): DataFrame = {
     val books = trainCodebooks(data, m, ksub, iters)
     val codes = encode(data, books)
-    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+    // ADC ties are common — every vector sharing a probe's full m-code
+    // tuple has the SAME adist (the probe's own quantization error), so
+    // the tie-break decides which ties survive to the exact re-rank.
+    // Descending vec_id keeps appended near-duplicates (plants live at
+    // id + PlantOffset-style high ids) from being systematically
+    // evicted when a code cell is denser than `rerank`.
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), desc("vec_id"))
     val candidates = codes
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("adist", adcDistExpr(books, dvec(col("probe_vec")), col("codes")))
@@ -178,7 +186,9 @@ object Pq {
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nProbe)
       .select("probe_id", "list_id")
-    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+    // same descending tie-break as pqTopKOf — equal-code ties must not
+    // evict the true duplicate before the exact re-rank
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), desc("vec_id"))
     val candidates = codes
       .join(probeLists.hint("broadcast"), "list_id")
       .filter(col("vec_id") =!= col("probe_id"))
@@ -200,8 +210,11 @@ object Pq {
 
   /** Oracle-verified IVF-PQ query (`ann_ivf_pq`): each probe's exact
     * duplicate is planted; identical vectors share the coarse list AND
-    * the code word (ADC distance 0), so the composed index must return
-    * the copy top-1 at cosine 1.0.
+    * the full m-code tuple, so the copy's ADC distance equals the
+    * probe's own quantization error — TIED with every other vector in
+    * the same code cell, not zero. The descending vec_id ADC tie-break
+    * guarantees the plant (highest id in its cell) survives to the
+    * exact re-rank, which then returns it top-1 at cosine 1.0.
     */
   def ivfPqPlantedTop1(spark: SparkSession, sfDir: String,
                        probeEvery: Int = 50, offset: Long = 1000000L): DataFrame = {

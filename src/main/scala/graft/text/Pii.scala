@@ -95,12 +95,15 @@ object Pii {
   def plantedPiiRows(docs: DataFrame): DataFrame =
     docs.select(explode(array(
       struct(col("doc_id"), col("text")),
-      struct((col("doc_id") + 3 * PlantOffset).as("doc_id"),
+      // the synthetic slot is discarded by doc_id (not text): filtering
+      // on text would also drop ORIGINAL rows with null text, diverging
+      // from plantedPiiDocs' batch union, which keeps them
+      struct(when(col("doc_id") % 5 === 0, col("doc_id") + 3 * PlantOffset).as("doc_id"),
         when(col("doc_id") % 5 === 0,
           concat(col("text"), plantPayload(col("doc_id")))).as("text"))))
       .as("r"))
       .select("r.*")
-      .filter(col("text").isNotNull)
+      .filter(col("doc_id").isNotNull)
 
   // ------------------------------------------------------- audit query
 

@@ -11,10 +11,13 @@ import graft.dedup.Dedup
   * TWO-PASS shape: corpus-wide token statistics first, then every
   * document scored against them.
   *
-  * Scale shape: pass 1 is a map-side-combined token groupBy (the
-  * vocabulary of a 100 TB corpus does not broadcast — the score join
-  * shuffles on token instead, which AQE handles; the rare SUBSET after
-  * filtering is small and the join against it is a broadcast). Scoring
+  * Scale shape: pass 1 is a map-side-combined token groupBy. The rare
+  * (tf ≤ 2) subset is NOT broadcast: Zipf's law makes hapax/rare
+  * tokens the LARGEST slice of a natural vocabulary (roughly half of
+  * all distinct tokens — billions of entries at 100 TB), so the score
+  * semi-join shuffles on token. AQE is free to downgrade that to a
+  * broadcast at small scale where the measured rare set is tiny; the
+  * operator must not force it. Scoring
   * aggregates back to (doc) then (lang) with partial aggregation
   * throughout. All signals are exact integers — deliberately NO
   * perplexity-style log-sums: `log10` is not correctly-rounded IEEE,
@@ -58,10 +61,13 @@ object RareTokens {
     val rare = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
       .filter(col("tf") <= RareMax)
       .select("tok")
-    // pass 2: score docs against the (post-filter, small) rare set —
-    // broadcast; per-doc rare counts, then the lang rollup
+    // pass 2: score docs against the rare set. No broadcast hint — by
+    // Zipf's law the tf ≤ RareMax set is the largest part of the
+    // vocabulary at corpus scale, so this semi-join must shuffle on
+    // token (AQE may still broadcast at runtime when the measured set
+    // is genuinely small). Per-doc rare counts, then the lang rollup.
     val perDoc = toks
-      .join(broadcast(rare), Seq("tok"), "left_semi")
+      .join(rare, Seq("tok"), "left_semi")
       .groupBy("doc_id", "lang").agg(count(lit(1)).as("n_rare"))
     val docs = plantedRareDocs(spark, sfDir).select("doc_id", "lang")
     docs.join(perDoc, Seq("doc_id", "lang"), "left")

@@ -162,6 +162,24 @@ class PlanAuditSpec extends SparkSpec {
       s"per-key count and histogram must EACH have a partial HashAggregate:\n$p")
   }
 
+  test("text_rare_tokens: no FORCED broadcast of the rare-token set") {
+    // Zipf's law: tokens with tf <= RareMax are the LARGEST slice of a
+    // natural vocabulary (billions of entries at 100 TB) — a broadcast
+    // hint on that side OOMs the driver and every executor. Catalyst is
+    // still free to broadcast when its SIZE ESTIMATE says the set is
+    // tiny (it does at sf0.001, and AQE re-checks at runtime) — that's
+    // the adaptive behavior we want. So the pin disables size-based
+    // auto-broadcast: any Broadcast surviving that can only come from a
+    // hard-coded hint, which is the 100 TB bug.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.text.RareTokens.rareTokenStats(spark, sf0001))
+      val semiJoinLines = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
+      assert(semiJoinLines.nonEmpty, s"expected a LeftSemi join in the plan:\n$p")
+      assert(!semiJoinLines.exists(_.contains("Broadcast")),
+        s"the rare-token semi-join must not be hint-forced to broadcast:\n$p")
+    }
+  }
+
   test("corpus_pack: window and shard aggregation share one shuffle") {
     // The window partitions by (lang, bucket); the following groupBy on
     // (lang, bucket, shard) is satisfied by the same hash partitioning
