@@ -100,6 +100,11 @@ object SparkEntry {
     // (verbatim / truncated / reversed+nonce copies by id arithmetic)
     // classified against the snapshot as exact_dup / near_dup / novel.
     "dedup_incremental" -> ((s: SparkSession, d: String) => graft.dedup.Incremental.incrementalClassify(s, d)),
+    // Same census through the production day-2 path: snapshot hashes /
+    // capped band buckets / shingles persisted once as parquet, the
+    // drop classified reading the INDEX — snapshot text never
+    // re-shingled (scan-audited in IncrementalSpec).
+    "dedup_incremental_indexed" -> ((s: SparkSession, d: String) => graft.dedup.Incremental.incrementalClassifyIndexed(s, d)),
     "dedup_embedding_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.embeddingNearRecall(s, d)),
     "ann_near_top1" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.annNearTop1(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
@@ -536,6 +541,17 @@ object SparkEntry {
     // verify at Jaccard ~ 0.90 >= 0.85, reversed+nonce docs match
     // nothing. Precedence exact > near > novel.
     "dedup_incremental" ->
+      """SELECT 'exact_dup' AS category, count(*) AS n_docs FROM documents WHERE doc_id % 8 = 0
+        |UNION ALL
+        |SELECT 'near_dup', count(*) FROM documents
+        |WHERE doc_id % 8 = 1 AND length(regexp_extract_all(text, '\S+')) >= 60
+        |UNION ALL
+        |SELECT 'novel', count(*) FROM documents
+        |WHERE doc_id % 8 = 2 AND length(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) >= 3
+        |ORDER BY category""".stripMargin,
+    // The indexed path must lose nothing vs the self-contained one:
+    // identical census, identical oracle.
+    "dedup_incremental_indexed" ->
       """SELECT 'exact_dup' AS category, count(*) AS n_docs FROM documents WHERE doc_id % 8 = 0
         |UNION ALL
         |SELECT 'near_dup', count(*) FROM documents

@@ -182,7 +182,7 @@ object Dedup {
     * size the cap (and the simhash band width) with the corpus — the
     * recall contract is the regression alarm for getting that wrong.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[dedup] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val oversized = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > cap)
       .select(keys.map(col): _*)
@@ -194,21 +194,35 @@ object Dedup {
                         bucketCap: Int = 10000): DataFrame =
     minhashCandidatesOf(docs(spark, sfDir), shingleN, bands, rowsPerBand, bucketCap)
 
+  /** (doc_id, band, bucket) LSH bucket rows of a signature frame — the
+    * band explode shared by the batch pipeline and the persisted
+    * snapshot index ([[Incremental.writeSnapshotIndex]]).
+    */
+  def bandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  /** (doc_id, sh) shingle sets of a (doc_id, text) frame — the
+    * exact-Jaccard-verify substrate, also persisted by the snapshot
+    * index so candidate verification never re-reads snapshot text.
+    */
+  def shingleSets(d: DataFrame, shingleN: Int): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleN).as("sh"))
+
   /** [[minhashCandidates]] over an arbitrary (doc_id, text) frame. */
   def minhashCandidatesOf(d: DataFrame,
                           shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                           bucketCap: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = minhashSignaturesOf(d, shingleN, numHashes)
-    val banded = capBuckets(
-      sigs.select(
-        col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(concat_ws(",",
-              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
+    val banded = capBuckets(bandBuckets(sigs, bands, rowsPerBand),
       Seq("band", "bucket"), bucketCap)
     val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
@@ -216,9 +230,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val grams = d
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleN).as("sh"))
+    val grams = shingleSets(d, shingleN)
     cand
       .join(grams.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(grams.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
