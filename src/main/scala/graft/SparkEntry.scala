@@ -181,6 +181,10 @@ object SparkEntry {
     // so the oracle is the SAME SQL as text_pii_scrub.
     "stream_pii_scrub" -> ((s: SparkSession, d: String) => graft.streaming.DocStream.runScrubBounded(s, d)),
     "stream_join" -> ((s: SparkSession, d: String) => EventStream.runEnrichJoinBounded(s, d)),
+    // Watermarked stream-STREAM join: views x purchases within 1 hour,
+    // state bounded by watermark + time-range condition on both sides;
+    // bounded replay == the batch self-join.
+    "stream_stream_join" -> ((s: SparkSession, d: String) => EventStream.runAttributionBounded(s, d)),
     "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d))
   )
 
@@ -954,6 +958,16 @@ object SparkEntry {
     "stream_join" ->
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Stream-stream attribution join on a bounded replay == the batch
+    // event self-join with the same key + time-range predicate.
+    "stream_stream_join" ->
+      """SELECT v.user_id, count(*) AS n_attributed,
+        |  round(sum(p.value), 2) AS attributed_value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // flatMapGroupsWithState running stats must converge to the plain
     // batch aggregate — the custom state store is an implementation

@@ -143,6 +143,64 @@ object EventStream {
     spark.table(queryName).orderBy("c_mktsegment")
   }
 
+  /** Watermarked STREAM-STREAM inner join — the attribution shape of a
+    * clickstream pipeline: every `purchase` within one hour AFTER a
+    * same-user `view`, both sides LIVE streams. Unlike [[enrichJoin]]
+    * (stateless per micro-batch), this carries state on BOTH sides;
+    * the two ingredients Structured Streaming needs to bound it are
+    * here: a watermark on each side (2 h) and a time-RANGE join
+    * condition, so views are dropped from the state store once the
+    * purchase-side watermark passes `ts_v + 1 hour`, and purchases
+    * once the view-side watermark passes `ts_p` — state is a sliding
+    * ~3 h of events per side at any moment, independent of total
+    * stream length. Without the range condition the state would grow
+    * unboundedly; Spark would accept the query and die at scale.
+    *
+    * Inner join in Append mode emits each pair exactly when matched;
+    * late rows beyond the watermark are dropped on arrival (none exist
+    * on a bounded replay, which is what makes batch parity exact).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    views
+      .select(col("user_id").as("v_user"), col("ts").as("ts_v"))
+      .withWatermark("ts_v", "2 hours")
+      .join(
+        purchases
+          .select(col("user_id").as("p_user"), col("ts").as("ts_p"),
+            col("value").as("p_value"))
+          .withWatermark("ts_p", "2 hours"),
+        expr("v_user = p_user AND ts_p >= ts_v AND ts_p <= ts_v + interval 1 hour"))
+
+  /** Bounded run of [[attributionJoin]] (`stream_stream_join`): both
+    * sides stream from the same events parquet (a self-join of the
+    * firehose — each side is an independent FileStreamSource), the
+    * Append-mode pair emissions land in the memory sink, and the sink
+    * is rolled up per user. The batch self-join over the same bounded
+    * events is the SQL oracle.
+    */
+  def runAttributionBounded(spark: SparkSession, sfDir: String,
+                            queryName: String = "graft_stream_ss_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String): DataFrame =
+      FileStreams.readStream(spark, s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select("user_id", "ts", "value")
+    val q = attributionJoin(side("view"), side("purchase"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        round(sum("p_value"), 2).as("attributed_value"))
+      .orderBy("user_id")
+  }
+
   /** Run the streaming pipeline over the bounded events parquet via a
     * file stream, write to an in-memory sink, and return the final
     * result — used by the spec to assert batch/stream parity.

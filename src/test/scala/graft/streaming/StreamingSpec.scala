@@ -37,6 +37,74 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream attribution join: Append-mode replay equals the batch self-join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runAttributionBounded(spark, sf0001, "spec_ss_join")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ev = Analytics.loadEvents(spark, sf0001)
+    val batch = EventStream.attributionJoin(
+        ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("p_value"), 2).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.nonEmpty, "the bounded replay must attribute at least one pair")
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("stream-stream join state spans micro-batches (chronological chunk arrival)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.functions._
+    // 3 chunk files in event-time order, one per micro-batch
+    // (maxFilesPerTrigger=1): pairs whose view and purchase arrive in
+    // DIFFERENT batches can only come out of the join's state store —
+    // the watermark (2 h) deliberately exceeds the attribution window
+    // (1 h) so no cross-batch view is evicted before its purchases land.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf0001/events.parquet").orderBy("ts")
+    val n = ev.count()
+    val rows = ev.collect()
+    val cuts = Seq(rows((n / 3).toInt).getAs[Long]("ts"), rows((2 * n / 3).toInt).getAs[Long]("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss-chunks-")
+    Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1))
+    ).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.coalesce(1).write.parquet(s"$dir/c$i")
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/c$i"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      // zero-pad so modification-time/name order == event-time order
+      java.nio.file.Files.createSymbolicLink(dir.resolve(f"chunk_$i%02d.parquet"), f)
+    }
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    def side(tpe: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === tpe)
+      .select("user_id", "ts", "value")
+    val q = EventStream.attributionJoin(side("view"), side("purchase"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spec_ss_chunked")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "chunked arrival must produce multiple non-empty micro-batches")
+    val streamed = spark.table("spec_ss_chunked")
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("p_value"), 2).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val evb = Analytics.loadEvents(spark, sf0001)
+    val batch = EventStream.attributionJoin(
+        evb.filter(col("event_type") === "view").select("user_id", "ts"),
+        evb.filter(col("event_type") === "purchase").select("user_id", "ts", "value"))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("p_value"), 2).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch,
+      s"chunked stream must converge to the batch join: $streamed vs $batch")
+  }
+
   test("bounded streaming aggregation converges to the batch result") {
     val streamed = EventStream.runBounded(spark, sf0001, queryName = "spec_stream")
       .collect().map(_.toSeq).toSet
