@@ -172,6 +172,10 @@ object SparkEntry {
     // total, rates, kept counts and realized shares all reproduced by
     // the oracle's integer arithmetic.
     "corpus_mix" -> ((s: SparkSession, d: String) => graft.text.CorpusMix.mix(s, d)),
+    // Upsampling mixture: T = max(n/w) anchors the most over-represented
+    // stratum at exactly 1 epoch and repeats every other one r>=1 times
+    // (floor(r) full deterministic epoch copies + LCG-thinned fraction).
+    "corpus_mix_up" -> ((s: SparkSession, d: String) => graft.text.CorpusMix.mixUp(s, d)),
     // §2d — streaming
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),
@@ -949,6 +953,42 @@ object SparkEntry {
         |  floor(r2.w * 10000 + 0.5) / 10000 AS target_share,
         |  floor(CAST(k.n_kept AS DOUBLE) / (SELECT sum(n_kept) FROM k) * 10000 + 0.5) / 10000 AS realized_share
         |FROM r2 JOIN k USING (lang) ORDER BY lang""".stripMargin,
+    // Upsampling mirror of corpus_mix: MAX anchors, greatest(1, r)
+    // clamps the anchor's IEEE drift, emitted = n*floor(r) + the
+    // LCG-thinned fractional epoch.
+    "corpus_mix_up" ->
+      """WITH w(lang, w) AS (VALUES
+        |  ('de', CAST(0.10 AS DOUBLE)), ('en', CAST(0.50 AS DOUBLE)), ('es', CAST(0.20 AS DOUBLE)),
+        |  ('fr', CAST(0.10 AS DOUBLE)), ('zh', CAST(0.10 AS DOUBLE))
+        |), c AS (
+        |  SELECT lang, count(*) AS n_before FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT c.lang, c.n_before, w.w,
+        |    max(CAST(c.n_before AS DOUBLE) / w.w) OVER () AS t_max
+        |  FROM c JOIN w USING (lang)
+        |), r2 AS (
+        |  SELECT lang, n_before, w,
+        |    greatest(CAST(1.0 AS DOUBLE), w * t_max / n_before) AS r
+        |  FROM r
+        |), r3 AS (
+        |  SELECT lang, n_before, w, r, CAST(floor(r) AS BIGINT) AS k_full,
+        |    CAST(floor((r - floor(r)) * 2147483648) AS BIGINT) AS thresh
+        |  FROM r2
+        |), k AS (
+        |  SELECT d.lang, count(*) AS n_frac
+        |  FROM documents d JOIN r3 ON d.lang = r3.lang
+        |  WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 < r3.thresh
+        |  GROUP BY 1
+        |), e AS (
+        |  SELECT r3.lang, r3.n_before, r3.r, r3.w,
+        |    r3.n_before * r3.k_full + coalesce(k.n_frac, 0) AS n_emitted
+        |  FROM r3 LEFT JOIN k USING (lang)
+        |)
+        |SELECT lang, CAST(n_before AS BIGINT) AS n_before, CAST(n_emitted AS BIGINT) AS n_emitted,
+        |  floor(r * 10000 + 0.5) / 10000 AS epochs,
+        |  floor(w * 10000 + 0.5) / 10000 AS target_share,
+        |  floor(CAST(n_emitted AS DOUBLE) / (SELECT sum(n_emitted) FROM e) * 10000 + 0.5) / 10000 AS realized_share
+        |FROM e ORDER BY lang""".stripMargin,
     "stream_dedup" ->
       """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

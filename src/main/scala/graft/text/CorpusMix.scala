@@ -66,6 +66,80 @@ object CorpusMix {
       .orderBy("lang")
   }
 
+  /** Upsampling repeat-factor frame: T = MAX_l(n_l / w_l) makes the
+    * most over-represented stratum the anchor (seen exactly once) and
+    * gives every other stratum a repeat factor r_l = w_l·T / n_l ≥ 1 —
+    * "2.3 epochs of de". `greatest(1.0, …)` clamps the anchor's own
+    * ratio against last-ulp IEEE drift (w·(n/w)/n can land a hair
+    * under 1.0; both engines clamp identically). floor(r) full epochs,
+    * the fractional epoch thinned by the same LCG membership.
+    */
+  private def upRates(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Weights.toDF("lang", "w")
+    docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(w, "lang")
+      .withColumn("t_max",
+        max(col("n_before").cast("double") / col("w")).over(Window.partitionBy()))
+      .withColumn("r", greatest(lit(1.0), col("w") * col("t_max") / col("n_before")))
+      .withColumn("k_full", floor(col("r")))
+      .withColumn("thresh",
+        floor((col("r") - floor(col("r"))) * SplitM).cast("long"))
+  }
+
+  /** Per-language UPSAMPLING audit (`corpus_mix_up`): n_before, total
+    * emitted rows (full epochs + LCG-thinned fractional epoch), the
+    * realized repeat factor, and target vs realized share. One corpus
+    * scan + a 5-row broadcast — sum(k_full) over a stratum's rows IS
+    * n_before·k_full, so full and fractional epochs are counted in the
+    * same aggregate without materializing a single copy.
+    */
+  def mixUp(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val rates = upRates(d)
+    val h = pmod(pmod(col("doc_id"), lit(SplitM)) * SplitA + SplitC, lit(SplitM))
+    val emitted = d.withColumn("h", h)
+      .join(broadcast(rates.select("lang", "k_full", "thresh")), "lang")
+      .groupBy("lang")
+      .agg((sum(col("k_full")) +
+        sum(when(col("h") < col("thresh"), 1L).otherwise(0L))).as("n_emitted"))
+    rates.join(emitted, "lang")
+      .withColumn("total", sum("n_emitted").over(Window.partitionBy()))
+      .select(col("lang"), col("n_before"), col("n_emitted"),
+        (floor(col("r") * 10000 + 0.5) / 10000).as("epochs"),
+        (floor(col("w") * 10000 + 0.5) / 10000).as("target_share"),
+        (floor(col("n_emitted").cast("double") / col("total") * 10000 + 0.5) / 10000)
+          .as("realized_share"))
+      .orderBy("lang")
+  }
+
+  /** The upsampled corpus itself (library surface): every kept doc with
+    * DETERMINISTIC per-epoch copies — copy e of a doc carries
+    * `doc_id + e·EpochOffset`, so repeats are addressable, reproducible
+    * across engines/re-runs, and id-disjoint from the originals (the
+    * id-space discipline every planted operator already uses). The
+    * fractional final epoch keeps docs whose LCG value clears the
+    * stratum threshold. No shuffle: explode(sequence) over one scan
+    * against the broadcast rate frame.
+    */
+  def upsampled(docs: DataFrame): DataFrame = {
+    val rates = upRates(docs)
+    val h = pmod(pmod(col("doc_id"), lit(SplitM)) * SplitA + SplitC, lit(SplitM))
+    docs
+      .join(broadcast(rates.select("lang", "k_full", "thresh")), "lang")
+      .withColumn("epoch", explode(sequence(lit(0L), col("k_full").cast("long"))))
+      .filter(col("epoch") < col("k_full") || h < col("thresh"))
+      .withColumn("doc_id", col("doc_id") + col("epoch") * lit(EpochOffset))
+      .drop("k_full", "thresh", "epoch")
+  }
+
+  /** Epoch id stride for [[upsampled]] copies — far above every
+    * PlantOffset multiple the planted operators use.
+    */
+  val EpochOffset: Long = 100L * graft.dedup.Dedup.PlantOffset
+
   /** The sampled corpus itself (library surface): every column of the
     * kept docs, deterministic membership.
     */
