@@ -17,6 +17,23 @@ package graft
   */
 object Bench {
 
+  /** Timing sink: aggregate a 64-bit hash of EVERY output column.
+    * A bare count() lets the optimizer prune unreferenced columns, so
+    * for projection-only queries (fingerprints, token arrays) the
+    * timed plan would skip the very expressions being benched; hashing
+    * the full output struct makes every column load-bearing while
+    * still collecting just one row. (Typed mapPartitions paths were
+    * already prune-proof — this equalizes the declarative ones.)
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    // bit_xor, not sum: hash values span the full 64-bit range, so an
+    // ANSI-mode sum overflows; xor folds losslessly and can't.
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   /** JVM flags to propagate into children: the JDK17 add-opens set,
     * system properties, and the heap cap — exactly what build.sbt put
     * on THIS JVM.
@@ -142,7 +159,7 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     def once(): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      Bench.materialize(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
     val cold = once()

@@ -15,8 +15,8 @@ object Probe {
     val fn = graft.SparkEntry.queries(name)
     for (round <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"PROBE $name round=$round rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.Bench.materialize(fn(spark, sfDir))
+      println(f"PROBE $name round=$round t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (sys.env.contains("PROBE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     spark.stop()

@@ -11,8 +11,8 @@ object Probe2 {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- args; round <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"PROBE2 $name round=$round rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.Bench.materialize(graft.SparkEntry.queries(name)(spark, sfDir))
+      println(f"PROBE2 $name round=$round t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }
