@@ -121,6 +121,10 @@ object SparkEntry {
     // pinned >= 0.90 (measured via RecallProbe; detuned m/ksub/rerank
     // falls below the pin).
     "ann_pq" -> ((s: SparkSession, d: String) => graft.similarity.Pq.pqRecallAtK(s, d)),
+    // OPQ-style fixed orthogonal rotation ahead of PQ: on a corpus
+    // whose signal is concentrated in sub-space 0, plain PQ must FAIL
+    // the recall pin and the rotated pipeline must clear it.
+    "ann_opq" -> ((s: SparkSession, d: String) => graft.similarity.Opq.opqRecallContrast(s, d)),
     // IVF-PQ composition (billion-scale shape: coarse lists restrict
     // the scan, ADC ranks in compressed domain, exact re-rank): the
     // planted duplicate shares list AND code word, so it must return
@@ -589,6 +593,14 @@ object SparkEntry {
     "ann_pq" ->
       """SELECT * FROM (VALUES
         |  ('pq', true, true)) AS t(method, planted_ok, recall_ok)
+        |ORDER BY method""".stripMargin,
+    // Correlated-sub-space contrast: axis-aligned PQ must drown in
+    // same-cell ADC ties (recall <= 0.60 => contract_ok) while the
+    // rotated pipeline clears 0.90. Both booleans pinned.
+    "ann_opq" ->
+      """SELECT * FROM (VALUES
+        |  ('opq', true, true),
+        |  ('pq_plain', true, true)) AS t(method, planted_ok, contract_ok)
         |ORDER BY method""".stripMargin,
     // Planted duplicate shares coarse list and PQ code word -> must be
     // the top-1 IVF-PQ neighbor at cosine 1.0.
