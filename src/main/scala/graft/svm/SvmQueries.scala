@@ -176,6 +176,17 @@ object SvmQueries {
   def linearTrain(spark: SparkSession, sfDir: String): DataFrame =
     LinearSvm.trainSummary(spark, sfDir)
 
+  /** Scaling note (measured, sf1 = 10× sf0.1): on the noisy embeddings
+    * the SV fraction is ~100% (every layer's outputs equal its inputs —
+    * see the layer stats), so the cascade's final solve is O(n²) for
+    * ANY fan-out k; re-partitioning with a data-sized k was measured
+    * SLOWER (228 s vs 154 s at sf1) because a deeper merge tree just
+    * re-solves the same dense mass more times. Cascade's scalability
+    * premise is SPARSE support (cf. the RBF rings, where SVs ≈ 30%);
+    * for dense-SV linear problems the engine's scale path is
+    * [[LinearSvm]] (`svm_linear_train`, linear-time per epoch), which
+    * is why both ship.
+    */
   def cascadeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val data = ParallelSvm.loadTraining(spark, sfDir, K)
     // The reference's output contract is the SAVED final model

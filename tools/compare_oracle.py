@@ -2,7 +2,7 @@
 """Local stand-in for the driver's correctness gate: run DuckDB on each
 oracle SQL from Verify's oracle_sql.json and diff against the parquet
 written by graft.Verify. Not part of the Scala library."""
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 import pandas as pd
 
@@ -12,7 +12,11 @@ sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    p = f"{sf_dir}/{t}.parquet"
+    # driver tables are single files; GenScale's sf1 tables are
+    # Spark-written directories — glob those for DuckDB
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
 ok, bad = [], []
