@@ -13,24 +13,27 @@ lines = []
 lines.append("# BASELINE — graft bench reference numbers")
 lines.append("")
 lines.append("Per-query times for `graft.Bench` at **sf0.1, local[32]**, recorded")
-lines.append("end of round 4 (2026-08-12) at round-4 HEAD under the")
-lines.append("**fork-per-query harness** (one fresh JVM per query; warm = min of")
-lines.append("two in-JVM runs after an untimed session warmup, cold = first timed")
-lines.append("run). These are the numbers \"within 2x\" is judged against in later")
-lines.append("rounds. The round-2/3 tables were measured in ONE shared JVM, which")
-lines.append("the round-3 judge showed contaminates shuffle-heavy queries up to")
-lines.append("3.6x — numbers below are NOT comparable to those tables, only to")
-lines.append("future fork-per-query runs.")
+lines.append("end of round 5 (2026-08-13) at round-5 HEAD under the")
+lines.append("**fork-per-query, hash-materialized harness** (one fresh JVM per")
+lines.append("query; warm = min of two in-JVM runs after an untimed session")
+lines.append("warmup, cold = first timed run; the timing sink aggregates")
+lines.append("bit_xor(xxhash64(struct(<all output columns>))) so column pruning")
+lines.append("cannot skip benched expressions). These are the numbers \"within")
+lines.append("2x\" is judged against in later rounds. NOT comparable to the")
+lines.append("round-4 table for queries whose outputs count() used to prune —")
+lines.append("q_percentiles/q_approx_percentile/dedup_ngram_jaccard & co. now")
+lines.append("measure the expressions they always claimed to (up to ~8x higher,")
+lines.append("honestly); nor to the round-2/3 shared-JVM tables at all.")
 lines.append("")
-lines.append("Variance (MEASURED over three full quiet runs at round-4 HEAD,")
-lines.append("tools/bench_variance.py): common-query totals 125.0 / 117.7 /")
-lines.append("114.1 s; median per-query warm ratio 1.09 between runs; 72/78")
-lines.append("queries reproduce within 1.3x; the worst real-query excursions are")
-lines.append("MLlib LinearSVC (~1.5-1.9x) and sub-second queries at the 0.3-0.8 s")
-lines.append("measurement floor. Treat a regression as real only if it reproduces")
-lines.append("across 2+ runs of `graft.tools.Probe <query>` or")
-lines.append("`graft.Bench <query...>` — and only on a QUIET machine: concurrent")
-lines.append("sbt/test runs visibly inflate everything.")
+lines.append("Variance (MEASURED over two full quiet runs at round-5 HEAD,")
+lines.append("tools/bench_variance.py): totals 229.0 / 235.6 s; median per-query")
+lines.append("warm ratio 1.08 between runs; 84/87 queries reproduce within 1.3x.")
+lines.append("Treat a regression as real only if it reproduces across 2+ runs of")
+lines.append("`graft.tools.Probe <query>` or `graft.Bench <query...>` — and only")
+lines.append("on a QUIET machine: concurrent sbt/test runs visibly inflate")
+lines.append("everything. ann_opq (~72 s) is constant-dominated (64x64")
+lines.append("literal-matrix codegen + two codebook trainings on a fixed-size")
+lines.append("contract corpus), not a scaling signal.")
 lines.append("")
 lines.append(f"Total warm: **{total:.1f} s** across {len(qs)} queries.")
 lines.append("")
