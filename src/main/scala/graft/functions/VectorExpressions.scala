@@ -153,3 +153,214 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorBina
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Literal-matrix mat-vec: `out[j] = Σ_k M[j][k] · v[k]` — the OPQ
+  * rotation kernel ([[graft.similarity.Opq]]). The matrix rides along
+  * as a REFERENCED constant (`ctx.addReferenceObj`), so the expression
+  * tree is ONE node and the generated code a tight double loop. The
+  * alternative — dim² unrolled `lit()` multiply-adds — is semantically
+  * identical but its analysis + Janino compile time dominates whole
+  * queries at dim = 64 (measured ~25 s per planned pipeline).
+  */
+case class MatVecLitExpr(matrix: Array[Array[Double]],
+                         child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "vec_matvec_lit"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.sql}")
+  }
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](matrix.length)
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      val m = math.min(row.length, n)
+      var s = 0.0; var k = 0
+      while (k < m) {
+        s += row(k) * (if (childIsFloat) v.getFloat(k).toDouble else v.getDouble(k))
+        k += 1
+      }
+      out(j) = s; j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("matVecLit", matrix, "double[][]")
+      val out = ctx.freshName("out"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val s = ctx.freshName("s")
+      val row = ctx.freshName("row"); val lim = ctx.freshName("lim")
+      val get = if (childIsFloat) s"(double) $c.getFloat($k)" else s"$c.getDouble($k)"
+      s"""
+      |double[] $out = new double[$m.length];
+      |for (int $j = 0; $j < $m.length; $j++) {
+      |  double[] $row = $m[$j];
+      |  int $lim = java.lang.Math.min($row.length, $c.numElements());
+      |  double $s = 0.0;
+      |  for (int $k = 0; $k < $lim; $k++) {
+      |    $s += $row[$k] * $get;
+      |  }
+      |  $out[$j] = $s;
+      |}
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Argmin-distance centroid over a LITERAL centroid table, returning
+  * the id at the argmin position (first-min tie — the same rule
+  * `array_position(dists, array_min(dists))` applies, which is the
+  * rule an orderBy(dist, id) window would). One expression node with
+  * the table as a referenced constant: the unrolled formulation built
+  * ksub·(dim + slice) lit() nodes PER SUBSPACE and its analysis +
+  * Janino time dominated the PQ/IVF planning path (~20 s per trained
+  * pipeline at sf0.1).
+  */
+case class NearestCentroidExpr(ids: Array[Int], cents: Array[Array[Double]],
+                               child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "vec_nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.sql}")
+  }
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = Double.MaxValue; var bestP = 0; var p = 0
+    while (p < cents.length) {
+      val c = cents(p); val m = math.min(c.length, n)
+      var s = 0.0; var k = 0
+      while (k < m) {
+        val d = (if (childIsFloat) v.getFloat(k).toDouble else v.getDouble(k)) - c(k)
+        s += d * d; k += 1
+      }
+      if (s < best) { best = s; bestP = p }
+      p += 1
+    }
+    ids(bestP)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val idsRef = ctx.addReferenceObj("ncIds", ids, "int[]")
+      val centsRef = ctx.addReferenceObj("ncCents", cents, "double[][]")
+      val best = ctx.freshName("best"); val bestP = ctx.freshName("bestP")
+      val p = ctx.freshName("p"); val k = ctx.freshName("k")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val row = ctx.freshName("row"); val lim = ctx.freshName("lim")
+      val get = if (childIsFloat) s"(double) $c.getFloat($k)" else s"$c.getDouble($k)"
+      s"""
+      |double $best = Double.MAX_VALUE; int $bestP = 0;
+      |for (int $p = 0; $p < $centsRef.length; $p++) {
+      |  double[] $row = $centsRef[$p];
+      |  int $lim = java.lang.Math.min($row.length, $c.numElements());
+      |  double $s = 0.0;
+      |  for (int $k = 0; $k < $lim; $k++) {
+      |    double $d = $get - $row[$k];
+      |    $s += $d * $d;
+      |  }
+      |  if ($s < $best) { $best = $s; $bestP = $p; }
+      |}
+      |${ev.value} = $idsRef[$bestP];
+      |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ asymmetric (ADC) squared distance between a raw vector and an
+  * m-code column against LITERAL codebooks:
+  * `Σ_s distSq(vec[s·sub .. ), books[s][codes[s]])`, subspaces summed
+  * in ascending order (bit-compatible with the left-fold the unrolled
+  * formulation used). Same referenced-constant rationale as
+  * [[NearestCentroidExpr]].
+  */
+case class AdcDistExpr(books: Array[Array[Array[Double]]],
+                       left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def prettyName: String = "vec_adc_dist"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+            ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<int>), got ${l.sql}, ${r.sql}")
+    }
+
+  @transient private lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val sub: Int = books(0)(0).length
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]; val codes = b.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var total = 0.0; var s = 0
+    while (s < books.length && s < codes.numElements()) {
+      val row = books(s)(codes.getInt(s))
+      var k = 0
+      while (k < row.length && s * sub + k < n) {
+        val i = s * sub + k
+        val d = (if (leftIsFloat) v.getFloat(i).toDouble else v.getDouble(i)) - row(k)
+        total += d * d; k += 1
+      }
+      s += 1
+    }
+    total
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val booksRef = ctx.addReferenceObj("adcBooks", books, "double[][][]")
+      val total = ctx.freshName("total"); val s = ctx.freshName("s")
+      val k = ctx.freshName("k"); val d = ctx.freshName("d")
+      val row = ctx.freshName("row"); val i = ctx.freshName("i")
+      val get = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+      |double $total = 0.0;
+      |for (int $s = 0; $s < $booksRef.length && $s < $b.numElements(); $s++) {
+      |  double[] $row = $booksRef[$s][$b.getInt($s)];
+      |  for (int $k = 0; $k < $row.length; $k++) {
+      |    int $i = $s * $sub + $k;
+      |    if ($i >= $a.numElements()) break;
+      |    double $d = $get - $row[$k];
+      |    $total += $d * $d;
+      |  }
+      |}
+      |${ev.value} = $total;
+      |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -44,4 +44,25 @@ object VectorOps {
   /** RBF kernel value exp(-gamma * ||a-b||^2). */
   def rbf(a: Column, b: Column, gamma: Double): Column =
     exp(-lit(gamma) * distSq(a, b))
+
+  /** Literal-matrix mat-vec `m · v` (array<double> out) — one codegen
+    * node with the matrix as a referenced constant; see
+    * [[MatVecLitExpr]] for why the unrolled-lit alternative is wrong.
+    */
+  def matVec(m: Array[Array[Double]], v: Column): Column =
+    e2col(MatVecLitExpr(m, col2e(v)))
+
+  /** Argmin-distance centroid over a literal centroid table, returning
+    * `ids(argmin)`; ties to the first position — the rule
+    * array_position(dists, array_min(dists)) applied. Referenced-
+    * constant codegen ([[NearestCentroidExpr]]).
+    */
+  def nearestCentroid(ids: Array[Int], cents: Array[Array[Double]], v: Column): Column =
+    e2col(NearestCentroidExpr(ids, cents, col2e(v)))
+
+  /** PQ asymmetric (ADC) squared distance of a raw vector against an
+    * m-code column under literal codebooks ([[AdcDistExpr]]).
+    */
+  def adcDist(books: Array[Array[Array[Double]]], v: Column, codes: Column): Column =
+    e2col(AdcDistExpr(books, col2e(v), col2e(codes)))
 }

@@ -97,13 +97,12 @@ object Ivf {
   private[graft] def nearestIdExpr(
       cents: Array[(Int, Seq[Double])], vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     require(cents.nonEmpty, "no centroids")
-    val dists = array(cents.map { case (_, c) =>
-      VectorOps.distSq(vec, array(c.map(lit): _*))
-    }: _*)
-    val pos = array_position(dists, array_min(dists)).cast("int")
-    // empty lists can disappear between iterations, so position != id:
-    // translate through the surviving id table
-    element_at(array(cents.map(c => lit(c._1)): _*), pos)
+    // One referenced-constant codegen node (same first-min tie rule as
+    // the array_position(array_min) formulation it replaces, whose
+    // nLists·dim unrolled lit() tree dominated planning time); the id
+    // table rides inside the expression — empty lists can disappear
+    // between iterations, so position != id.
+    VectorOps.nearestCentroid(cents.map(_._1), cents.map(_._2.toArray), vec)
   }
 
   private def nearestListExpr(cents: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column =

@@ -67,21 +67,23 @@ object Opq {
     m
   }
 
-  /** Literal-matrix mat-vec: `out[j] = Σ_k R[j][k]·v[k]`. `v` must be
-    * a bound double-array attribute (same discipline as
-    * [[graft.dedup.Dedup.shinglesFromTokens]]) so each element_at is an
-    * O(1) array read, not a re-evaluated expression tree.
+  /** Literal-matrix mat-vec: `out[j] = Σ_k R[j][k]·v[k]` — ONE codegen
+    * expression node with the matrix as a referenced constant
+    * ([[graft.functions.VectorExpressions MatVecLitExpr]]). The first
+    * cut unrolled dim² `lit()` multiply-adds; semantically identical,
+    * but Catalyst analysis + Janino compilation of that 4096-term tree
+    * added ~25 s PER PLANNED PIPELINE at dim 64 (measured via
+    * OpqProbe) — planning cost, not execution cost, which no cluster
+    * size would amortize per-query.
     */
   def rotateExpr(r: Array[Array[Double]], v: Column): Column =
-    array(r.indices.map { j =>
-      r(j).indices.map(k => lit(r(j)(k)) * element_at(v, k + 1)).reduce(_ + _)
-    }: _*)
+    graft.functions.VectorOps.matVec(r, v)
 
-  /** Corpus with a rotated copy of the embedding column. */
+  /** Corpus with a rotated copy of the embedding column (float or
+    * double input; double out).
+    */
   def rotated(data: DataFrame, r: Array[Array[Double]]): DataFrame =
-    data
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("ve"))
-      .select(col("vec_id"), rotateExpr(r, col("ve")).as("embedding"))
+    data.select(col("vec_id"), rotateExpr(r, col("embedding")).as("embedding"))
 
   /** ±1-ish deterministic pseudo-random from a long column: value in
     * [-1, 1] with 1e-3 resolution, pure integer hash + divide.

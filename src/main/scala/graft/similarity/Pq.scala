@@ -44,16 +44,19 @@ object Pq {
     slice(vec, s * sub + 1, sub)
 
   /** 0-based nearest-code argmin over a literal codebook — ties to the
-    * lowest code, same rule as [[Ivf.nearestIdExpr]].
+    * lowest code, same rule as [[Ivf.nearestIdExpr]]. One referenced-
+    * constant codegen node ([[VectorOps.nearestCentroid]]): the
+    * unrolled ksub·sub lit() tree this replaces cost ~20 s of
+    * analysis + Janino PER TRAINED PIPELINE at sf0.1.
     */
-  private[similarity] def nearestCodeExpr(book: Array[Seq[Double]], subv: Column): Column = {
-    val dists = array(book.map(c => VectorOps.distSq(subv, array(c.map(lit): _*))): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  private[similarity] def nearestCodeExpr(book: Array[Seq[Double]], subv: Column): Column =
+    VectorOps.nearestCentroid(Array.range(0, book.length), book.map(_.toArray), subv)
 
-  /** Literal nested-array codebook for subspace `s` (ADC lookup). */
-  private def bookLit(book: Array[Seq[Double]]): Column =
-    array(book.map(c => array(c.map(lit): _*)): _*)
+  /** Codebooks as the primitive nested array the ADC expression holds
+    * as a referenced constant.
+    */
+  private def booksArr(books: Codebooks): Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray))
 
   /** Deterministic per-subspace k-means (joint Lloyd over all
     * subspaces): init = evenly spaced vec_ids' sub-vectors (no RNG);
@@ -112,17 +115,13 @@ object Pq {
   }
 
   /** ADC squared distance between a probe vector and a codes column —
-    * sum over subspaces of distSq(probe sub-vector, codebook[code]).
-    * Pure literal-codebook codegen arithmetic per scanned row.
+    * sum over subspaces (ascending) of distSq(probe sub-vector,
+    * codebook[code]). One referenced-constant codegen node
+    * ([[VectorOps.adcDist]]); accepts the raw float/double probe
+    * column, no slice/cast trees.
     */
-  private def adcDistExpr(books: Codebooks, probeVec: Column, codes: Column): Column = {
-    val sub = books(0)(0).length
-    books.indices.map { s =>
-      VectorOps.distSq(
-        subSlice(probeVec, s, sub),
-        element_at(bookLit(books(s)), element_at(codes, s + 1) + 1))
-    }.reduce(_ + _)
-  }
+  private def adcDistExpr(books: Codebooks, probeVec: Column, codes: Column): Column =
+    VectorOps.adcDist(booksArr(books), probeVec, codes)
 
   /** PQ top-k with exact re-rank: ADC scan of the compressed corpus →
     * top-`rerank` candidates per probe → exact cosine on candidates
@@ -142,7 +141,7 @@ object Pq {
     val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), desc("vec_id"))
     val candidates = codes
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("adist", adcDistExpr(books, dvec(col("probe_vec")), col("codes")))
+      .withColumn("adist", adcDistExpr(books, col("probe_vec"), col("codes")))
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerank)
       .select("probe_id", "vec_id")
@@ -193,7 +192,7 @@ object Pq {
       .join(probeLists.hint("broadcast"), "list_id")
       .filter(col("vec_id") =!= col("probe_id"))
       .join(broadcast(probes), "probe_id")
-      .withColumn("adist", adcDistExpr(books, dvec(col("probe_vec")), col("codes")))
+      .withColumn("adist", adcDistExpr(books, col("probe_vec"), col("codes")))
       .withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerank)
       .select("probe_id", "vec_id")
