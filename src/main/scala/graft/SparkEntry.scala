@@ -193,6 +193,10 @@ object SparkEntry {
     // state bounded by watermark + time-range condition on both sides;
     // bounded replay == the batch self-join.
     "stream_stream_join" -> ((s: SparkSession, d: String) => EventStream.runAttributionBounded(s, d)),
+    // LEFT-OUTER stream-stream join: null-padded unmatched views emit
+    // when the global watermark passes their match horizon; parity is
+    // over the watermark-decided region only (see attributionJoinOuter).
+    "stream_stream_outer" -> ((s: SparkSession, d: String) => EventStream.runAttributionOuterBounded(s, d)),
     "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d))
   )
 
@@ -1020,6 +1024,27 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Left-outer stream-stream join: the batch LEFT JOIN restricted to
+    // the watermark-decided region — views whose 1 h match horizon lies
+    // within the final global watermark (min of both sides' max ts
+    // minus the 2 h delay); later views are still in the join state on
+    // a bounded replay, by watermark semantics, so both engines exclude
+    // them identically.
+    "stream_stream_outer" ->
+      """WITH mx AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m
+        |)
+        |SELECT v.user_id, count(*) AS n_rows, count(p.ts) AS n_attributed,
+        |  round(sum(coalesce(p.value, 0)), 2) AS attributed_value
+        |FROM events v LEFT JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view'
+        |  AND v.ts < (SELECT m - INTERVAL 3 HOUR FROM mx)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // flatMapGroupsWithState running stats must converge to the plain
     // batch aggregate — the custom state store is an implementation

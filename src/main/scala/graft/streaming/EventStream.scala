@@ -201,6 +201,73 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** LEFT-OUTER variant of [[attributionJoin]]: every view, matched
+    * with its purchases within the hour OR null-padded if none arrive.
+    * Matched pairs emit on arrival like the inner join; an UNMATCHED
+    * view can only emit once the join is sure no purchase can still
+    * match — i.e. when the global watermark (the MIN of both sides'
+    * watermarks) passes `ts_v + 1 hour`. That makes the outer join the
+    * one stream-stream shape whose output is watermark-DRIVEN, not
+    * just watermark-BOUNDED: rows whose decision horizon lies beyond
+    * the final watermark stay in the state store forever on a bounded
+    * replay. Batch parity therefore quantifies over the DECIDED region
+    * only — `ts_v < min(max view ts, max purchase ts) - 3h` (2 h
+    * watermark delay + 1 h match window), strict to keep the exact
+    * boundary row out of both engines.
+    */
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame =
+    views
+      .select(col("user_id").as("v_user"), col("ts").as("ts_v"))
+      .withWatermark("ts_v", "2 hours")
+      .join(
+        purchases
+          .select(col("user_id").as("p_user"), col("ts").as("ts_p"),
+            col("value").as("p_value"))
+          .withWatermark("ts_p", "2 hours"),
+        expr("v_user = p_user AND ts_p >= ts_v AND ts_p <= ts_v + interval 1 hour"),
+        "left_outer")
+
+  /** Bounded run of [[attributionJoinOuter]] (`stream_stream_outer`):
+    * Append-mode emissions (pairs + watermark-expired null rows) land
+    * in the memory sink; the rollup keeps only the decided region and
+    * counts total view rows vs attributed ones per user, so the
+    * null-padding is load-bearing — drop it and n_rows collapses to
+    * n_attributed. The batch LEFT JOIN under the same cutoff is the
+    * SQL oracle.
+    */
+  def runAttributionOuterBounded(spark: SparkSession, sfDir: String,
+                                 queryName: String = "graft_stream_ss_outer"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String): DataFrame =
+      FileStreams.readStream(spark, s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select("user_id", "ts", "value")
+    val q = attributionJoinOuter(side("view"), side("purchase"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Decided-region cutoff from a batch read of the same bounded
+    // input: one tiny aggregate, driver-side by design (two longs).
+    val mx = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(max(expr("ts div 1000")).as("m"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .agg(min("m")).head().getLong(0)
+    val cutoffMicros = mx - 3L * 3600L * 1000000L
+    spark.table(queryName)
+      .filter(col("ts_v") < timestamp_micros(lit(cutoffMicros)))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("ts_p")).as("n_attributed"),
+        round(sum(coalesce(col("p_value"), lit(0.0))), 2).as("attributed_value"))
+      .orderBy("user_id")
+  }
+
   /** Run the streaming pipeline over the bounded events parquet via a
     * file stream, write to an in-memory sink, and return the final
     * result — used by the spec to assert batch/stream parity.

@@ -52,6 +52,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("left-outer stream-stream join: watermark emits null-padded unmatched views") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runAttributionOuterBounded(spark, sf0001, "spec_ss_outer")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed.nonEmpty, "the decided region must contain at least one view")
+    assert(streamed.exists { case (_, (nRows, nAttr, _)) => nRows > nAttr },
+      "at least one decided view must be UNMATCHED — its null-padded row can only " +
+        "come from watermark-driven eviction, which is the semantics under test")
+    // batch left join under the same decided-region cutoff
+    val ev = Analytics.loadEvents(spark, sf0001)
+    val mx = ev.filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min("m")).head().getLong(0)
+    val cutoff = mx - 3L * 3600L * 1000000L
+    val batch = EventStream.attributionJoinOuter(
+        ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"))
+      .filter(unix_micros(col("ts_v")) < cutoff)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("ts_p")).as("n_attributed"),
+        round(sum(coalesce(col("p_value"), lit(0.0))), 2).as("attributed_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("stream-stream join state spans micro-batches (chronological chunk arrival)") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import org.apache.spark.sql.functions._
