@@ -71,6 +71,9 @@ object SparkEntry {
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     "dedup_survivors" -> Dedup.exactSurvivors _,
+    // Exact-substring dedup: docs sharing a 12-token window flagged
+    // via the distributed inverted-index formulation (Substring.scala).
+    "dedup_substring" -> ((s: SparkSession, d: String) => graft.dedup.Substring.substringAudit(s, d)),
     // The near-dup/ANN pipelines run over corpora with PLANTED
     // duplicates (pure column arithmetic, rebuilt verbatim by the SQL
     // oracle), which turns LSH/IVF *recall* into a hash-verified
@@ -482,6 +485,23 @@ object SparkEntry {
         |SELECT count(*) AS n_unique,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
         |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed FROM g""".stripMargin,
+    // Exact-substring dedup: distinct 12-token windows per doc, shared
+    // = present in >= 2 docs; per-doc audit of total window positions,
+    // shared-window count, and the flag.
+    "dedup_substring" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest([array_to_string(t[i:i+11], ' ') FOR i IN generate_series(1, length(t) - 11)]) AS win
+        |  FROM tk
+        |), dw AS (SELECT DISTINCT doc_id, win FROM w),
+        |sh AS (SELECT win FROM dw GROUP BY win HAVING count(*) >= 2),
+        |per AS (SELECT d.doc_id, count(*) AS n_dup FROM dw d JOIN sh USING (win) GROUP BY 1)
+        |SELECT tk.doc_id, CAST(greatest(length(tk.t) - 11, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  coalesce(per.n_dup, 0) > 0 AS flagged
+        |FROM tk LEFT JOIN per USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
     // The dedup OUTPUT itself (deterministic keeper = min doc_id).
     "dedup_survivors" ->
       """WITH k AS (SELECT md5(lower(text)) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)

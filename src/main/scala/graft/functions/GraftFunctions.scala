@@ -25,6 +25,12 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c)))
 
+  /** Distinct rolling hashes of every `w`-token window of a token
+    * array (codegen; see [[TokenWindowHashExpr]]).
+    */
+  def token_window_hashes(toks: Column, w: Int): Column =
+    ColumnBridge.column(TokenWindowHashExpr(ColumnBridge.expression(toks), w))
+
   /** All-category PII redaction of a string column (see
     * [[graft.text.Pii]]) — Column form delegates to the shared rule
     * list; the SQL registration builds the same nested RegExpReplace

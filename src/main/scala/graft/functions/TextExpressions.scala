@@ -75,3 +75,99 @@ case class RollingHashExpr(child: Expression, mult: Long = 31L, mod: Long = 1000
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Distinct 64-bit rolling hashes of every `w`-consecutive-token
+  * window of a token-array column — the hot loop of exact-substring
+  * dedup ([[graft.dedup.Substring]]).
+  *
+  * Why a custom Expression: the `transform(sequence(...), slice+
+  * concat_ws)` formulation builds one ~90-byte window STRING per token
+  * position through an interpreted HOF lambda (CodegenFallback), then
+  * shuffles those strings as join keys. This expression hashes each
+  * token once (FNV-1a 64 over its UTF-8 bytes) and rolls a polynomial
+  * over the token hashes — O(tokens) total, not O(tokens × w) — inside
+  * codegen, and downstream shuffles carry 8-byte longs. Distinctness
+  * (a window repeated INSIDE one doc counts once) is folded into the
+  * same pass via an insertion-ordered set.
+  *
+  * The hash substitutes for window-text equality: two windows collide
+  * with probability ~2⁻⁶⁴ per pair (~10⁻⁷ corpus-wide at sf0.1). The
+  * DuckDB oracle groups by window TEXT, so a collision would surface
+  * as a correctness diff rather than pass silently.
+  */
+case class TokenWindowHashExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, s"window width must be positive, got $w")
+
+  override def prettyName: String = "token_window_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenWindowHashExpr.windowHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenWindowHashExpr$$.MODULE$$.windowHashes($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenWindowHashExpr {
+  /** FNV-64 prime — the polynomial base; arithmetic wraps mod 2⁶⁴. */
+  final val B = 1099511628211L
+
+  /** FNV-1a 64 over the UTF-8 bytes of one token. */
+  def fnv64(s: UTF8String): Long = {
+    var h = -3750763034362895579L // 0xcbf29ce484222325
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= B
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct rolling window hashes, first-occurrence order; empty when
+    * the doc has fewer than `w` tokens. Shared by eval and codegen.
+    */
+  def windowHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = fnv64(arr.getUTF8String(i)); i += 1 }
+    var pow = 1L
+    i = 0
+    while (i < w - 1) { pow *= B; i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + th(i); i += 1 }
+    seen.add(h)
+    i = 1
+    while (i <= n - w) {
+      h = (h - th(i - 1) * pow) * B + th(i + w - 1)
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -180,6 +180,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring: map-side-combined window agg, pruned scan, no pair join") {
+    val p = plan(graft.dedup.Substring.substringAudit(spark, sf0001))
+    assert(p.contains("partial_"),
+      s"shared-window counting must partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"substring audit must prune unused document columns:\n$p")
+    // the decisive scale property: flagging joins docs to WINDOWS, never
+    // docs to docs — a boilerplate window must not cross-product
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no pairwise doc join allowed in substring dedup:\n$p")
+  }
+
   test("corpus_pack: window and shard aggregation share one shuffle") {
     // The window partitions by (lang, bucket); the following groupBy on
     // (lang, bucket, shard) is satisfied by the same hash partitioning
