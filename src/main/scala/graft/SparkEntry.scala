@@ -74,6 +74,9 @@ object SparkEntry {
     // Exact-substring dedup: docs sharing a 12-token window flagged
     // via the distributed inverted-index formulation (Substring.scala).
     "dedup_substring" -> ((s: SparkSession, d: String) => graft.dedup.Substring.substringAudit(s, d)),
+    // Span structure of the sharing: maximal runs of consecutive
+    // shared windows per doc (the unit substring dedup removes).
+    "dedup_substring_spans" -> ((s: SparkSession, d: String) => graft.dedup.Substring.substringSpans(s, d)),
     // The near-dup/ANN pipelines run over corpora with PLANTED
     // duplicates (pure column arithmetic, rebuilt verbatim by the SQL
     // oracle), which turns LSH/IVF *recall* into a hash-verified
@@ -502,6 +505,25 @@ object SparkEntry {
         |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
         |  coalesce(per.n_dup, 0) > 0 AS flagged
         |FROM tk LEFT JOIN per USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+    // Maximal consecutive-shared-window runs per doc: positions whose
+    // window is shared collapse via the pos - row_number() identity.
+    "dedup_substring_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'win': array_to_string(t[i:i+11], ' ')} FOR i IN generate_series(1, length(t) - 11)], recursive := true)
+        |  FROM tk
+        |), sh AS (
+        |  SELECT win FROM (SELECT DISTINCT doc_id, win FROM w) GROUP BY win HAVING count(*) >= 2
+        |), r AS (
+        |  SELECT w.doc_id, w.pos, w.pos - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS grp
+        |  FROM w JOIN sh USING (win)
+        |), runs AS (
+        |  SELECT doc_id, grp, count(*) AS run_len FROM r GROUP BY 1, 2
+        |)
+        |SELECT doc_id, count(*) AS n_spans, CAST(max(run_len) + 11 AS BIGINT) AS max_span_tokens
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
     // The dedup OUTPUT itself (deterministic keeper = min doc_id).
     "dedup_survivors" ->
       """WITH k AS (SELECT md5(lower(text)) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)

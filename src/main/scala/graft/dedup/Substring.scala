@@ -75,4 +75,40 @@ object Substring {
         (coalesce(col("n_dup"), lit(0L)) > 0).as("flagged"))
       .orderBy("doc_id")
   }
+
+  /** Span structure of the sharing: for each flagged document, the
+    * maximal RUNS of consecutive shared window positions — the unit
+    * the substring-dedup literature actually removes (a shared run of
+    * `r` windows is a shared span of `r + W − 1` tokens). Positions
+    * whose window hash is shared collapse into runs via the
+    * `pos − row_number()` grouping identity; the per-doc window
+    * function is bounded by document length, so the sort never exceeds
+    * one document's positions.
+    */
+  def substringSpans(spark: SparkSession, sfDir: String): DataFrame =
+    spansOf(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** [[substringSpans]] over any (doc_id, text) frame. */
+  def spansOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      // one hash PER POSITION (distinct = false): array index == start
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions
+          .token_window_hashes_positional(col("toks"), W).as("wins"))
+    val posWin = toks.select(col("doc_id"), posexplode(col("wins")).as(Seq("pos", "win")))
+    // shared = window present in >= 2 DISTINCT docs (dedupe per doc first)
+    val shared = posWin.select("doc_id", "win").distinct()
+      .groupBy("win").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("win")
+    val runs = posWin.join(shared, "win")
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+    runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        (max("run_len") + (W - 1)).cast("long").as("max_span_tokens"))
+      .orderBy("doc_id")
+  }
 }

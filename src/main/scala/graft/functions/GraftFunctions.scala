@@ -31,6 +31,13 @@ object GraftFunctions {
   def token_window_hashes(toks: Column, w: Int): Column =
     ColumnBridge.column(TokenWindowHashExpr(ColumnBridge.expression(toks), w))
 
+  /** One window hash PER POSITION (array index == window start) — the
+    * span/run-consuming variant of [[token_window_hashes]].
+    */
+  def token_window_hashes_positional(toks: Column, w: Int): Column =
+    ColumnBridge.column(
+      TokenWindowHashExpr(ColumnBridge.expression(toks), w, distinct = false))
+
   /** All-category PII redaction of a string column (see
     * [[graft.text.Pii]]) — Column form delegates to the shared rule
     * list; the SQL registration builds the same nested RegExpReplace

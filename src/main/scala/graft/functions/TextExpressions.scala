@@ -95,7 +95,8 @@ case class RollingHashExpr(child: Expression, mult: Long = 31L, mod: Long = 1000
   * DuckDB oracle groups by window TEXT, so a collision would surface
   * as a correctness diff rather than pass silently.
   */
-case class TokenWindowHashExpr(child: Expression, w: Int)
+case class TokenWindowHashExpr(child: Expression, w: Int,
+                               distinct: Boolean = true)
     extends UnaryExpression {
 
   require(w >= 1, s"window width must be positive, got $w")
@@ -112,11 +113,11 @@ case class TokenWindowHashExpr(child: Expression, w: Int)
 
   override def nullSafeEval(input: Any): Any =
     TokenWindowHashExpr.windowHashes(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w, distinct)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TokenWindowHashExpr$$.MODULE$$.windowHashes($c, $w);")
+      s"${ev.value} = graft.functions.TokenWindowHashExpr$$.MODULE$$.windowHashes($c, $w, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -139,10 +140,14 @@ object TokenWindowHashExpr {
     h
   }
 
-  /** Distinct rolling window hashes, first-occurrence order; empty when
-    * the doc has fewer than `w` tokens. Shared by eval and codegen.
+  /** Rolling window hashes; `distinct = true` de-duplicates in
+    * first-occurrence order (set-semantics consumers), `false` keeps
+    * one hash PER POSITION in order (span/run consumers, where array
+    * index == window start). Empty when the doc has fewer than `w`
+    * tokens. Shared by eval and codegen.
     */
-  def windowHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData, w: Int)
+  def windowHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData, w: Int,
+                   distinct: Boolean)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = arr.numElements()
     if (n < w)
@@ -153,17 +158,22 @@ object TokenWindowHashExpr {
     var pow = 1L
     i = 0
     while (i < w - 1) { pow *= B; i += 1 }
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val all = new Array[Long](n - w + 1)
     var h = 0L
     i = 0
     while (i < w) { h = h * B + th(i); i += 1 }
-    seen.add(h)
+    all(0) = h
     i = 1
     while (i <= n - w) {
       h = (h - th(i - 1) * pow) * B + th(i + w - 1)
-      seen.add(h)
+      all(i) = h
       i += 1
     }
+    if (!distinct)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(all)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < all.length) { seen.add(all(i)); i += 1 }
     val out = new Array[Long](seen.size())
     val it = seen.iterator()
     var j = 0

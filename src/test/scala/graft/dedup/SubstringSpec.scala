@@ -47,6 +47,24 @@ class SubstringSpec extends SparkSpec {
       s"intra-doc repetition is not cross-doc sharing: ${audit(10L)}")
   }
 
+  test("span structure: two disjoint 14-token shared runs yield 2 spans of 14") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"a$i")
+    val planted = Seq(
+      doc(1L, a),
+      // shares a1..a14 and a17..a30 with doc 1 — two 14-token runs
+      // (3 consecutive windows each), separated by unshared material
+      doc(2L, (1 to 5).map(i => s"b$i") ++ a.slice(0, 14) ++
+        (1 to 5).map(i => s"c$i") ++ a.slice(16, 30)),
+      doc(3L, (1 to 20).map(i => s"z$i"))
+    ).toDF("doc_id", "text")
+    val spans = Substring.spansOf(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(spans.keySet == Set(1L, 2L), s"only the sharing docs appear: $spans")
+    assert(spans(1L) == ((2L, 14L)), s"doc1 spans: ${spans(1L)}")
+    assert(spans(2L) == ((2L, 14L)), s"doc2 spans: ${spans(2L)}")
+  }
+
   test("corpus audit reconciles: flagged == docs with n_dup_windows > 0") {
     val rows = Substring.substringAudit(spark, sf0001).collect()
     assert(rows.nonEmpty)
