@@ -131,6 +131,10 @@ object SparkEntry {
     // whose signal is concentrated in sub-space 0, plain PQ must FAIL
     // the recall pin and the rotated pipeline must clear it.
     "ann_opq" -> ((s: SparkSession, d: String) => graft.similarity.Opq.opqRecallContrast(s, d)),
+    // Rotation composed with the full IVF-PQ index shape: plain
+    // IVF-PQ's in-list PQ codes collapse on concentrated variance,
+    // the rotated pipeline holds recall 1.0.
+    "ann_opq_ivf" -> ((s: SparkSession, d: String) => graft.similarity.Opq.opqIvfRecallContrast(s, d)),
     // IVF-PQ composition (billion-scale shape: coarse lists restrict
     // the scan, ADC ranks in compressed domain, exact re-rank): the
     // planted duplicate shares list AND code word, so it must return
@@ -647,6 +651,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('opq', true, true),
         |  ('pq_plain', true, true)) AS t(method, planted_ok, contract_ok)
+        |ORDER BY method""".stripMargin,
+    // Same contrast through the composed IVF-PQ index: the coarse
+    // filter survives concentrated variance, the in-list PQ codes do
+    // not (plain recall <= 0.60 => contract_ok) — rotated holds >= 0.90.
+    "ann_opq_ivf" ->
+      """SELECT * FROM (VALUES
+        |  ('opq_ivfpq', true, true),
+        |  ('plain_ivfpq', true, true)) AS t(method, planted_ok, contract_ok)
         |ORDER BY method""".stripMargin,
     // Planted duplicate shares coarse list and PQ code word -> must be
     // the top-1 IVF-PQ neighbor at cosine 1.0.

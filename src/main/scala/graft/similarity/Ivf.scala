@@ -32,11 +32,19 @@ object Ivf {
   def trainCentroids(data: DataFrame, nLists: Int, iters: Int = 3): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val n = data.count()
+    // init spacing relative to min(vec_id) so OFFSET id spaces (planted
+    // corpora live at large bases, e.g. Opq.OpqOffset) seed nLists
+    // centroids too; for natural corpora minId = 0 and the arithmetic
+    // is unchanged
+    val (n, minId) = {
+      val r = data.agg(count(lit(1)), min(col("vec_id").cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val spacing = math.max(n / nLists, 1L)
     var cent = data
-      .filter(pmod(col("vec_id"), lit(spacing)) === 0 && col("vec_id") < spacing * nLists)
-      .select((col("vec_id") / spacing).cast("int").as("list_id"),
+      .filter(pmod(col("vec_id") - minId, lit(spacing)) === 0 &&
+        col("vec_id") - minId < spacing * nLists)
+      .select(((col("vec_id") - minId) / spacing).cast("int").as("list_id"),
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
     for (_ <- 1 to iters) {
       // assignWithVec carries the embedding THROUGH the assignment

@@ -170,4 +170,43 @@ object Opq {
       ("pq_plain", nProbes > 0, plain <= maxPlainRecall))
       .toDF("method", "planted_ok", "contract_ok").orderBy("method")
   }
+
+  /** `ann_opq_ivf`: the rotation composed with the FULL billion-scale
+    * index shape — IVF coarse filter + PQ codes + exact re-rank
+    * ([[Pq.ivfPqTopKOf]]) — on the same concentrated corpus. The IVF
+    * stage quantizes WHOLE vectors, so the coarse filter survives
+    * concentrated variance; the PQ codes inside the lists do not, and
+    * plain IVF-PQ recall@10 collapses (measured 0.52) while the
+    * rotated pipeline holds 1.0. Same boolean-pin oracle discipline as
+    * [[opqRecallContrast]]; cosine's rotation invariance again lets
+    * both sides share one brute-force truth.
+    */
+  def opqIvfRecallContrast(spark: SparkSession, sfDir: String, k: Int = 10,
+                           maxPlainRecall: Double = 0.60,
+                           minOpqRecall: Double = 0.90): DataFrame = {
+    import spark.implicits._
+    val corpus = concentratedEmbeddings(spark, sfDir)
+      .select("vec_id", "embedding").localCheckpoint()
+    val probes = corpus
+      .filter(pmod(col("vec_id") - OpqOffset, lit(16L * 13L)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .localCheckpoint()
+    val nProbes = probes.count()
+    val brute = Ann.bruteForceTopKOf(corpus, probes, k)
+      .select("probe_id", "neighbor_id").localCheckpoint()
+    val plain = recallOf(brute,
+      Pq.ivfPqTopKOf(corpus, probes, k).select("probe_id", "neighbor_id"))
+    val rot = rotationMatrix(64)
+    val rotCorpus = rotated(corpus, rot).localCheckpoint()
+    val rotProbes = rotated(
+      probes.select(col("probe_id").as("vec_id"), col("probe_vec").as("embedding")), rot)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .localCheckpoint()
+    val opq = recallOf(brute,
+      Pq.ivfPqTopKOf(rotCorpus, rotProbes, k).select("probe_id", "neighbor_id"))
+    Seq(
+      ("opq_ivfpq", nProbes > 0, opq >= minOpqRecall),
+      ("plain_ivfpq", nProbes > 0, plain <= maxPlainRecall))
+      .toDF("method", "planted_ok", "contract_ok").orderBy("method")
+  }
 }
