@@ -163,6 +163,8 @@ object SparkEntry {
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
+    // Perceptual-hash image dedup over REAL decoded PPM rasters.
+    "mm_phash" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     // REAL RIFF/PCM WAV parse (magic strings, little-endian fields,
     // chunk sizing) over arithmetic-generated audio; rate/samples/
     // duration/loudness recomputed by the oracle from the generation
@@ -839,6 +841,34 @@ object SparkEntry {
     // high-nibble histogram is rebuilt from the odd hex positions of
     // its byte range. Empty frames (payload shorter than the frame
     // grid) surface with peak 0.0 via the LEFT JOIN.
+    // Perceptual average-hash dedup: the oracle regenerates the PPM
+    // raster arithmetically (pixel byte = (id*31 + i*7) % 256, dims
+    // from the same id mod rules as ppmTable) and recomputes the exact
+    // integer aHash — bit p set iff gray(p)*nPixels > sum(gray) — so a
+    // decode bug, a packing bug, or a hash-group miscount all surface
+    // as value diffs. id % 13 == 0 payloads are truncated => ok=false.
+    "mm_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (doc_id % 6 + 2)::BIGINT AS w, (doc_id % 4 + 2)::BIGINT AS h,
+        |    (doc_id % 13 = 0) AS malformed
+        |  FROM documents
+        |), px AS (
+        |  SELECT media_id, malformed, w*h AS n,
+        |    [ (media_id*31 + (3*p)*7) % 256 + (media_id*31 + (3*p+1)*7) % 256 + (media_id*31 + (3*p+2)*7) % 256
+        |      FOR p IN generate_series(0, w*h - 1) ] AS gray
+        |  FROM m
+        |), hs AS (
+        |  SELECT media_id, NOT malformed AS ok,
+        |    CASE WHEN malformed THEN NULL ELSE
+        |      list_sum([ CASE WHEN gray[p+1] * n > list_sum(gray) THEN (1::BIGINT << p) ELSE 0::BIGINT END
+        |                 FOR p IN generate_series(0, n - 1) ])
+        |    END AS phash
+        |  FROM px
+        |)
+        |SELECT media_id, ok, phash,
+        |  CASE WHEN ok THEN count(*) OVER (PARTITION BY phash) ELSE 0 END AS n_same
+        |FROM hs ORDER BY media_id""".stripMargin,
     "mm_frames" ->
       """WITH h AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents

@@ -102,6 +102,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash: hand-built image hashes to the exact pinned bits; corpus groups reconcile") {
+    // 2x2 RGB: grays 60, 600, 0, 304 — total 964, n=4; bit p set iff
+    // 4·gray(p) > 964 → pixels 1 and 3 → hash 0b1010 = 10
+    val raster = Array[Int](10, 20, 30, 200, 200, 200, 0, 0, 0, 100, 100, 104)
+      .map(_.toByte)
+    val img = Ppm.Image(2, 2, raster)
+    val n = 4
+    val gray = (0 until n).map(p =>
+      (0 until 3).map(c => img.raster(3 * p + c) & 0xFF).sum.toLong)
+    val total = gray.sum
+    var hash = 0L
+    for (p <- 0 until n) if (gray(p) * n > total) hash |= (1L << p)
+    assert(hash == 10L && total == 964L, s"hand hash: $hash total $total")
+
+    val rows = Multimodal.phashDedup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // malformed rows: ok=false, null hash, n_same 0
+    assert(rows.filter(!_.getBoolean(1)).forall(r => r.isNullAt(2) && r.getLong(3) == 0L))
+    // group sizes reconcile: sum over distinct (phash -> n_same) == ok rows
+    val ok = rows.filter(_.getBoolean(1))
+    val groups = ok.map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(groups.values.sum == ok.length,
+      "every ok image belongs to exactly one hash group")
+    assert(groups.values.exists(_ > 1), "small hash space must produce real groups")
+  }
+
   test("frame sampling explodes each media row into nFrames feature rows") {
     val frames = Multimodal.sampleFrames(spark, sf0001, nFrames = 3)
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
