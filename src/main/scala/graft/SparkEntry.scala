@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.Analytics
+import graft.queries.{Analytics, Funnel}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -68,6 +68,8 @@ object SparkEntry {
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
     "q_approx_percentile" -> Analytics.qApproxPercentile _,
+    "q_funnel" -> Funnel.qFunnel _,
+    "q_retention" -> Funnel.qRetention _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     "dedup_survivors" -> Dedup.exactSurvivors _,
@@ -461,6 +463,28 @@ object SparkEntry {
         |  floor(avg(k) * 100 + 0.5) / 100 AS avg_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Chained step windows (t2 from t1, t3 from t2) — the oracle
+    // rebuilds the chain with three dependent CTEs.
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS te FROM events),
+        |u1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN te END) AS t1 FROM e GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(te) AS t2 FROM e JOIN u1 USING (user_id)
+        |       WHERE event_type = 'view' AND te > t1 AND te <= t1 + 604800000000 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(te) AS t3 FROM e JOIN u2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND te > t2 AND te <= t2 + 604800000000 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM u1) AS n_users,
+        |  (SELECT count(t1) FROM u1) AS u_signup,
+        |  (SELECT count(*) FROM u2) AS u_view,
+        |  (SELECT count(*) FROM u3) AS u_purchase,
+        |  (SELECT min(t1) FROM u1) AS first_signup_us,
+        |  (SELECT max(t3) FROM u3) AS last_purchase_us""".stripMargin,
+    // Arithmetic week indices from the corpus epoch (integer-exact);
+    // `//` here = Spark's `div` on non-negative operands.
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+        |SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset, count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Bucketization must be invisible: the oracle is the PLAIN
     // inequality join.
     "q_range_join" ->

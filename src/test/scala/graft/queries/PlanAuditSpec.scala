@@ -205,4 +205,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"expected exactly one hash exchange (the window's), got $hashExchanges:\n$p")
   }
+
+  test("q_funnel: chained step windows + row-number cut share ONE user_id shuffle") {
+    // Three Window operators (t1, t2, t3) plus the rn=1 filter all
+    // partition by user_id; at 100 TB the events table must move once.
+    val p = plan(Funnel.qFunnel(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange for the whole funnel, got $hashExchanges:\n$p")
+  }
+
+  test("q_retention: cohort window and cell aggregation = two shuffles, ids only") {
+    val p = plan(Funnel.qRetention(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2,
+      s"retention must shuffle at most twice (user window, cell agg):\n$p")
+    assert(!p.contains("props") && !p.contains("event_type"),
+      s"retention must prune all event columns except user_id/ts:\n$p")
+  }
 }
