@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Funnel}
+import graft.queries.{Analytics, BloomJoin, Funnel}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -70,6 +70,7 @@ object SparkEntry {
     "q_approx_percentile" -> Analytics.qApproxPercentile _,
     "q_funnel" -> Funnel.qFunnel _,
     "q_retention" -> Funnel.qRetention _,
+    "q_bloom_join" -> BloomJoin.qBloomJoin _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     "dedup_survivors" -> Dedup.exactSurvivors _,
@@ -478,6 +479,14 @@ object SparkEntry {
         |  (SELECT count(*) FROM u3) AS u_purchase,
         |  (SELECT min(t1) FROM u1) AS first_signup_us,
         |  (SELECT max(t3) FROM u3) AS last_purchase_us""".stripMargin,
+    // The bloom pre-filter must be invisible: the oracle is the PLAIN
+    // join against the filtered dim.
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Arithmetic week indices from the corpus epoch (integer-exact);
     // `//` here = Spark's `div` on non-negative operands.
     "q_retention" ->

@@ -46,6 +46,12 @@ object GraftFunctions {
     */
   def pii_redact(c: Column): Column = graft.text.Pii.redactAll(c)
 
+  /** Membership probe against a pre-built [[BloomSketch]] bitmap
+    * (referenced-constant codegen; see [[BloomMightContainExpr]]).
+    */
+  def bloom_might_contain(bits: Array[Long], key: Column): Column =
+    ColumnBridge.column(BloomMightContainExpr(bits, ColumnBridge.expression(key)))
+
   private def piiRedactExpr(
       subject: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {

@@ -215,6 +215,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one hash exchange for the whole funnel, got $hashExchanges:\n$p")
   }
 
+  test("q_bloom_join: membership probe filters the fact side BEFORE its shuffle") {
+    // The whole point of the runtime filter is dropping fact rows
+    // before the join exchange: bloom_might_contain must appear under
+    // the probe-side Exchange, and the join must be the
+    // dim-too-big-to-broadcast SortMergeJoin the hint requests.
+    val p = plan(BloomJoin.qBloomJoin(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), s"expected the hinted merge join:\n$p")
+    assert(p.contains("bloom_might_contain"), s"expected the bloom probe in-plan:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    val probeIdx = p.indexOf("bloom_might_contain")
+    assert(exchangeIdx >= 0 && probeIdx > exchangeIdx,
+      s"bloom probe must sit below (after, in toString order) the fact-side exchange:\n$p")
+  }
+
   test("q_retention: cohort window and cell aggregation = two shuffles, ids only") {
     val p = plan(Funnel.qRetention(spark, sf0001))
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
