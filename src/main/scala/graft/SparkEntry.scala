@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Funnel}
+import graft.queries.{Analytics, BloomJoin, Funnel, Stats}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -71,6 +71,8 @@ object SparkEntry {
     "q_funnel" -> Funnel.qFunnel _,
     "q_retention" -> Funnel.qRetention _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
+    "q_stats_moments" -> Stats.qStatsMoments _,
+    "q_ntile" -> Stats.qNtile _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     "dedup_survivors" -> Dedup.exactSurvivors _,
@@ -479,6 +481,22 @@ object SparkEntry {
         |  (SELECT count(*) FROM u3) AS u_purchase,
         |  (SELECT min(t1) FROM u1) AS first_signup_us,
         |  (SELECT max(t3) FROM u3) AS last_purchase_us""".stripMargin,
+    // Sample (n-1) forms on both engines; per-column rounding sized
+    // so merge-order float noise cannot flip a digit.
+    "q_stats_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ntile" ->
+      """SELECT quartile, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM (
+        |  SELECT o_totalprice, CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |  FROM orders
+        |) t GROUP BY 1 ORDER BY 1""".stripMargin,
     // The bloom pre-filter must be invisible: the oracle is the PLAIN
     // join against the filtered dim.
     "q_bloom_join" ->
