@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Funnel, Stats}
+import graft.queries.{Analytics, BloomJoin, Funnel, HeavyHitters, Stats}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -73,6 +73,7 @@ object SparkEntry {
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
+    "q_heavy_hitters" -> HeavyHitters.qHeavyHitters _,
     // §2c — LLM-data-pipeline operators
     "dedup_exact" -> Dedup.exact _,
     "dedup_survivors" -> Dedup.exactSurvivors _,
@@ -481,6 +482,13 @@ object SparkEntry {
         |  (SELECT count(*) FROM u3) AS u_purchase,
         |  (SELECT min(t1) FROM u1) AS first_signup_us,
         |  (SELECT max(t3) FROM u3) AS last_purchase_us""".stripMargin,
+    // The MG sketch must be invisible: the oracle is the full
+    // GROUP BY ... HAVING the sketch path avoids shuffling.
+    "q_heavy_hitters" ->
+      """SELECT hk, count(*) AS cnt
+        |FROM (SELECT CAST(length(bin((event_id % 65536) + 1)) AS BIGINT) AS hk FROM events)
+        |GROUP BY 1 HAVING count(*) * 8 > (SELECT count(*) FROM events)
+        |ORDER BY 1""".stripMargin,
     // Sample (n-1) forms on both engines; per-column rounding sized
     // so merge-order float noise cannot flip a digit.
     "q_stats_moments" ->

@@ -52,6 +52,13 @@ object GraftFunctions {
   def bloom_might_contain(bits: Array[Long], key: Column): Column =
     ColumnBridge.column(BloomMightContainExpr(bits, ColumnBridge.expression(key)))
 
+  /** Misra–Gries top-k candidate keys of a long column (array<long>,
+    * estimate-desc order; see [[MisraGriesAgg]]).
+    */
+  def mg_topk(key: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(key), k).toAggregateExpression())
+
   private def piiRedactExpr(
       subject: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {

@@ -229,6 +229,21 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom probe must sit below (after, in toString order) the fact-side exchange:\n$p")
   }
 
+  test("heavy hitters sketch pass: partial MG aggregate, no per-key shuffle") {
+    // Pass 1 must move ONE aggregate row per partition (SinglePartition
+    // exchange), never a hashpartitioning of the distinct keys —
+    // that's the whole point of the sketch.
+    import org.apache.spark.sql.functions._
+    val ev = Analytics.loadEvents(spark, sf0001)
+      .select(length(bin((col("event_id") % 65536L) + 1L)).cast("long").as("hk"))
+    val p = plan(ev.agg(graft.functions.GraftFunctions.mg_topk(col("hk"), 8)))
+    assert(p.contains("misra_gries"), s"expected the MG aggregate in-plan:\n$p")
+    assert(p.contains("partial_misra_gries"),
+      s"MG must aggregate partially (map-side) before the exchange:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sketch pass must not shuffle per-key:\n$p")
+  }
+
   test("q_retention: cohort window and cell aggregation = two shuffles, ids only") {
     val p = plan(Funnel.qRetention(spark, sf0001))
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
