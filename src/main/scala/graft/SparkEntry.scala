@@ -215,7 +215,10 @@ object SparkEntry {
     // when the global watermark passes their match horizon; parity is
     // over the watermark-decided region only (see attributionJoinOuter).
     "stream_stream_outer" -> ((s: SparkSession, d: String) => EventStream.runAttributionOuterBounded(s, d)),
-    "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d))
+    "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d)),
+    // Streaming ordered funnel (custom state machine); must converge
+    // to the batch chain, so it shares q_funnel's oracle.
+    "stream_funnel" -> ((s: SparkSession, d: String) => EventStream.runFunnelBounded(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -269,6 +272,23 @@ object SparkEntry {
         |SELECT 'ssn', CAST(sum(m_ssn) AS BIGINT), CAST(sum(CASE WHEN m_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(sum(d_ssn) AS BIGINT), CAST(sum(length(regexp_extract_all(red, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) FROM c
         |ORDER BY category""".stripMargin
+
+  /** Shared by q_funnel and stream_funnel: the batch window chain and
+    * the streaming state machine must produce the identical row.
+    */
+  private val FunnelOracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS te FROM events),
+      |u1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN te END) AS t1 FROM e GROUP BY 1),
+      |u2 AS (SELECT e.user_id, min(te) AS t2 FROM e JOIN u1 USING (user_id)
+      |       WHERE event_type = 'view' AND te > t1 AND te <= t1 + 604800000000 GROUP BY 1),
+      |u3 AS (SELECT e.user_id, min(te) AS t3 FROM e JOIN u2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND te > t2 AND te <= t2 + 604800000000 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM u1) AS n_users,
+      |  (SELECT count(t1) FROM u1) AS u_signup,
+      |  (SELECT count(*) FROM u2) AS u_view,
+      |  (SELECT count(*) FROM u3) AS u_purchase,
+      |  (SELECT min(t1) FROM u1) AS first_signup_us,
+      |  (SELECT max(t3) FROM u3) AS last_purchase_us""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "svm_part_stats" ->
@@ -468,20 +488,11 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Chained step windows (t2 from t1, t3 from t2) — the oracle
-    // rebuilds the chain with three dependent CTEs.
-    "q_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS te FROM events),
-        |u1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN te END) AS t1 FROM e GROUP BY 1),
-        |u2 AS (SELECT e.user_id, min(te) AS t2 FROM e JOIN u1 USING (user_id)
-        |       WHERE event_type = 'view' AND te > t1 AND te <= t1 + 604800000000 GROUP BY 1),
-        |u3 AS (SELECT e.user_id, min(te) AS t3 FROM e JOIN u2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND te > t2 AND te <= t2 + 604800000000 GROUP BY 1)
-        |SELECT (SELECT count(*) FROM u1) AS n_users,
-        |  (SELECT count(t1) FROM u1) AS u_signup,
-        |  (SELECT count(*) FROM u2) AS u_view,
-        |  (SELECT count(*) FROM u3) AS u_purchase,
-        |  (SELECT min(t1) FROM u1) AS first_signup_us,
-        |  (SELECT max(t3) FROM u3) AS last_purchase_us""".stripMargin,
+    // rebuilds the chain with three dependent CTEs. The streaming
+    // state machine must converge to the same chain, so it shares
+    // the oracle verbatim.
+    "q_funnel" -> FunnelOracle,
+    "stream_funnel" -> FunnelOracle,
     // The MG sketch must be invisible: the oracle is the full
     // GROUP BY ... HAVING the sketch path avoids shuffling.
     "q_heavy_hitters" ->

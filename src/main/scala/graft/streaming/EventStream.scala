@@ -107,6 +107,95 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Streaming ordered-funnel state machine per user
+    * (`flatMapGroupsWithState`): signup → view → purchase with 7-day
+    * step windows, the streaming twin of
+    * [[graft.queries.Funnel.qFunnel]].
+    *
+    * The chain is NOT incrementally foldable under out-of-order
+    * arrival — a later-arriving EARLIER signup re-bases t1 and can
+    * re-qualify views that were previously outside the window — so
+    * the state keeps the per-user timestamp lists of the three STEP
+    * types only (clicks/errors never enter state) and re-derives
+    * (t1, t2, t3) after each micro-batch. State is ∝ a user's
+    * step events inside the funnel horizon; production use expires
+    * users via an event-time timeout once the watermark passes
+    * t1 + 2 weeks — on the bounded 30-day replay nothing would
+    * expire, so no timeout is registered here.
+    *
+    * Emissions carry a monotone per-user seen-counter; the bounded
+    * runner keeps each user's final emission and aggregates to the
+    * exact q_funnel output shape — which is why the oracle is
+    * q_funnel's own SQL.
+    */
+  def funnelState(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    import events.sparkSession.implicits._
+    val week = 604800000000L
+    val typed = events.select(col("user_id").cast("long"),
+      col("event_type").cast("string"), col("te").cast("long"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Seq[Long], Seq[Long], Long), (Long, Long, Long, Long, Long)](
+        OM.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Seq[Long], Seq[Long], Seq[Long], Long)]) =>
+          var (sgn, vws, prc, seen) = state.getOption.getOrElse(
+            (Seq.empty[Long], Seq.empty[Long], Seq.empty[Long], 0L))
+          rows.foreach { case (_, tpe, t) =>
+            tpe match {
+              case "signup"   => sgn = t +: sgn
+              case "view"     => vws = t +: vws
+              case "purchase" => prc = t +: prc
+              case _          => ()
+            }
+            seen += 1
+          }
+          state.update((sgn, vws, prc, seen))
+          val t1 = if (sgn.isEmpty) -1L else sgn.min
+          val t2 = if (t1 < 0) -1L else {
+            val c = vws.filter(t => t > t1 && t <= t1 + week)
+            if (c.isEmpty) -1L else c.min
+          }
+          val t3 = if (t2 < 0) -1L else {
+            val c = prc.filter(t => t > t2 && t <= t2 + week)
+            if (c.isEmpty) -1L else c.min
+          }
+          Iterator.single((user, seen, t1, t2, t3))
+      }
+      .toDF("user_id", "n_seen", "t1", "t2", "t3")
+  }
+
+  /** Bounded run of [[funnelState]]: final emission per user (seen is
+    * monotone), then the q_funnel presentation aggregate — the
+    * streaming state machine must converge to the batch chain exactly,
+    * so the oracle IS q_funnel's SQL.
+    */
+  def runFunnelBounded(spark: SparkSession, sfDir: String,
+                       queryName: String = "graft_stream_funnel"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = FileStreams.readStream(spark, s"$sfDir/events.parquet")
+      .withColumn("te", expr("ts div 1000"))
+    val q = funnelState(stream)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fin = spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_seen"), col("t1"), col("t2"), col("t3"))).as("f"))
+      .select(col("user_id"), col("f.t1").as("t1"), col("f.t2").as("t2"), col("f.t3").as("t3"))
+    fin.agg(
+      count(lit(1)).as("n_users"),
+      count(when(col("t1") =!= -1L, 1)).as("u_signup"),
+      count(when(col("t2") =!= -1L, 1)).as("u_view"),
+      count(when(col("t3") =!= -1L, 1)).as("u_purchase"),
+      min(when(col("t1") =!= -1L, col("t1"))).as("first_signup_us"),
+      max(when(col("t3") =!= -1L, col("t3"))).as("last_purchase_us"))
+  }
+
   /** Stream-static join: the event stream enriched against the (static)
     * customer dimension, rolled up per market segment. The static side
     * broadcasts — a stream-static equi-join is STATELESS (each
