@@ -70,6 +70,7 @@ object SparkEntry {
     "q_approx_percentile" -> Analytics.qApproxPercentile _,
     "q_funnel" -> Funnel.qFunnel _,
     "q_retention" -> Funnel.qRetention _,
+    "q_range_frame" -> Funnel.qRangeFrame _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -524,6 +525,14 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_frame" ->
+      """SELECT user_id, event_id, n_win, sum_win FROM (
+        |  SELECT user_id, event_id,
+        |    count(*) OVER w AS n_win,
+        |    floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_win
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS te, value FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY te RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |) t ORDER BY 1, 2""".stripMargin,
     // Arithmetic week indices from the corpus epoch (integer-exact);
     // `//` here = Spark's `div` on non-negative operands.
     "q_retention" ->

@@ -83,6 +83,11 @@ object GraftFunctions {
       es => RollingHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pii_redact",
       es => piiRedactExpr(es.head), "scala_udf")
+    // mg_topk(key, k): k must be a foldable int literal — the summary
+    // size is plan-time structure, not data.
+    reg.createOrReplaceTempFunction("mg_topk",
+      es => MisraGriesAgg(es.head,
+        es(1).eval(null).asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
   }
 
   /** Config-driven registration for [[graft.GraftExtensions]]

@@ -61,6 +61,25 @@ object Funnel {
         max(col("t3")).as("last_purchase_us"))
   }
 
+  /** Trailing 1-hour per-user event window via a RANGE frame — the
+    * frame type `rowsBetween` queries can't express (peer rows with
+    * equal order keys enter the frame together; the bound is a VALUE
+    * offset, not a row count). Exact integer µs as the order key, the
+    * floor-rounding rule on the float sum.
+    */
+  def qRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val w = Window.partitionBy("user_id").orderBy("te")
+      .rangeBetween(-hourUs, Window.currentRow)
+    Analytics.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("te"), col("value"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", floor(sum("value").over(w) * 100 + 0.5) / 100)
+      .select("user_id", "event_id", "n_win", "sum_win")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Weekly cohort retention: cohort = week index of a user's first
     * event (any type), one output cell per (cohort_week, week_offset)
     * counting distinct users active that week. Week index is exact

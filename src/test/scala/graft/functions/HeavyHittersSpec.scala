@@ -45,6 +45,21 @@ class HeavyHittersSpec extends SparkSpec {
     assert(naive.nonEmpty, "planted key must yield heavy hitters")
   }
 
+  test("mg_topk is callable from SQL and matches the Column API") {
+    GraftFunctions.register(spark)
+    spark.range(0, 1000).select((col("id") % 3L).as("k"))
+      .createOrReplaceTempView("mg_spec_keys")
+    val viaSql = spark.sql("SELECT mg_topk(k, 2) AS cands FROM mg_spec_keys")
+      .collect()(0).getSeq[Long](0)
+    val viaCol = spark.table("mg_spec_keys")
+      .agg(GraftFunctions.mg_topk(col("k"), 2)).collect()(0).getSeq[Long](0)
+    assert(viaSql == viaCol)
+    // With frequencies 334/333/333 and k=2, only key 0 (freq > n/3) is
+    // GUARANTEED to survive; the summary may legally shrink below k.
+    assert(viaSql.contains(0L) && viaSql.length <= 2,
+      s"key 0 must survive in a <=2-entry summary: $viaSql")
+  }
+
   test("serialization round-trips and empty input yields an empty summary") {
     val agg = MisraGriesAgg(org.apache.spark.sql.catalyst.expressions.Literal(1L), 4)
     val buf = agg.createAggregationBuffer()

@@ -43,6 +43,23 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("range frame includes peer rows that a rows frame would split") {
+    import org.apache.spark.sql.expressions.Window
+    // Two events at the SAME µs: a RANGE frame puts each in the
+    // other's window (peers enter together); ROWS(-1..0) would not.
+    val df = spark.createDataFrame(Seq(
+      (1L, 10L, 1.0), (1L, 10L, 2.0), (1L, 5000000000L, 4.0)
+    )).toDF("user_id", "te", "value")
+    val w = Window.partitionBy("user_id").orderBy("te")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    val rows = df.withColumn("n_win", org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).over(w))
+      .select("te", "n_win").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(rows == Set(10L -> 2L, 5000000000L -> 1L),
+      s"peer rows must share the range frame; far row stands alone: $rows")
+  }
+
   test("retention cell (cohort, 0) equals the cohort's size and offsets are bounded") {
     val cells = Funnel.qRetention(spark, sf001).collect()
     assert(cells.nonEmpty)
