@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Funnel, HeavyHitters, Stats}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Stats}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -71,6 +71,7 @@ object SparkEntry {
     "q_funnel" -> Funnel.qFunnel _,
     "q_retention" -> Funnel.qRetention _,
     "q_range_frame" -> Funnel.qRangeFrame _,
+    "q_dpp" -> Dpp.qDpp _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -524,6 +525,16 @@ object SparkEntry {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Partition pruning must be invisible: the oracle is the plain
+    // 4-table star join.
+    "q_dpp" ->
+      """SELECT s_nationkey AS n, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_frame" ->
       """SELECT user_id, event_id, n_win, sum_win FROM (
