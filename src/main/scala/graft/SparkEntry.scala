@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Stats}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Nested, Stats}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -72,6 +72,7 @@ object SparkEntry {
     "q_retention" -> Funnel.qRetention _,
     "q_range_frame" -> Funnel.qRangeFrame _,
     "q_dpp" -> Dpp.qDpp _,
+    "q_nested" -> Nested.qNested _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -525,6 +526,13 @@ object SparkEntry {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The struct-array packing must be lossless: the oracle is the
+    // plain two-level aggregate that never builds the array.
+    "q_nested" ->
+      """SELECT n_items, count(*) AS n_orders, CAST(sum(qty_sum) AS BIGINT) AS total_qty
+        |FROM (SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS qty_sum
+        |      FROM lineitem GROUP BY 1) o
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Partition pruning must be invisible: the oracle is the plain
     // 4-table star join.
