@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Nested, Stats}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Integrity, Nested, Stats}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -73,6 +73,7 @@ object SparkEntry {
     "q_range_frame" -> Funnel.qRangeFrame _,
     "q_dpp" -> Dpp.qDpp _,
     "q_nested" -> Nested.qNested _,
+    "q_integrity" -> Integrity.qIntegrity _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -527,6 +528,38 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Violations are PLANTED (id-derived corrupt twins/dups, replanted
+    // identically in SQL) so every check has a known nonzero count.
+    "q_integrity" ->
+      """WITH p_orders AS (
+        |  SELECT * FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 800000000 AS o_orderkey, o_custkey + 900000000 AS o_custkey,
+        |    o_orderstatus, -o_totalprice AS o_totalprice, CAST(NULL AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 1000 = 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 1000 = 1
+        |), p_lineitem AS (
+        |  SELECT * FROM lineitem
+        |  UNION ALL
+        |  SELECT * REPLACE (l_orderkey + 700000000 AS l_orderkey, -l_quantity AS l_quantity, l_discount + 2 AS l_discount)
+        |  FROM lineitem WHERE l_orderkey % 1000 = 2
+        |)
+        |SELECT check_name, n FROM (
+        |  SELECT 'orphan_lineitems' AS check_name, count(*) AS n FROM p_lineitem l WHERE NOT EXISTS (SELECT 1 FROM p_orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orphan_orders', count(*) FROM p_orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'duplicate_orderkeys', count(*) FROM (SELECT o_orderkey FROM p_orders GROUP BY 1 HAVING count(*) > 1) d
+        |  UNION ALL
+        |  SELECT 'bad_order_price', count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) FROM p_orders
+        |  UNION ALL
+        |  SELECT 'null_order_date', count(*) FILTER (o_orderdate IS NULL) FROM p_orders
+        |  UNION ALL
+        |  SELECT 'bad_lineitem_qty', count(*) FILTER (l_quantity <= 0) FROM p_lineitem
+        |  UNION ALL
+        |  SELECT 'bad_lineitem_discount', count(*) FILTER (l_discount < 0 OR l_discount > 1) FROM p_lineitem
+        |) t ORDER BY check_name""".stripMargin,
     // The struct-array packing must be lossless: the oracle is the
     // plain two-level aggregate that never builds the array.
     "q_nested" ->

@@ -95,6 +95,7 @@ class PlanAuditSpec extends SparkSpec {
       graft.svm.SvmQueries.centroidEvaluate(spark, sf0001).collect()
       graft.text.TextOps.fingerprints(spark, sf0001).collect()
       graft.similarity.Ivf.ivfTopK(spark, sf0001, k = 2, probeEvery = 100).collect()
+      BloomJoin.qBloomJoin(spark, sf0001).collect()
     }
   }
 
