@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Integrity, Nested, Stats}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Integrity, Nested, Stats, Timeline}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -74,6 +74,8 @@ object SparkEntry {
     "q_dpp" -> Dpp.qDpp _,
     "q_nested" -> Nested.qNested _,
     "q_integrity" -> Integrity.qIntegrity _,
+    "q_scd2" -> Timeline.qScd2 _,
+    "q_gapfill" -> Timeline.qGapfill _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -560,6 +562,49 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'bad_lineitem_discount', count(*) FILTER (l_discount < 0 OR l_discount > 1) FROM p_lineitem
         |) t ORDER BY check_name""".stripMargin,
+    // SCD2 run compression: lag-boundary + running version sum +
+    // run collapse + lead chaining, all in exact integer µs.
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS te FROM events
+        |), marked AS (
+        |  SELECT *, CASE WHEN lag(state) OVER w IS NULL OR lag(state) OVER w <> state
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)
+        |), versioned AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY te, event_id) AS BIGINT) AS version
+        |  FROM marked
+        |), runs AS (
+        |  SELECT user_id, version, min(state) AS state, min(te) AS valid_from_us,
+        |    count(*) AS n_events
+        |  FROM versioned GROUP BY 1, 2
+        |)
+        |SELECT user_id, version, state, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us,
+        |  lead(valid_from_us) OVER w2 IS NULL AS is_current,
+        |  n_events
+        |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+    // Gap rows are generated FROM the observations (sequence to the
+    // next observed bucket), so LOCF needs no spine join; the filled
+    // value is a bare max of observed doubles — no arithmetic.
+    "q_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_us(ts) - 1704067200000000) // 3600000000 AS h, value FROM events
+        |), obs AS (
+        |  SELECT user_id, h, max(value) AS v, count(*) AS n_obs FROM e GROUP BY 1, 2
+        |), nxt AS (
+        |  SELECT *, lead(h) OVER (PARTITION BY user_id ORDER BY h) AS next_h FROM obs
+        |)
+        |SELECT user_id, hour_idx,
+        |  CASE WHEN hour_idx = h THEN n_obs ELSE 0 END AS n_obs,
+        |  v AS value_filled,
+        |  (hour_idx = h) AS is_observed
+        |FROM (
+        |  SELECT user_id, h, n_obs, v,
+        |    unnest(generate_series(h, coalesce(next_h - 1, h))) AS hour_idx
+        |  FROM nxt
+        |) t ORDER BY user_id, hour_idx""".stripMargin,
     // The struct-array packing must be lossless: the oracle is the
     // plain two-level aggregate that never builds the array.
     "q_nested" ->

@@ -216,6 +216,27 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one hash exchange for the whole funnel, got $hashExchanges:\n$p")
   }
 
+  test("q_scd2: run detection, collapse, and interval chaining share ONE user_id shuffle") {
+    // lag window → running version sum → (user_id, version) aggregate
+    // → lead window all cluster on user_id: HashPartitioning(user_id)
+    // satisfies every later distribution, so the change log moves once.
+    val p = plan(Timeline.qScd2(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange for the whole SCD2 build, got $hashExchanges:\n$p")
+  }
+
+  test("q_gapfill: bucket aggregate, lead window, and gap explode share ONE shuffle — no spine join") {
+    // The spine-join formulation would add a join exchange; generating
+    // gap rows from the observations keeps the repartition(user_id)
+    // as the only data movement.
+    val p = plan(Timeline.qGapfill(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange for the whole gap-fill, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"gap-fill must not plan a spine join:\n$p")
+  }
+
   test("q_bloom_join: membership probe filters the fact side BEFORE its shuffle") {
     // The whole point of the runtime filter is dropping fact rows
     // before the join exchange: bloom_might_contain must appear under

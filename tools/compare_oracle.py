@@ -17,6 +17,17 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     # Spark-written directories — glob those for DuckDB
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    if t == "events":
+        # GenScale's sf1 events carry ts as raw INT64 nanos (no parquet
+        # logical type); Spark reads them via nanosAsLong + div 1000 —
+        # mirror that here so epoch_us(ts) oracles run at sf1 too
+        (ts_type,) = [r[1] for r in con.execute("DESCRIBE events").fetchall()
+                      if r[0] == "ts"]
+        if ts_type == "BIGINT":
+            con.execute("DROP VIEW events")
+            con.execute(
+                f"CREATE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
 
 oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
 ok, bad = [], []
