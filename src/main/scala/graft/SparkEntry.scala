@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Integrity, Nested, Stats, Timeline}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Integrity, Nested, Stats, Timeline, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -76,6 +76,7 @@ object SparkEntry {
     "q_integrity" -> Integrity.qIntegrity _,
     "q_scd2" -> Timeline.qScd2 _,
     "q_gapfill" -> Timeline.qGapfill _,
+    "q_zorder" -> Zorder.qZorder _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -605,6 +606,20 @@ object SparkEntry {
         |    unnest(generate_series(h, coalesce(next_h - 1, h))) AS hour_idx
         |  FROM nxt
         |) t ORDER BY user_id, hour_idx""".stripMargin,
+    // Z-clustering is semantically invisible: the oracle is the same
+    // box aggregate on the unclustered table, bounds recomputed with
+    // the same exact integer divisions.
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT max(l_suppkey) // 4 AS slo, max(l_suppkey) // 2 AS shi,
+        |    max(l_partkey) // 4 AS plo, max(l_partkey) // 2 AS phi
+        |  FROM lineitem
+        |)
+        |SELECT count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, b
+        |WHERE l_suppkey > slo AND l_suppkey <= shi
+        |  AND l_partkey > plo AND l_partkey <= phi""".stripMargin,
     // The struct-array packing must be lossless: the oracle is the
     // plain two-level aggregate that never builds the array.
     "q_nested" ->
