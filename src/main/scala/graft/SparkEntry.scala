@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Integrity, Nested, Stats, Timeline, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Integrity, Merge, Nested, Stats, Timeline, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -77,6 +77,7 @@ object SparkEntry {
     "q_scd2" -> Timeline.qScd2 _,
     "q_gapfill" -> Timeline.qGapfill _,
     "q_zorder" -> Zorder.qZorder _,
+    "q_merge_upsert" -> Merge.qMergeUpsert _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -606,6 +607,25 @@ object SparkEntry {
         |    unnest(generate_series(h, coalesce(next_h - 1, h))) AS hour_idx
         |  FROM nxt
         |) t ORDER BY user_id, hour_idx""".stripMargin,
+    // The change batch is replanted identically; latest version wins,
+    // tombstones drop the key.
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, 0 AS version, false AS is_delete FROM orders
+        |), changes AS (
+        |  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 1 AS version, false AS is_delete
+        |  FROM orders WHERE o_orderkey % 1000 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 1, true FROM orders WHERE o_orderkey % 1000 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 600000000, o_totalprice, 1, false FROM orders WHERE o_orderkey % 1000 = 5
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+        |)
+        |SELECT o_orderkey, o_totalprice, CAST(version AS BIGINT) AS version
+        |FROM ranked WHERE rn = 1 AND NOT is_delete
+        |ORDER BY o_orderkey""".stripMargin,
     // Z-clustering is semantically invisible: the oracle is the same
     // box aggregate on the unclustered table, bounds recomputed with
     // the same exact integer divisions.
