@@ -78,6 +78,7 @@ object SparkEntry {
     "q_gapfill" -> Timeline.qGapfill _,
     "q_zorder" -> Zorder.qZorder _,
     "q_merge_upsert" -> Merge.qMergeUpsert _,
+    "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -607,6 +608,25 @@ object SparkEntry {
         |    unnest(generate_series(h, coalesce(next_h - 1, h))) AS hour_idx
         |  FROM nxt
         |) t ORDER BY user_id, hour_idx""".stripMargin,
+    // The oracle is the BRUTE-FORCE O(n²) Levenshtein join over the
+    // same planted keys — the prefix-filtered pipeline must be both
+    // complete and FP-free to hash-match it.
+    "dedup_editdist" ->
+      """WITH k AS (
+        |  SELECT doc_id, lower(substring(regexp_replace(text, '\s+', ' ', 'g'), 1, 24)) AS key
+        |  FROM documents
+        |), twins AS (
+        |  SELECT doc_id + 4000000 AS doc_id,
+        |    substring(key, 1, CAST(doc_id % 20 AS INT)) || 'q' ||
+        |      substring(key, CAST(doc_id % 20 AS INT) + 2, 24) AS key
+        |  FROM k WHERE doc_id % 10 = 7
+        |), allk AS (SELECT * FROM k UNION ALL SELECT * FROM twins)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.key, b.key) AS INT) AS dist
+        |FROM allk a JOIN allk b
+        |  ON a.doc_id < b.doc_id AND abs(length(a.key) - length(b.key)) <= 1
+        |WHERE levenshtein(a.key, b.key) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // The change batch is replanted identically; latest version wins,
     // tombstones drop the key.
     "q_merge_upsert" ->
