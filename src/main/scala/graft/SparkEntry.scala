@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, HeavyHitters, Integrity, Merge, Nested, Stats, Timeline, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, Merge, Nested, Stats, Timeline, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -79,6 +79,7 @@ object SparkEntry {
     "q_zorder" -> Zorder.qZorder _,
     "q_merge_upsert" -> Merge.qMergeUpsert _,
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
+    "q_hierarchy" -> Hierarchy.qHierarchy _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -608,6 +609,19 @@ object SparkEntry {
         |    unnest(generate_series(h, coalesce(next_h - 1, h))) AS hour_idx
         |  FROM nxt
         |) t ORDER BY user_id, hour_idx""".stripMargin,
+    // The oracle is a REAL recursive CTE over the same id-derived
+    // edge relation — fixpoint semantics vs an actual WITH RECURSIVE.
+    "q_hierarchy" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT o_orderkey AS node, o_orderkey AS root, 0 AS depth
+        |  FROM orders WHERE o_orderkey < 10
+        |  UNION ALL
+        |  SELECT o.o_orderkey, r.root, r.depth + 1
+        |  FROM orders o JOIN r ON o.o_orderkey // 10 = r.node
+        |  WHERE o.o_orderkey >= 10
+        |)
+        |SELECT node, root, CAST(depth AS BIGINT) AS depth
+        |FROM r ORDER BY node""".stripMargin,
     // The oracle is the BRUTE-FORCE O(n²) Levenshtein join over the
     // same planted keys — the prefix-filtered pipeline must be both
     // complete and FP-free to hash-match it.
