@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, Merge, Nested, Stats, Timeline, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, Merge, Nested, Sample, Stats, Timeline, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -80,6 +80,7 @@ object SparkEntry {
     "q_merge_upsert" -> Merge.qMergeUpsert _,
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
     "q_hierarchy" -> Hierarchy.qHierarchy _,
+    "q_sample_stratified" -> Sample.qSampleStratified _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
     "q_ntile" -> Stats.qNtile _,
@@ -609,6 +610,15 @@ object SparkEntry {
         |    unnest(generate_series(h, coalesce(next_h - 1, h))) AS hour_idx
         |  FROM nxt
         |) t ORDER BY user_id, hour_idx""".stripMargin,
+    // The LCG rank key is exact integer arithmetic in both engines,
+    // so the SELECTION (not just the count) is reproduced.
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+        |  FROM documents
+        |) t WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     // The oracle is a REAL recursive CTE over the same id-derived
     // edge relation — fixpoint semantics vs an actual WITH RECURSIVE.
     "q_hierarchy" ->
