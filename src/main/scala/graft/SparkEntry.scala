@@ -177,6 +177,9 @@ object SparkEntry {
     // corpus vocab counts, then docs scored against the rare set;
     // planted nonce-token docs (frequency exactly 1) must be flagged.
     "text_rare_tokens" -> ((s: SparkSession, d: String) => graft.text.RareTokens.rareTokenStats(s, d)),
+    // Per-doc salient terms: tf·N/df (idf log dropped — transcendental-
+    // free exact ranking), top-3 per doc via WindowGroupLimit.
+    "text_tfidf" -> ((s: SparkSession, d: String) => graft.text.Tfidf.tfidfTopK(s, d)),
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
@@ -610,6 +613,21 @@ object SparkEntry {
         |    unnest(generate_series(h, coalesce(next_h - 1, h))) AS hour_idx
         |  FROM nxt
         |) t ORDER BY user_id, hour_idx""".stripMargin,
+    // tf·N and df are exact integers; the single IEEE division is
+    // bit-identical in both engines, so score hashes match exactly.
+    "text_tfidf" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),
+        |tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, rk, tok, score FROM (
+        |  SELECT tf.doc_id, tf.tok,
+        |    CAST(tf.tf * n.n AS DOUBLE) / dfv.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfv.df DESC, tf.tok) AS rk
+        |  FROM tf JOIN dfv USING (tok), n
+        |) t WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // The LCG rank key is exact integer arithmetic in both engines,
     // so the SELECTION (not just the count) is reproduced.
     "q_sample_stratified" ->
