@@ -76,6 +76,7 @@ object SparkEntry {
     "q_integrity" -> Integrity.qIntegrity _,
     "q_scd2" -> Timeline.qScd2 _,
     "q_gapfill" -> Timeline.qGapfill _,
+    "q_transition" -> Timeline.qTransition _,
     "q_zorder" -> Zorder.qZorder _,
     "q_merge_upsert" -> Merge.qMergeUpsert _,
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
@@ -593,6 +594,22 @@ object SparkEntry {
         |  n_events
         |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    // Transition counts are exact; the row-normalized probability is
+    // one IEEE division, bit-identical cross-engine.
+    "q_transition" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS to_type, epoch_us(ts) AS te FROM events
+        |), lagged AS (
+        |  SELECT lag(to_type) OVER (PARTITION BY user_id ORDER BY te, event_id) AS from_type,
+        |    to_type
+        |  FROM e
+        |), m AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM lagged
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     // Gap rows are generated FROM the observations (sequence to the
     // next observed bucket), so LOCF needs no spine join; the filled
     // value is a bare max of observed doubles — no arithmetic.

@@ -66,6 +66,28 @@ object Timeline {
       .orderBy("user_id", "version")
   }
 
+  /** Per-user event-type transition matrix (the behavioral Markov
+    * chain): consecutive-event bigrams via `lag` over the SAME total
+    * (te, event_id) order as qScd2, rolled up to (from_type, to_type)
+    * counts and row-normalized probabilities. The lag window shuffles
+    * on user_id once; the matrix rollup is a map-side-combined
+    * aggregate to |types|² rows, and the probability is one IEEE
+    * division of exact counts — bit-identical cross-engine.
+    */
+  def qTransition(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUserTime = Window.partitionBy("user_id").orderBy("te", "event_id")
+    val byFrom = Window.partitionBy("from_type")
+    Analytics.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("to_type"), unix_micros(col("ts")).as("te"))
+      .withColumn("from_type", lag("to_type", 1).over(byUserTime))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum("n").over(byFrom))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Hourly resample with LOCF: one row per (user, hour) from the
     * user's first to last active hour, carrying the last observed
     * hourly value across silent hours.

@@ -50,6 +50,22 @@ class TimelineSpec extends SparkSpec {
     }
   }
 
+  test("q_transition counts exactly the consecutive per-user bigrams") {
+    val expected = timelines().toSeq.flatMap { case (_, evs) =>
+      evs.map(_._2).sliding(2).collect { case Seq(a, b) => (a, b) }
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val fromTotals = expected.groupBy(_._1._1)
+      .map { case (f, m) => f -> m.values.sum }
+
+    val got = Timeline.qTransition(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, n) =>
+      assert(got(k)._1 == n, s"count at $k")
+      assert(got(k)._2 == n.toDouble / fromTotals(k._1), s"probability at $k")
+    }
+  }
+
   test("q_gapfill fills every silent hour with the last observed value") {
     val hourUs = 3600000000L
     val baseUs = 1704067200000000L
