@@ -79,6 +79,10 @@ object SparkEntry {
     "q_transition" -> Timeline.qTransition _,
     "q_zorder" -> Zorder.qZorder _,
     "q_merge_upsert" -> Merge.qMergeUpsert _,
+    // Streaming CDC apply: file-per-micro-batch change feed reconciled
+    // into keyed state via foreachBatch; census equals the batch merge
+    // with the extra version-2 wave folded in.
+    "stream_merge" -> ((s: SparkSession, d: String) => graft.streaming.MergeStream.runMergeBounded(s, d)),
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
     "q_hierarchy" -> Hierarchy.qHierarchy _,
     "q_sample_stratified" -> Sample.qSampleStratified _,
@@ -698,6 +702,28 @@ object SparkEntry {
         |  SELECT o_orderkey, o_totalprice, 1, true FROM orders WHERE o_orderkey % 1000 = 4
         |  UNION ALL
         |  SELECT o_orderkey + 600000000, o_totalprice, 1, false FROM orders WHERE o_orderkey % 1000 = 5
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+        |)
+        |SELECT o_orderkey, o_totalprice, CAST(version AS BIGINT) AS version
+        |FROM ranked WHERE rn = 1 AND NOT is_delete
+        |ORDER BY o_orderkey""".stripMargin,
+    // Same shape as q_merge_upsert's oracle plus the stream's
+    // version-2 re-update wave — chunked apply must equal
+    // all-changes-at-once.
+    "stream_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, 0 AS version, false AS is_delete FROM orders
+        |), changes AS (
+        |  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 1 AS version, false AS is_delete
+        |  FROM orders WHERE o_orderkey % 1000 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 1, true FROM orders WHERE o_orderkey % 1000 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 600000000, o_totalprice, 1, false FROM orders WHERE o_orderkey % 1000 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 2000, 2, false FROM orders WHERE o_orderkey % 1000 = 3
         |), ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
