@@ -185,6 +185,9 @@ object SparkEntry {
     // Per-doc salient terms: tf·N/df (idf log dropped — transcendental-
     // free exact ranking), top-3 per doc via WindowGroupLimit.
     "text_tfidf" -> ((s: SparkSession, d: String) => graft.text.Tfidf.tfidfTopK(s, d)),
+    // Per-dimension univariate ROC-AUC (feature screening) via the
+    // exact Mann-Whitney midrank formula.
+    "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
@@ -634,6 +637,27 @@ object SparkEntry {
         |    unnest(generate_series(h, coalesce(next_h - 1, h))) AS hour_idx
         |  FROM nxt
         |) t ORDER BY user_id, hour_idx""".stripMargin,
+    // Midranks are tie-group invariants (.0/.5 exact); the formula is
+    // integer-exact until one final division.
+    "svm_feature_auc" ->
+      """WITH x AS (
+        |  SELECT e.vec_id, (e.label = 0) AS pos, t.i - 1 AS i,
+        |    CAST(e.embedding[t.i] AS DOUBLE) AS v
+        |  FROM embeddings e, generate_series(1, 8) t(i)
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY i ORDER BY v, vec_id) AS rn FROM x
+        |), m AS (
+        |  SELECT *, avg(rn) OVER (PARTITION BY i, v) AS midrank FROM r
+        |), a AS (
+        |  SELECT i, sum(CASE WHEN pos THEN midrank END) AS rpos,
+        |    count(CASE WHEN pos THEN 1 END) AS n_pos,
+        |    count(CASE WHEN NOT pos THEN 1 END) AS n_neg
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT CAST(i AS BIGINT) AS i,
+        |  (rpos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg) AS auc,
+        |  n_pos, n_neg
+        |FROM a ORDER BY i""".stripMargin,
     // tf·N and df are exact integers; the single IEEE division is
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
