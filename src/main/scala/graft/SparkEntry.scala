@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, Merge, Nested, Sample, Stats, Timeline, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, Sample, Stats, Timeline, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -77,6 +77,7 @@ object SparkEntry {
     "q_scd2" -> Timeline.qScd2 _,
     "q_gapfill" -> Timeline.qGapfill _,
     "q_transition" -> Timeline.qTransition _,
+    "q_interval_overlap" -> IntervalOverlap.qIntervalOverlap _,
     "q_zorder" -> Zorder.qZorder _,
     "q_merge_upsert" -> Merge.qMergeUpsert _,
     // Streaming CDC apply: file-per-micro-batch change feed reconciled
@@ -601,6 +602,20 @@ object SparkEntry {
         |  n_events
         |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    // The oracle overlaps with a native inequality join — a different
+    // algorithm than the engine's grid bucketing, same answer.
+    "q_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT event_id, epoch_us(ts) AS s, epoch_us(ts) + 1200000000 AS e FROM events
+        |), b AS (
+        |  SELECT k, 1704067200000000 + k * 1800000000 AS ws,
+        |    1704067200000000 + k * 1800000000 + 2700000000 AS we
+        |  FROM (SELECT unnest(generate_series(0, kmax)) AS k
+        |        FROM (SELECT (max(e) - 1704067200000000) // 1800000000 AS kmax FROM a))
+        |)
+        |SELECT k, count(*) AS n_events
+        |FROM a JOIN b ON a.s < b.we AND b.ws < a.e
+        |GROUP BY k ORDER BY k""".stripMargin,
     // Transition counts are exact; the row-normalized probability is
     // one IEEE division, bit-identical cross-engine.
     "q_transition" ->
