@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, Sample, Stats, Timeline, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, RateSpike, Sample, Stats, Timeline, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.EventStream
 import graft.svm.SvmQueries
@@ -78,6 +78,7 @@ object SparkEntry {
     "q_gapfill" -> Timeline.qGapfill _,
     "q_transition" -> Timeline.qTransition _,
     "q_interval_overlap" -> IntervalOverlap.qIntervalOverlap _,
+    "q_rate_spike" -> RateSpike.qRateSpike _,
     "q_zorder" -> Zorder.qZorder _,
     "q_merge_upsert" -> Merge.qMergeUpsert _,
     // Streaming CDC apply: file-per-micro-batch change feed reconciled
@@ -602,6 +603,24 @@ object SparkEntry {
         |  n_events
         |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    // Spike flag = integer cross-multiplication (no stddev, no
+    // division); planted ×10 bursts replanted identically.
+    "q_rate_spike" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) - 1704067200000000) // 3600000000 AS h FROM events
+        |), planted AS (
+        |  SELECT h FROM e
+        |  UNION ALL
+        |  SELECT h FROM e, generate_series(1, 9) WHERE h % 97 = 13
+        |), hourly AS (SELECT h, count(*) AS n FROM planted GROUP BY 1
+        |), t AS (
+        |  SELECT h, n,
+        |    sum(n) OVER (ORDER BY h RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail
+        |  FROM hourly
+        |)
+        |SELECT h, n, CAST(trail AS BIGINT) AS trail, (n * 24 > trail * 3) AS is_spike
+        |FROM t WHERE h >= (SELECT min(h) + 24 FROM hourly)
+        |ORDER BY h""".stripMargin,
     // The oracle overlaps with a native inequality join — a different
     // algorithm than the engine's grid bucketing, same answer.
     "q_interval_overlap" ->

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trailing-window rate-spike detection (SURVEY.md §2b) — the
+  * monitoring/alerting shape: an hour is a spike when its event count
+  * exceeds 3× the trailing-24h mean. The comparison is the exact
+  * integer cross-multiplication `n·24 > 3·Σ(trailing 24)` — no
+  * stddev, whose Welford-vs-naive accumulation differs across engines
+  * in the last ulp, and no division at all; the flag is bit-exact by
+  * construction.
+  *
+  * Natural traffic is too flat to exercise the contract, so bursts
+  * are PLANTED: hours with `h ≡ 13 (mod 97)` get every event
+  * duplicated ×9 (id-derived, replanted identically in the oracle) —
+  * those hours must flag, their neighbors must not, and the first 24
+  * hours are excluded (no full trailing window, no partial-window
+  * false positives).
+  *
+  * Shape: one map-side-combined (hour) count, one RANGE-frame window
+  * over the hour index — the hourly series is |hours| rows at any
+  * corpus size, so everything after the first aggregate is
+  * cardinality-trivial at 100 TB.
+  */
+object RateSpike {
+
+  private val HourUs = 3600000000L
+  private val BaseUs = 1704067200000000L
+
+  /** Events ∪ 9 extra copies of every event in hours ≡ 13 (mod 97). */
+  def plantedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Analytics.loadEvents(spark, sfDir)
+      .select(expr(s"(unix_micros(ts) - ${BaseUs}L) div ${HourUs}L").as("h"))
+    e.unionByName(
+      e.filter(col("h") % 97 === 13)
+        .select(col("h"), explode(sequence(lit(1), lit(9))).as("copy"))
+        .select("h"))
+  }
+
+  def qRateSpike(spark: SparkSession, sfDir: String): DataFrame = {
+    val trailing = Window.orderBy("h").rangeBetween(-24, -1)
+    val hourly = plantedEvents(spark, sfDir)
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val hmin = hourly.agg(min("h")).head().getLong(0)
+    hourly
+      .withColumn("trail", sum("n").over(trailing))
+      .filter(col("h") >= hmin + 24)
+      .withColumn("is_spike", col("n") * 24 > col("trail") * 3)
+      .select("h", "n", "trail", "is_spike")
+      .orderBy("h")
+  }
+}
