@@ -73,6 +73,7 @@ object SparkEntry {
     "q_range_frame" -> Funnel.qRangeFrame _,
     "q_dpp" -> Dpp.qDpp _,
     "q_nested" -> Nested.qNested _,
+    "q_listagg" -> Nested.qListagg _,
     "q_integrity" -> Integrity.qIntegrity _,
     "q_scd2" -> Timeline.qScd2 _,
     "q_gapfill" -> Timeline.qGapfill _,
@@ -603,6 +604,11 @@ object SparkEntry {
         |  n_events
         |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    // Numeric sort before stringify on both sides.
+    "q_listagg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Spike flag = integer cross-multiplication (no stddev, no
     // division); planted ×10 bursts replanted identically.
     "q_rate_spike" ->

@@ -20,6 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Nested {
 
+  /** Ordered string aggregation (LISTAGG / STRING_AGG): per customer,
+    * the comma-joined ascending list of order keys — the export shape
+    * for feeding id lists to downstream systems. `collect_list` is a
+    * partial (ObjectHashAggregate) aggregate, so lists combine
+    * map-side; the deterministic part is `array_sort` AFTER collection
+    * (collect order is partition-dependent, sorted order is not), and
+    * the join to one string is pure codegen.
+    */
+  def qListagg(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        // sort NUMERICALLY, then stringify — sorting the strings would
+        // put "10" before "9" and diverge from ORDER BY o_orderkey
+        array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+          x => x.cast("string")), ",").as("order_keys"))
+      .orderBy("o_custkey")
+  }
+
   def qNested(spark: SparkSession, sfDir: String): DataFrame = {
     val packed = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_orderkey")

@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 
 class NestedSpec extends SparkSpec {
 
+  test("q_listagg joins each customer's keys in numeric order with exact counts") {
+    val got = Nested.qListagg(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(got.length == orders.size)
+    got.foreach { case (c, n, keys) =>
+      val expected = orders(c).map(_._2).sorted
+      assert(n == expected.length, s"customer $c count")
+      assert(keys == expected.mkString(","), s"customer $c key list")
+    }
+  }
+
   test("packed item arrays are linenumber-ordered and fold to the flat sums") {
     val packed = spark.read.parquet(s"$sf001/lineitem.parquet")
       .groupBy("l_orderkey")
