@@ -43,7 +43,10 @@ object RateSpike {
     val trailing = Window.orderBy("h").rangeBetween(-24, -1)
     val hourly = plantedEvents(spark, sfDir)
       .groupBy("h").agg(count(lit(1)).as("n"))
-    val hmin = hourly.agg(min("h")).head().getLong(0)
+    val hminRow = hourly.agg(min("h")).head()
+    require(!hminRow.isNullAt(0),
+      s"q_rate_spike: empty events at $sfDir — no hourly series to scan")
+    val hmin = hminRow.getLong(0)
     hourly
       .withColumn("trail", sum("n").over(trailing))
       .filter(col("h") >= hmin + 24)

@@ -88,6 +88,8 @@ object Zorder {
     */
   def boxBounds(spark: SparkSession, sfDir: String): (Long, Long, Long, Long) = {
     val r = lineitem(spark, sfDir).agg(max("l_suppkey"), max("l_partkey")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"q_zorder: empty lineitem at $sfDir — no box bounds to derive")
     val (sMax, pMax) = (r.getLong(0), r.getLong(1))
     (sMax / 4, sMax / 2, pMax / 4, pMax / 2)
   }
