@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dpp" -> Dpp.qDpp _,
     "q_nested" -> Nested.qNested _,
     "q_listagg" -> Nested.qListagg _,
+    "q_mode" -> Stats.qMode _,
     "q_integrity" -> Integrity.qIntegrity _,
     "q_scd2" -> Timeline.qScd2 _,
     "q_gapfill" -> Timeline.qGapfill _,
@@ -604,6 +605,14 @@ object SparkEntry {
         |  n_events
         |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    // Deterministic mode: ties to the smaller value in both engines.
+    "q_mode" ->
+      """SELECT l_returnflag, mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rk
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |) t WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
     // Numeric sort before stringify on both sides.
     "q_listagg" ->
       """SELECT o_custkey, count(*) AS n_orders,

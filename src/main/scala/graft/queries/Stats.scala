@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Per-group exact MODE with a deterministic tie-break (most common
+    * l_quantity per return flag; ties resolve to the smaller value) —
+    * the aggregate SQL's MODE() gives nondeterministically, made
+    * reproducible. Two map-side-combined counting levels, then a
+    * `row_number ≤ 1` cut over (count DESC, value ASC) that runs as
+    * WindowGroupLimit: no full per-group sort, and the second level
+    * operates on (group, value) cardinality, not rows.
+    */
+  def qMode(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 
 class StatsSpec extends SparkSpec {
 
+  test("q_mode picks the most frequent quantity with smaller-value ties") {
+    val counts = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val expected = counts.groupBy(_._1._1).map { case (flag, m) =>
+      val best = m.toSeq.map { case ((_, q), c) => (q, c) }
+        .sortBy { case (q, c) => (-c, q) }.head
+      flag -> best
+    }
+    val got = Stats.qMode(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+
   test("moment aggregates are well-formed and cover every row") {
     val rows = Stats.qStatsMoments(spark, sf001).collect()
     assert(rows.nonEmpty)
