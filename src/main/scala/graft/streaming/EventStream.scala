@@ -263,9 +263,14 @@ object EventStream {
   /** Bounded run of [[attributionJoin]] (`stream_stream_join`): both
     * sides stream from the same events parquet (a self-join of the
     * firehose — each side is an independent FileStreamSource), the
-    * Append-mode pair emissions land in the memory sink, and the sink
-    * is rolled up per user. The batch self-join over the same bounded
-    * events is the SQL oracle.
+    * Append-mode pair emissions land in a CHECKPOINTED parquet file
+    * sink, and the rollup is a batch aggregate over the sink. The pair
+    * volume is O(matched pairs) — a driver memory sink would buffer
+    * all of it on one machine before aggregating, which is the part of
+    * the pipeline that dies first at 100x scale; the file sink keeps
+    * the write distributed and exactly-once, and the rollup shuffles
+    * only (user, partial-agg) rows. The batch self-join over the same
+    * bounded events is the SQL oracle.
     */
   def runAttributionBounded(spark: SparkSession, sfDir: String,
                             queryName: String = "graft_stream_ss_join"): DataFrame = {
@@ -275,15 +280,17 @@ object EventStream {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .filter(col("event_type") === tpe)
         .select("user_id", "ts", "value")
+    val (outDir, ckptDir) = FileStreams.freshSinkDirs(queryName)
     val q = attributionJoin(side("view"), side("purchase"))
       .writeStream
       .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    spark.read.parquet(outDir)
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"),
         round(sum("p_value"), 2).as("attributed_value"))
@@ -318,10 +325,12 @@ object EventStream {
 
   /** Bounded run of [[attributionJoinOuter]] (`stream_stream_outer`):
     * Append-mode emissions (pairs + watermark-expired null rows) land
-    * in the memory sink; the rollup keeps only the decided region and
-    * counts total view rows vs attributed ones per user, so the
-    * null-padding is load-bearing — drop it and n_rows collapses to
-    * n_attributed. The batch LEFT JOIN under the same cutoff is the
+    * in a CHECKPOINTED parquet file sink (same production shape as
+    * [[runAttributionBounded]] — the emission volume never touches the
+    * driver); the batch rollup over the sink keeps only the decided
+    * region and counts total view rows vs attributed ones per user, so
+    * the null-padding is load-bearing — drop it and n_rows collapses
+    * to n_attributed. The batch LEFT JOIN under the same cutoff is the
     * SQL oracle.
     */
   def runAttributionOuterBounded(spark: SparkSession, sfDir: String,
@@ -332,11 +341,13 @@ object EventStream {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .filter(col("event_type") === tpe)
         .select("user_id", "ts", "value")
+    val (outDir, ckptDir) = FileStreams.freshSinkDirs(queryName)
     val q = attributionJoinOuter(side("view"), side("purchase"))
       .writeStream
       .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -348,7 +359,7 @@ object EventStream {
       .filter(col("event_type").isin("view", "purchase"))
       .agg(min("m")).head().getLong(0)
     val cutoffMicros = mx - 3L * 3600L * 1000000L
-    spark.table(queryName)
+    spark.read.parquet(outDir)
       .filter(col("ts_v") < timestamp_micros(lit(cutoffMicros)))
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_rows"),

@@ -59,4 +59,17 @@ object FileStreams {
     spark.readStream
       .schema(spark.read.parquet(tablePath).schema)
       .parquet(streamableDir(tablePath))
+
+  /** Fresh per-run (sink, checkpoint) directory pair for a bounded
+    * streaming run that materializes its output before returning.
+    * Unlike [[streamableDir]] (deterministic on purpose — a restartable
+    * checkpoint must resolve to the same path), a bounded parity run IS
+    * the unit of work, so a random per-run root makes concurrent runs
+    * of the same query on the same dataset disjoint writers rather than
+    * racing overwriters.
+    */
+  def freshSinkDirs(tag: String): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    (base.resolve("out").toString, base.resolve("ckpt").toString)
+  }
 }

@@ -29,13 +29,14 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object MergeStream {
 
-  private def dirs(sfDir: String): (String, String) = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$user")
-    (root.resolve(s"cdcfeed-$digest").toString, root.resolve(s"cdcstate-$digest").toString)
+  /** Per-run feed/state roots: the run writes its own feed and walks its
+    * own state chain, so a fresh temp root (nonce included by
+    * createTempDirectory) makes concurrent runs on the same dataset
+    * disjoint writers instead of racing over a shared (user, sfDir) path.
+    */
+  private def dirs(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-")
+    (base.resolve("feed").toString, base.resolve("state").toString)
   }
 
   /** Batch change classes + a version-2 re-update of the updated keys
@@ -62,16 +63,20 @@ object MergeStream {
     * must equal the all-changes-at-once batch merge (the oracle).
     */
   def runMergeBounded(spark: SparkSession, sfDir: String): DataFrame = {
-    val (feedDir, stateRoot) = dirs(sfDir)
-    val fs = java.nio.file.Paths.get(stateRoot)
+    val (feedDir, stateRoot) = dirs()
     // fresh feed + state every run — the run IS the reconciliation
     changeFeed(spark, sfDir).repartition(4)
       .write.mode("overwrite").parquet(feedDir)
     val base = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"),
         lit(0L).as("version"), lit(false).as("is_delete"))
-    var statePath = s"$stateRoot/state-init"
-    base.write.mode("overwrite").parquet(statePath)
+    // foreachBatch runs on the micro-batch thread; the final read below
+    // happens on the caller thread after awaitTermination — an
+    // AtomicReference makes that cross-thread hand-off explicit instead
+    // of leaning on incidental synchronization.
+    val statePath = new java.util.concurrent.atomic.AtomicReference[String](
+      s"$stateRoot/state-init")
+    base.write.mode("overwrite").parquet(statePath.get)
 
     val q = spark.readStream
       .schema(spark.read.parquet(feedDir).schema)
@@ -79,17 +84,17 @@ object MergeStream {
       .parquet(feedDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val merged = latestWins(spark.read.parquet(statePath).unionByName(batch))
+        val merged = latestWins(spark.read.parquet(statePath.get).unionByName(batch))
         val next = s"$stateRoot/state-$id"
         merged.write.mode("overwrite").parquet(next)
-        statePath = next
+        statePath.set(next)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
-    spark.read.parquet(statePath)
+    spark.read.parquet(statePath.get)
       .filter(!col("is_delete"))
       .select("o_orderkey", "o_totalprice", "version")
       .orderBy("o_orderkey")

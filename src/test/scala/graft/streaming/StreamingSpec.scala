@@ -77,6 +77,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("stream-stream rollups aggregate from the file sink, not a driver memory sink") {
+    // Production shape: Append-mode pair emissions go to a checkpointed
+    // parquet file sink (distributed write); the rollup is a batch
+    // aggregate whose ONLY input relation is that sink. A driver memory
+    // sink would (a) register a temp view under the query name and
+    // (b) hold the full O(matched pairs) emission volume on the driver.
+    val name = "spec_ss_sink_shape"
+    val df = EventStream.runAttributionBounded(spark, sf0001, name)
+    assert(!spark.catalog.tableExists(name),
+      "pair emissions must not land in a driver memory sink")
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l.relation
+    }
+    assert(rels.nonEmpty, "the rollup must read a file relation")
+    assert(rels.forall {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.forall(_.toString.contains(s"graft-$name"))
+      case _ => false
+    }, s"the rollup's only input must be the checkpointed parquet sink: $rels")
+    val outerName = "spec_ss_outer_sink_shape"
+    EventStream.runAttributionOuterBounded(spark, sf0001, outerName)
+    assert(!spark.catalog.tableExists(outerName),
+      "outer-join emissions must not land in a driver memory sink either")
+  }
+
   test("stream-stream join state spans micro-batches (chronological chunk arrival)") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import org.apache.spark.sql.functions._
