@@ -151,6 +151,9 @@ object BenchOne {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NTZ event timestamps cast to TIMESTAMP under the session zone:
+      // pin UTC so benched plans compute the same values Verify does.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,15 +17,34 @@ object Analytics {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table ships with parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy flag) and
-    * convert with integer division — `/ 1000` in double would lose
-    * precision above 2^53 ns. Truncation matches DuckDB's ns→us cast.
+  /** The events table's `ts` has shipped under three physical parquet
+    * types across driver generations, so the loader normalizes by
+    * schema instead of assuming one:
+    *   - TIMESTAMP(NANOS): readable only as long nanos via the legacy
+    *     flag; converted with integer division (`/ 1000` in double
+    *     would lose precision above 2^53 ns; truncation matches
+    *     DuckDB's ns→us cast).
+    *   - TIMESTAMP_NTZ micros (current driver data, and GenScale's sf1
+    *     re-emission — Spark cannot WRITE nanos): cast to TIMESTAMP.
+    *     Every entry point (Verify, specs, Bench) pins the session
+    *     time zone to UTC, so the cast is a pure reinterpretation and
+    *     matches what DuckDB computes on the same naive values.
+    *   - TIMESTAMP: already the target type.
+    * All three land on identical micros-precision UTC instants, so
+    * every event-time oracle is sf- and generation-independent.
     */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** TPC-H Q1-style pricing summary. */

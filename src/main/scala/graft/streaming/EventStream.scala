@@ -12,6 +12,27 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   */
 object EventStream {
 
+  /** Adaptive event-time stream reader: `ts` normalization is shared
+    * with the batch loader (Analytics.normalizeTs — nanos-as-long /
+    * TIMESTAMP_NTZ micros / TIMESTAMP all land on identical micros
+    * instants), so every bounded-parity oracle is independent of which
+    * generation of test data is underneath.
+    */
+  private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    FileStreams.readStream(spark, s"$sfDir/events.parquet")
+  }
+
+  /** `ts` as a micros-precision TIMESTAMP, whatever the physical type. */
+  private def tsAsTimestamp(df: DataFrame): DataFrame =
+    graft.queries.Analytics.normalizeTs(df)
+
+  /** Event time as a plain micros LONG under `name` (state-fold form —
+    * the custom-state operators only need ordering/arithmetic).
+    */
+  private def tsAsMicrosLong(df: DataFrame, name: String): DataFrame =
+    tsAsTimestamp(df).withColumn(name, unix_micros(col("ts")))
+
   /** Windowed aggregation over a streaming DataFrame (1h tumbling
     * windows per event_type, 2h watermark for late data).
     */
@@ -86,11 +107,9 @@ object EventStream {
     */
   def runUserStatsBounded(spark: SparkSession, sfDir: String,
                           queryName: String = "graft_stream_userstats"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // ts stays a plain long (nanos truncated to micros — the external
-    // comparison granularity): the state fold only needs ordering
-    val stream = FileStreams.readStream(spark, s"$sfDir/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+    // ts stays a plain long (micros — the external comparison
+    // granularity): the state fold only needs ordering
+    val stream = tsAsMicrosLong(rawEventStream(spark, sfDir), "ts")
     val q = runningUserStats(stream)
       .writeStream
       .outputMode(OutputMode.Update())
@@ -172,9 +191,7 @@ object EventStream {
     */
   def runFunnelBounded(spark: SparkSession, sfDir: String,
                        queryName: String = "graft_stream_funnel"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = FileStreams.readStream(spark, s"$sfDir/events.parquet")
-      .withColumn("te", expr("ts div 1000"))
+    val stream = tsAsMicrosLong(rawEventStream(spark, sfDir), "te")
     val q = funnelState(stream)
       .writeStream
       .outputMode(OutputMode.Update())
@@ -216,9 +233,8 @@ object EventStream {
     */
   def runEnrichJoinBounded(spark: SparkSession, sfDir: String,
                            queryName: String = "graft_stream_join"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // no ts conversion: the enrichment join never reads event time
-    val stream = FileStreams.readStream(spark, s"$sfDir/events.parquet")
+    val stream = rawEventStream(spark, sfDir)
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_custkey", "c_mktsegment")
     val q = enrichJoin(stream, customer)
@@ -274,10 +290,8 @@ object EventStream {
     */
   def runAttributionBounded(spark: SparkSession, sfDir: String,
                             queryName: String = "graft_stream_ss_join"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tpe: String): DataFrame =
-      FileStreams.readStream(spark, s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      tsAsTimestamp(rawEventStream(spark, sfDir))
         .filter(col("event_type") === tpe)
         .select("user_id", "ts", "value")
     val (outDir, ckptDir) = FileStreams.freshSinkDirs(queryName)
@@ -335,10 +349,8 @@ object EventStream {
     */
   def runAttributionOuterBounded(spark: SparkSession, sfDir: String,
                                  queryName: String = "graft_stream_ss_outer"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tpe: String): DataFrame =
-      FileStreams.readStream(spark, s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      tsAsTimestamp(rawEventStream(spark, sfDir))
         .filter(col("event_type") === tpe)
         .select("user_id", "ts", "value")
     val (outDir, ckptDir) = FileStreams.freshSinkDirs(queryName)
@@ -353,9 +365,9 @@ object EventStream {
     q.awaitTermination()
     // Decided-region cutoff from a batch read of the same bounded
     // input: one tiny aggregate, driver-side by design (two longs).
-    val mx = spark.read.parquet(s"$sfDir/events.parquet")
+    val mx = graft.queries.Analytics.loadEvents(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(max(expr("ts div 1000")).as("m"))
+      .agg(max(unix_micros(col("ts"))).as("m"))
       .filter(col("event_type").isin("view", "purchase"))
       .agg(min("m")).head().getLong(0)
     val cutoffMicros = mx - 3L * 3600L * 1000000L
@@ -373,11 +385,7 @@ object EventStream {
     * result — used by the spec to assert batch/stream parity.
     */
   def runBounded(spark: SparkSession, sfDir: String, queryName: String = "graft_stream"): DataFrame = {
-    // events ships TIMESTAMP(NANOS) parquet: read nanos as long, convert
-    // to a proper timestamp (see Analytics.loadEvents for rationale).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = FileStreams.readStream(spark, s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = tsAsTimestamp(rawEventStream(spark, sfDir))
     val q = windowedAgg(stream)
       .writeStream
       .outputMode(OutputMode.Complete())

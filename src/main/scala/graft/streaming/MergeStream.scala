@@ -39,6 +39,13 @@ object MergeStream {
     (base.resolve("feed").toString, base.resolve("state").toString)
   }
 
+  /** State root of the most recent [[runMergeBounded]] in this JVM —
+    * diagnostic hook so the spec can assert the run actually chained
+    * multiple micro-batch states now that the root is per-run (nonce'd)
+    * rather than derivable from (user, sfDir).
+    */
+  @volatile var lastStateRoot: String = _
+
   /** Batch change classes + a version-2 re-update of the updated keys
     * (stream-only: proves per-key reconciliation ACROSS micro-batches).
     */
@@ -64,6 +71,7 @@ object MergeStream {
     */
   def runMergeBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val (feedDir, stateRoot) = dirs()
+    lastStateRoot = stateRoot
     // fresh feed + state every run — the run IS the reconciliation
     changeFeed(spark, sfDir).repartition(4)
       .write.mode("overwrite").parquet(feedDir)

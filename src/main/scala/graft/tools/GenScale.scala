@@ -70,9 +70,22 @@ object GenScale {
 
     val nEvent = t("events").count()
     val nUser = t("events").agg(max("user_id")).head().getLong(0) + 1
+    // events.ts passes through at micros precision whatever the source
+    // generation: TIMESTAMP_NTZ micros (current driver data) replicates
+    // verbatim, while legacy TIMESTAMP(NANOS) — readable only as long
+    // nanos, unwritable by Spark — is re-emitted as micros (`div 1000`
+    // truncates exactly like the engine's read path). Either way the
+    // DuckDB oracle SQL (date_trunc on TIMESTAMP) consumes sf1 events
+    // natively, so the event-time query family oracle-verifies at sf1
+    // instead of being bench-only.
+    val tsMicros =
+      if (t("events").schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
     write("events", replicate(t("events"), Copies)
       .withColumn("event_id", col("event_id") + col("c") * nEvent)
-      .withColumn("user_id", col("user_id") + col("c") * nUser).drop("c"))
+      .withColumn("user_id", col("user_id") + col("c") * nUser)
+      .withColumn("ts", tsMicros).drop("c"))
 
     val nDoc = t("documents").count()
     write("documents", replicate(t("documents"), Copies)

@@ -30,11 +30,7 @@ class MergeStreamSpec extends SparkSpec {
     // the maxFilesPerTrigger=1 run must actually have reconciled
     // multiple micro-batches (state-0..state-N on disk, N >= 1) —
     // otherwise cross-batch state carry was never exercised
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sf001.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val stateRoot = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$user", s"cdcstate-$digest")
+    val stateRoot = java.nio.file.Paths.get(MergeStream.lastStateRoot)
     val states = java.nio.file.Files.list(stateRoot).iterator()
     val names = Iterator.continually(states).takeWhile(_.hasNext).map(_.next().getFileName.toString).toSet
     assert(names.count(_.startsWith("state-")) >= 3,

@@ -14,10 +14,13 @@ class StreamFunnelSpec extends SparkSpec {
     // wrong views — only the re-deriving state machine converges to
     // the batch chain.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf0001/events.parquet").orderBy("ts")
+    // normalized ts (micros TIMESTAMP) so chunk files carry the engine's
+    // event-time type whatever the physical type underneath
+    val ev = Analytics.normalizeTs(spark.read.parquet(s"$sf0001/events.parquet")).orderBy("ts")
     val n = ev.count()
     val rows = ev.collect()
-    val cuts = Seq(rows((n / 3).toInt).getAs[Long]("ts"), rows((2 * n / 3).toInt).getAs[Long]("ts"))
+    val cuts = Seq(rows((n / 3).toInt).getAs[java.sql.Timestamp]("ts"),
+      rows((2 * n / 3).toInt).getAs[java.sql.Timestamp]("ts"))
     val dir = java.nio.file.Files.createTempDirectory("graft-funnel-chunks-")
     Seq(
       ev.filter(col("ts") >= cuts(1)),                          // latest third first
@@ -29,10 +32,9 @@ class StreamFunnelSpec extends SparkSpec {
         .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
       java.nio.file.Files.createSymbolicLink(dir.resolve(f"chunk_$i%02d.parquet"), f)
     }
-    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      .withColumn("te", expr("ts div 1000"))
+      .withColumn("te", unix_micros(col("ts")))
     val q = EventStream.funnelState(stream)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName("spec_funnel_chunked")

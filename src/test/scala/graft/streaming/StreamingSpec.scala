@@ -111,10 +111,13 @@ class StreamingSpec extends SparkSpec {
     // the watermark (2 h) deliberately exceeds the attribution window
     // (1 h) so no cross-batch view is evicted before its purchases land.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf0001/events.parquet").orderBy("ts")
+    // normalized ts (micros TIMESTAMP) so chunk files carry the engine's
+    // event-time type whatever the physical type underneath
+    val ev = Analytics.normalizeTs(spark.read.parquet(s"$sf0001/events.parquet")).orderBy("ts")
     val n = ev.count()
     val rows = ev.collect()
-    val cuts = Seq(rows((n / 3).toInt).getAs[Long]("ts"), rows((2 * n / 3).toInt).getAs[Long]("ts"))
+    val cuts = Seq(rows((n / 3).toInt).getAs[java.sql.Timestamp]("ts"),
+      rows((2 * n / 3).toInt).getAs[java.sql.Timestamp]("ts"))
     val dir = java.nio.file.Files.createTempDirectory("graft-ss-chunks-")
     Seq(
       ev.filter(col("ts") < cuts(0)),
@@ -127,10 +130,8 @@ class StreamingSpec extends SparkSpec {
       // zero-pad so modification-time/name order == event-time order
       java.nio.file.Files.createSymbolicLink(dir.resolve(f"chunk_$i%02d.parquet"), f)
     }
-    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    def side(tpe: String) = spark.readStream.schema(schema)
+    def side(tpe: String) = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter(col("event_type") === tpe)
       .select("user_id", "ts", "value")
     val q = EventStream.attributionJoin(side("view"), side("purchase"))
@@ -182,7 +183,9 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-state-stream-")
     java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
     val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    // runningUserStats folds ts as a plain long: normalize then expose micros
+    val stream = Analytics.normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
+      .withColumn("ts", unix_micros(col("ts")))
     val q = EventStream.runningUserStats(stream)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName("spec_user_state")
@@ -256,8 +259,7 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-stream-")
     java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
     val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Analytics.normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
       .withWatermark("ts", "1 hour")
     val q = EventStream.sessionize(stream)
       .writeStream.outputMode(OutputMode.Append())
