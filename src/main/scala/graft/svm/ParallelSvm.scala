@@ -119,9 +119,20 @@ object ParallelSvm {
     *        local path lands on one executor's local disk where nobody
     *        can read it back. Warned about below, loudly, when the
     *        master isn't local.
+    * @param maxSvFraction dense-SV guard: the cascade's scalability
+    *        premise is that each layer's SV set SHRINKS (the filtering
+    *        argument behind the cascade design); when layer 1 keeps more
+    *        than this fraction of its input as SVs, every later merge
+    *        re-solves essentially the full dataset and the final
+    *        single-task solve is O(n²) — on a cluster that silently
+    *        burns hours, not minutes. Same discipline as the iterative
+    *        path's `maxGlobalSvs`: fail loudly BEFORE the expensive
+    *        regime, pointing at the linear-time alternative. Pass 1.0
+    *        only to knowingly run the dense regime (small demo corpora).
     */
   def cascade(data: Dataset[Ex], k: Int, params: Smo.Params,
-              modelPath: Option[String] = None): (Seq[LayerStat], SvmModel) = {
+              modelPath: Option[String] = None,
+              maxSvFraction: Double = 0.9): (Seq[LayerStat], SvmModel) = {
     val spark = data.sparkSession
     import spark.implicits._
     for (p <- modelPath) {
@@ -156,6 +167,24 @@ object ParallelSvm {
       val layerStats = svs.groupBy($"subset").agg(count(lit(1)).as("nSv"))
         .collect().map(r => LayerStat("cascade", layer, r.getInt(0), -1L, r.getLong(1), 0.0))
       stats ++= layerStats.sortBy(_.subset)
+      if (layer == 1 && !isLast && maxSvFraction < 1.0) {
+        // Dense-SV guard. Layer 1 has trained on every input row, so its
+        // SV census is already materialized above; the input count is one
+        // extra scan of the raw data — trivial next to the SMO solves just
+        // done, and it fires BEFORE any O(n²) merge layer runs.
+        val nSv = layerStats.map(_.nSv).sum
+        val nIn = data.count()
+        if (nSv > maxSvFraction * nIn) {
+          svs.unpersist()
+          throw new IllegalStateException(
+            f"cascade: layer 1 kept $nSv of $nIn rows as support vectors " +
+              f"(${nSv.toDouble / nIn * 100}%.1f%% > ${maxSvFraction * 100}%.0f%%) — " +
+              "the data is SV-dense, so every merge layer re-solves ~the full set and " +
+              "the final single-task solve is O(n²). Use the linear-time path instead " +
+              "(LinearSvm / svm_linear_train), or pass maxSvFraction=1.0 to knowingly " +
+              "run the dense regime")
+        }
+      }
       if (isLast) {
         // Final solve on the merged SV set — run as a SINGLE-TASK
         // EXECUTOR job, mirroring the reference's lone reducer

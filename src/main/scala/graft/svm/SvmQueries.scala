@@ -185,7 +185,11 @@ object SvmQueries {
     * premise is SPARSE support (cf. the RBF rings, where SVs ≈ 30%);
     * for dense-SV linear problems the engine's scale path is
     * [[LinearSvm]] (`svm_linear_train`, linear-time per epoch), which
-    * is why both ship.
+    * is why both ship. The embeddings corpus IS that dense regime, so
+    * this query would trip [[ParallelSvm.cascade]]'s dense-SV guard; it
+    * opts out explicitly (`maxSvFraction = 1.0`) because reproducing the
+    * reference's cascade trace on the canonical table is the point here —
+    * a production caller gets the guard by default.
     */
   def cascadeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val data = ParallelSvm.loadTraining(spark, sfDir, K)
@@ -195,7 +199,7 @@ object SvmQueries {
     val dir = java.nio.file.Files.createTempDirectory("graft-cascade-").toString
     try {
       val (stats, _) = ParallelSvm.cascade(data, K, ParallelSvm.defaultParams(64),
-        modelPath = Some(s"$dir/final.model"))
+        modelPath = Some(s"$dir/final.model"), maxSvFraction = 1.0)
       ParallelSvm.statsDf(spark, stats)
     } finally {
       val d = new java.io.File(dir)

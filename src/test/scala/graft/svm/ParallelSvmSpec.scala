@@ -8,7 +8,8 @@ class ParallelSvmSpec extends SparkSpec {
 
   test("cascade SVM: layers shrink, final model is accurate") {
     val data = ParallelSvm.loadTraining(spark, sf0001, k = 4)
-    val (stats, model) = ParallelSvm.cascade(data, k = 4, params)
+    // the noisy embeddings are the dense-SV regime — opt out of the guard
+    val (stats, model) = ParallelSvm.cascade(data, k = 4, params, maxSvFraction = 1.0)
     val layer1 = stats.filter(s => s.stage == "cascade" && s.layer == 1)
     assert(layer1.nonEmpty)
     // The synthetic embeddings are intrinsically noisy: a full linear
@@ -24,8 +25,8 @@ class ParallelSvmSpec extends SparkSpec {
 
   test("cascade is deterministic across runs") {
     val data = ParallelSvm.loadTraining(spark, sf0001, k = 4)
-    val (s1, _) = ParallelSvm.cascade(data, k = 4, params)
-    val (s2, _) = ParallelSvm.cascade(data, k = 4, params)
+    val (s1, _) = ParallelSvm.cascade(data, k = 4, params, maxSvFraction = 1.0)
+    val (s2, _) = ParallelSvm.cascade(data, k = 4, params, maxSvFraction = 1.0)
     assert(s1 == s2)
   }
 
@@ -66,6 +67,30 @@ class ParallelSvmSpec extends SparkSpec {
     assert(e.getMessage.contains("broadcast guard"))
   }
 
+  test("cascade dense-SV guard trips on the noisy embeddings, not on the rings") {
+    // Embeddings: ~100% of points are bound SVs under the linear kernel,
+    // so layer 1 forwards essentially everything and every later merge
+    // is O(n²) — the guard must fire before any merge layer runs.
+    val dense = ParallelSvm.loadTraining(spark, sf0001, k = 4)
+    val e = intercept[IllegalStateException] {
+      ParallelSvm.cascade(dense, k = 4, params)
+    }
+    assert(e.getMessage.contains("svm_linear_train"), e.getMessage)
+    assert(e.getMessage.contains("maxSvFraction"), e.getMessage)
+    // The failure names the measured fraction, proving it came from the
+    // layer-1 census and not a static heuristic.
+    val kept = "kept (\\d+) of (\\d+)".r.findFirstMatchIn(e.getMessage).get
+    assert(kept.group(1).toInt > 0.9 * kept.group(2).toInt)
+
+    // Rings under the reference RBF config: SVs ≈ 30% of input — the
+    // guard's premise (shrinking layers) holds and training completes.
+    val rings = RingData.rings(spark, n = 400, k = 4, dim = 8)
+    val (stats, model) = ParallelSvm.cascade(rings, k = 4, ParallelSvm.rbfParams(8))
+    assert(model != null)
+    val l1 = stats.filter(s => s.stage == "cascade" && s.layer == 1).map(_.nSv).sum
+    assert(l1 < 0.9 * 400, s"rings layer-1 SV count $l1 should be sparse")
+  }
+
   test("iterative fails loudly when the global-SV set exceeds maxGlobalSvs") {
     // The noisy embeddings are adversarial for iterative SVM: nearly every
     // point is a bound SV, so round 1 already overflows a tiny cap.
@@ -93,7 +118,8 @@ class ParallelSvmSpec extends SparkSpec {
     val data = ParallelSvm.loadTraining(spark, sf0001, k = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft-casc-io").toString
     val path = s"$dir/final.model"
-    val (_, model) = ParallelSvm.cascade(data, k = 4, params, modelPath = Some(path))
+    val (_, model) = ParallelSvm.cascade(data, k = 4, params,
+      modelPath = Some(path), maxSvFraction = 1.0)
     val f = new java.io.File(path)
     assert(f.isFile && f.length > 0, s"expected persisted final model at $path")
     val loaded = ModelIO.load(spark, path)
