@@ -100,6 +100,23 @@ object Bench {
     }
   }
 
+  /** Fixed-work single-thread spin (~0.4e9 LCG steps): a pure-CPU
+    * yardstick immune to plan changes, so two artifacts from different
+    * machines (or a loaded one — see the 2.6×-inflated r5 driver run)
+    * can be normalized by their spin ratio before comparing query rows.
+    */
+  private def cpuSpinSec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 1234567891011L
+    var i = 0
+    while (i < 400000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    if (x == 42) System.err.println("") // keep the loop observable
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -112,13 +129,25 @@ object Bench {
     def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("-1")
     def jmap(kv: Seq[(String, Option[Double])]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    // Host-health fields: spin is a fixed pure-CPU workload (cross-
+    // machine normalizer), loadavg snapshots bracket the sweep; the
+    // calibration_query row (svm_solver_pin — a closed-form solver
+    // trace, no IO, no shuffle) cannot regress from plan changes, so a
+    // shifted value there means machine, not code.
+    val spinStart = cpuSpinSec()
+    val loadStart = loadAvg()
+    lazy val spinEnd = cpuSpinSec() // once, at the first complete artifact write
     def toJson(results: Seq[(String, Option[(Double, Double)])], partial: Boolean): String = {
       val failed = results.collect { case (n, None) => "\"" + n + "\"" }
       val total = results.flatMap(_._2.map(_._2)).sum
       val qs = jmap(results.map { case (n, r) => n -> r.map(_._2) })
       val cold = jmap(results.map { case (n, r) => n -> r.map(_._1) })
       val part = if (partial) s""","partial":true,"remaining":${names.length - results.length}""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir","harness":"fork-per-query"$part}"""
+      val calib = f""","calibration":{"cpu_spin_sec_start":$spinStart%.4f,""" +
+        (if (partial) "" else f""""cpu_spin_sec_end":$spinEnd%.4f,""") +
+        f""""loadavg_start":$loadStart%.2f,"loadavg_end":${loadAvg()}%.2f,""" +
+        """"calibration_query":"svm_solver_pin"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir","harness":"fork-per-query"$calib$part}"""
     }
     val outFile = java.nio.file.Paths.get("BENCH.out.json").toAbsolutePath
     // The full fork-per-query sweep takes tens of minutes; rewrite the

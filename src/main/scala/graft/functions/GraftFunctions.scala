@@ -59,6 +59,25 @@ object GraftFunctions {
     ColumnBridge.column(
       MisraGriesAgg(ColumnBridge.expression(key), k).toAggregateExpression())
 
+  /** Bounded top-k by (score desc, id asc) — array<struct<id,score>>
+    * best-first, computed with map-side k-entry heaps instead of a
+    * full-sort window (see [[TopKByAgg]]).
+    */
+  def topk_by(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKByAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** One-scan brute-force cosine top-k against a referenced-constant
+    * probe set (see [[BruteTopKAgg]]); returns a flat
+    * array<struct<probe_id,rk,neighbor_id,cosine>> to inline().
+    */
+  def brute_topk(vec: Column, id: Column, probeIds: Array[Long],
+                 probeVecs: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(
+      BruteTopKAgg(ColumnBridge.expression(vec), ColumnBridge.expression(id),
+        probeIds, probeVecs, k).toAggregateExpression())
+
   private def piiRedactExpr(
       subject: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {

@@ -84,15 +84,29 @@ object Ann {
     bruteForceTopKOf(data, probes, k)
   }
 
-  /** [[bruteForceTopK]] over an arbitrary corpus and probe frame. */
+  /** [[bruteForceTopK]] over an arbitrary corpus and probe frame.
+    *
+    * One corpus scan through [[graft.functions.BruteTopKAgg]]: the
+    * probe set rides along as a referenced constant (probes are
+    * driver-local bytes by contract — probeEvery / maxProbes bound
+    * them) and every partition folds its rows into per-probe k-entry
+    * heaps in primitive double[] loops. The broadcast non-equi join
+    * this replaces materialized probes × corpus ROWS through the plan
+    * — the whole cost of the ground-truth baseline at scale — and its
+    * window sort shuffled all of them. Semantics unchanged: cosine
+    * rounded HALF_UP to 6 digits before ranking, (cosine desc, id asc)
+    * order, self-pairs excluded.
+    */
   def bruteForceTopKOf(data: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val scored = data.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
-    val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+    val rows = probes
+      .select(col("probe_id"), transform(col("probe_vec"), x => x.cast("double")).as("pv"))
+      .collect()
+    val pids = rows.map(_.getLong(0))
+    val pvecs = rows.map(_.getSeq[Double](1).toArray)
+    data
+      .agg(graft.functions.GraftFunctions
+        .brute_topk(col("embedding"), col("vec_id"), pids, pvecs, k).as("top"))
+      .select(inline(col("top")))
       .orderBy("probe_id", "rk")
   }
 
@@ -184,6 +198,21 @@ object Ann {
     }
   }
 
+  /** Deterministic hash-sample of at most `maxProbes` probe rows from a
+    * centers frame: hash-ordered top-k (TakeOrderedAndProject — fully
+    * distributed, no global sort materialized), so the sample is stable
+    * across runs and independent of id layout. Recall contracts use this
+    * to keep their brute-force ground truth (probes × corpus) LINEAR in
+    * the corpus: probe counts that scale with the data make any recall
+    * harness quadratic by contract, whatever the index does. Below the
+    * cap every center is kept, so small-SF behavior is unchanged.
+    */
+  def sampleProbes(centers: DataFrame, maxProbes: Int): DataFrame =
+    centers
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .orderBy(pmod(xxhash64(col("probe_id")), lit(1000003L)), col("probe_id"))
+      .limit(maxProbes)
+
   /** recall@k contract for BOTH ANN indexes over the clustered corpus:
     * each center probes for its top-k; ground truth is the engine's own
     * exact brute force over the same corpus (its per-neighbor ranking
@@ -194,14 +223,16 @@ object Ann {
     */
   def annRecallAtK(spark: SparkSession, sfDir: String, k: Int = 10,
                    centerEvery: Int = 20, members: Int = 12,
-                   minRecallLsh: Double = 0.95, minRecallIvf: Double = 0.95): DataFrame = {
+                   minRecallLsh: Double = 0.95, minRecallIvf: Double = 0.95,
+                   maxProbes: Int = 2000): DataFrame = {
     import spark.implicits._
     // one eager materialization shared by all three pipelines (brute,
-    // lsh, ivf — plus k-means passes inside ivf)
+    // lsh, ivf — plus k-means passes inside ivf); probes hash-sampled
+    // to the cap so the brute-force ground truth stays corpus-linear
     val data = clusteredEmbeddings(spark, sfDir, centerEvery, members).localCheckpoint()
-    val probes = data
-      .filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(centerEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val probes = sampleProbes(
+      data.filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(centerEvery)) === 0),
+      maxProbes)
       .localCheckpoint()
     val nProbes = probes.count()
     val brute = bruteForceTopKOf(data, probes, k)

@@ -123,26 +123,33 @@ object Pq {
   private def adcDistExpr(books: Codebooks, probeVec: Column, codes: Column): Column =
     VectorOps.adcDist(booksArr(books), probeVec, codes)
 
-  /** PQ top-k with exact re-rank: ADC scan of the compressed corpus →
-    * top-`rerank` candidates per probe → exact cosine on candidates
-    * only → top-k.
+  /** FLAT PQ top-k with exact re-rank: ADC scan of the WHOLE compressed
+    * corpus → candidates within the top-`rerank` ADC ranks per probe →
+    * exact cosine on candidates only → top-k.
+    *
+    * This is the ORACLE / re-rank path: probes × corpus ADC work is
+    * quadratic under the engine's probe contract (probes scale with the
+    * corpus), measured 29× at 10× data. The operator a caller gets by
+    * name ([[pqTopKOf]], `ann_pq`) bounds the scan with the IVF coarse
+    * quantizer by default; use the flat scan for ground-truth checks or
+    * when probes are genuinely O(1).
     */
-  def pqTopKOf(data: DataFrame, probes: DataFrame, k: Int,
-               m: Int = 8, ksub: Int = 16, iters: Int = 3,
-               rerank: Int = 50): DataFrame = {
+  def pqTopKFlat(data: DataFrame, probes: DataFrame, k: Int,
+                 m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                 rerank: Int = 50): DataFrame = {
     val books = trainCodebooks(data, m, ksub, iters)
     val codes = encode(data, books)
     // ADC ties are common — every vector sharing a probe's full m-code
-    // tuple has the SAME adist (the probe's own quantization error), so
-    // the tie-break decides which ties survive to the exact re-rank.
-    // Descending vec_id keeps appended near-duplicates (plants live at
-    // id + PlantOffset-style high ids) from being systematically
-    // evicted when a code cell is denser than `rerank`.
-    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), desc("vec_id"))
+    // tuple has the SAME adist (the probe's own quantization error).
+    // rank() keeps WHOLE tie groups, so no tie-break ever decides which
+    // tied vector survives to the exact re-rank: an exact duplicate's
+    // code tuple is the per-subspace argmin, making its ADC distance the
+    // global minimum — rank 1 by construction, layout-independent.
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"))
     val candidates = codes
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("adist", adcDistExpr(books, col("probe_vec"), col("codes")))
-      .withColumn("rn", row_number().over(wAdc))
+      .withColumn("rn", rank().over(wAdc))
       .filter(col("rn") <= rerank)
       .select("probe_id", "vec_id")
     val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
@@ -155,6 +162,19 @@ object Pq {
       .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy("probe_id", "rk")
   }
+
+  /** PQ top-k, scan-bounded by default: routes through the IVF coarse
+    * quantizer ([[ivfPqTopKOf]]) so the ADC scan reads nProbe/nLists of
+    * the compressed corpus instead of all of it. Under the engine's
+    * probe contract (probes scale with the corpus) the flat scan is
+    * quadratic — 29× at 10× data, vs 2.6× bounded — so the name a user
+    * reaches for must be the one that survives scale; [[pqTopKFlat]]
+    * remains the oracle/ground-truth path.
+    */
+  def pqTopKOf(data: DataFrame, probes: DataFrame, k: Int,
+               m: Int = 8, ksub: Int = 16, iters: Int = 3,
+               rerank: Int = 50, nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfPqTopKOf(data, probes, k, nLists, nProbe, m, ksub, iters, rerank)
 
   /** IVF-PQ composition — the standard billion-scale index: the IVF
     * coarse quantizer restricts the scan to nProbe inverted lists, and
@@ -185,15 +205,16 @@ object Pq {
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nProbe)
       .select("probe_id", "list_id")
-    // same descending tie-break as pqTopKOf — equal-code ties must not
-    // evict the true duplicate before the exact re-rank
-    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"), desc("vec_id"))
+    // same tie-group inclusion as pqTopKFlat: rank() keeps every vector
+    // tied at the cutoff, so equal-code ties can never evict the true
+    // duplicate before the exact re-rank, whatever the id layout
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adist"))
     val candidates = codes
       .join(probeLists.hint("broadcast"), "list_id")
       .filter(col("vec_id") =!= col("probe_id"))
       .join(broadcast(probes), "probe_id")
       .withColumn("adist", adcDistExpr(books, col("probe_vec"), col("codes")))
-      .withColumn("rn", row_number().over(wAdc))
+      .withColumn("rn", rank().over(wAdc))
       .filter(col("rn") <= rerank)
       .select("probe_id", "vec_id")
     val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
@@ -210,10 +231,11 @@ object Pq {
   /** Oracle-verified IVF-PQ query (`ann_ivf_pq`): each probe's exact
     * duplicate is planted; identical vectors share the coarse list AND
     * the full m-code tuple, so the copy's ADC distance equals the
-    * probe's own quantization error — TIED with every other vector in
-    * the same code cell, not zero. The descending vec_id ADC tie-break
-    * guarantees the plant (highest id in its cell) survives to the
-    * exact re-rank, which then returns it top-1 at cosine 1.0.
+    * probe's own quantization error — the GLOBAL MINIMUM over code
+    * tuples (its codes are the per-subspace argmin), hence ADC rank 1.
+    * rank()'s tie-group inclusion then guarantees the plant reaches the
+    * exact re-rank regardless of id layout, and re-rank returns it
+    * top-1 at cosine 1.0.
     */
   def ivfPqPlantedTop1(spark: SparkSession, sfDir: String,
                        probeEvery: Int = 50, offset: Long = 1000000L): DataFrame = {
@@ -230,15 +252,21 @@ object Pq {
     * same regime as [[Ann.annRecallAtK]] — every center has 12 graded
     * planted neighbors, ground truth is the engine's own brute force,
     * and the realized PQ recall must clear the pin. One boolean row.
+    *
+    * Probes are CAPPED ([[Ann.sampleProbes]]): recall is a statistic,
+    * and estimating it over a deterministic hash-sample of centers
+    * keeps the ground-truth brute force (probes × corpus) linear in
+    * the corpus instead of quadratic. Below the cap the sample is all
+    * centers, so the small-SF oracle behavior is unchanged.
     */
   def pqRecallAtK(spark: SparkSession, sfDir: String, k: Int = 10,
                   centerEvery: Int = 20, members: Int = 12,
-                  minRecall: Double = 0.90): DataFrame = {
+                  minRecall: Double = 0.90, maxProbes: Int = 2000): DataFrame = {
     import spark.implicits._
     val data = Ann.clusteredEmbeddings(spark, sfDir, centerEvery, members).localCheckpoint()
-    val probes = data
-      .filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(centerEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val probes = Ann.sampleProbes(
+      data.filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(centerEvery)) === 0),
+      maxProbes)
       .localCheckpoint()
     val nProbes = probes.count()
     val brute = Ann.bruteForceTopKOf(data, probes, k)

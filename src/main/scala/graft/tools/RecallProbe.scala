@@ -1,38 +1,48 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Prints the REALIZED recall@k of both ANN indexes over the clustered
-  * corpus at each sf — the measurement behind ann_recall_atk's pins.
-  */
+/** Stage-level timing of the recall-contract machinery (diagnostic). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val sfDir = if (args.nonEmpty) args(0) else "/root/repo/testdata-sf1"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dirs = if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
-    val k = 10
-    for (dir <- dirs) {
-      val data = graft.similarity.Ann.clusteredEmbeddings(spark, dir).localCheckpoint()
-      val probes = data
-        .filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(20)) === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-        .localCheckpoint()
-      val brute = graft.similarity.Ann.bruteForceTopKOf(data, probes, k)
-        .select("probe_id", "neighbor_id").localCheckpoint()
-      val nTruth = brute.count()
-      def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
-        val hits = brute.join(ann.select("probe_id", "neighbor_id"),
-          Seq("probe_id", "neighbor_id")).count()
-        hits.toDouble / nTruth
-      }
-      val lsh = recallOf(graft.similarity.Ann.lshTopKOf(data, probes, k, 8, 6))
-      val ivf = recallOf(graft.similarity.Ivf.ivfTopKOf(data, probes, k, 16, 4))
-      println(f"RECALL $dir nTruth=$nTruth lsh=$lsh%.4f ivf=$ivf%.4f")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"RECALLPROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
+    val data = t("clustered+ckpt") {
+      graft.similarity.Ann.clusteredEmbeddings(spark, sfDir).localCheckpoint()
+    }
+    val probes = t("probes+ckpt") {
+      graft.similarity.Ann.sampleProbes(
+        data.filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(20)) === 0), 2000)
+        .localCheckpoint()
+    }
+    println(s"RECALLPROBE n_data=${data.count()} n_probes=${probes.count()}")
+    val brute = t("brute+ckpt") {
+      graft.similarity.Ann.bruteForceTopKOf(data, probes, 10)
+        .select("probe_id", "neighbor_id").localCheckpoint()
+    }
+    println(s"RECALLPROBE n_truth=${brute.count()}")
+    t("train_centroids") { graft.similarity.Ivf.trainCentroids(data, 16, 3).collect() }
+    t("train_codebooks") { graft.similarity.Pq.trainCodebooks(data, 8, 16, 3) }
+    val pq = t("pq_topk(ivf-bounded)") {
+      graft.similarity.Pq.pqTopKOf(data, probes, 10).select("probe_id", "neighbor_id")
+        .localCheckpoint()
+    }
+    val hits = t("join+count") {
+      brute.join(pq, Seq("probe_id", "neighbor_id")).count()
+    }
+    println(s"RECALLPROBE hits=$hits")
     spark.stop()
   }
 }
