@@ -161,6 +161,7 @@ object SparkEntry {
     // IVF-PQ's in-list PQ codes collapse on concentrated variance,
     // the rotated pipeline holds recall 1.0.
     "ann_opq_ivf" -> ((s: SparkSession, d: String) => graft.similarity.Opq.opqIvfRecallContrast(s, d)),
+    "ann_opq_trained" -> ((s: SparkSession, d: String) => graft.similarity.Opq.opqTrainedContrast(s, d)),
     // IVF-PQ composition (billion-scale shape: coarse lists restrict
     // the scan, ADC ranks in compressed domain, exact re-rank): the
     // planted duplicate shares list AND code word, so it must return
@@ -1043,6 +1044,16 @@ object SparkEntry {
         |  ('opq', true, true),
         |  ('pq_plain', true, true)) AS t(method, planted_ok, contract_ok)
         |ORDER BY method""".stripMargin,
+    // Trained-OPQ distortion contrast on the block-structured corpus:
+    // a data-blind rotation is >= 2x the aligned reference, trained
+    // (PCA + eigenvalue-allocation init, alternating minimization)
+    // lands <= 0.75x fixed and <= 3.5x aligned. Deterministic booleans.
+    "ann_opq_trained" ->
+      """SELECT * FROM (VALUES
+        |  ('fixed_insufficient', true),
+        |  ('trained_beats_fixed', true),
+        |  ('trained_near_aligned', true)) AS t(contract, ok)
+        |ORDER BY contract""".stripMargin,
     // Same contrast through the composed IVF-PQ index: the coarse
     // filter survives concentrated variance, the in-list PQ codes do
     // not (plain recall <= 0.60 => contract_ok) — rotated holds >= 0.90.

@@ -78,6 +78,20 @@ object GraftFunctions {
       BruteTopKAgg(ColumnBridge.expression(vec), ColumnBridge.expression(id),
         probeIds, probeVecs, k).toAggregateExpression())
 
+  /** OPQ M-step correlation matrix Σ x·ŷᵀ (flattened row-major) in one
+    * scan (see [[OpqMStepAgg]]).
+    */
+  def opq_mstep(orig: Column, rot: Column,
+                books: Array[Array[Array[Double]]], dim: Int): Column =
+    ColumnBridge.column(
+      OpqMStepAgg(ColumnBridge.expression(orig), ColumnBridge.expression(rot),
+        books, dim).toAggregateExpression())
+
+  /** One-scan Σ x·xᵀ Gram matrix, flattened row-major ([[GramAgg]]). */
+  def vec_gram(vec: Column, dim: Int): Column =
+    ColumnBridge.column(
+      GramAgg(ColumnBridge.expression(vec), dim).toAggregateExpression())
+
   private def piiRedactExpr(
       subject: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
