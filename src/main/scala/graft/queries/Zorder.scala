@@ -49,8 +49,12 @@ object Zorder {
     val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // pid in the path: two concurrent JVMs (parallel bench/verify runs)
+    // must not read a directory the other is mid-overwrite; within one
+    // JVM reruns stay deterministic and bounded (overwrite semantics).
+    val pid = ProcessHandle.current().pid()
     java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$user", s"$tag-$digest").toString
+      System.getProperty("java.io.tmpdir"), s"graft-$user", s"$tag-$digest-p$pid").toString
   }
 
   /** Writes (overwrite) the z-clustered copy and returns its path:

@@ -19,10 +19,12 @@ def main() -> None:
     print("| query | sf0.1 warm (s) | sf1 warm (s) | ratio (10x data) |")
     print("|---|---|---|---|")
     for q in sorted(qa):
-        if q not in qb or qa[q] < 0 or qb[q] < 0:
+        # -1 is the harness's failure sentinel; a 0.0 would also make the
+        # ratio meaningless, so treat any non-positive time as FAILED.
+        if q not in qb or qa[q] <= 0 or qb[q] <= 0:
             print(f"| {q} | {qa.get(q)} | {qb.get(q)} | FAILED |")
             continue
-        ratio = qb[q] / qa[q] if qa[q] > 0 else float("inf")
+        ratio = qb[q] / qa[q]
         print(f"| {q} | {qa[q]:.2f} | {qb[q]:.2f} | {ratio:.1f}x |")
 
 
