@@ -77,7 +77,21 @@ for n, why in bad:
 # queries with no oracle: rows-only
 ran = {g.split("/")[-1] for g in glob.glob(f"{verify_dir}/*") if not g.endswith(".json")}
 rows_only = ran - set(oracle)
+rows_only_counts = {}
 for name in sorted(rows_only):
     files = glob.glob(f"{verify_dir}/{name}/*.parquet")
     n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+    rows_only_counts[name] = n
     print(f"  rows-only {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+# optional third arg: write a driver-style json artifact
+if len(sys.argv) > 3:
+    art = {}
+    for name in ok:
+        art[name] = {"match": True, "err": None}
+    for n, why in bad:
+        art[n] = {"match": False, "err": why}
+    for n, c in rows_only_counts.items():
+        art[n] = {"match": None, "spark_rows": c, "err": "no_oracle"}
+    with open(sys.argv[3], "w") as f:
+        json.dump(art, f, indent=2, sort_keys=True)
+    print(f"wrote {sys.argv[3]}")
