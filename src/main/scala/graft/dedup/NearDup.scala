@@ -258,6 +258,37 @@ object NearDup {
             .cast("float")).as("embedding"))
   }
 
+  /** One-scan graded member fan-out: member `j = 1..members` of each
+    * input row is its embedding rotated to cosine exactly
+    * `1 - step·j` — the SAME arithmetic as [[rotatedTo]] with the
+    * grade as a per-row column (explode), so building a whole graded
+    * neighborhood costs one scan instead of `members` union branches
+    * (each a separate scan + analysis pass — measured as the dominant
+    * cost of the clustered recall corpus at sf1). Bit-identical to the
+    * per-tier path: the cosT/sinT arithmetic runs the same IEEE ops on
+    * the same doubles, pinned by spec. Output: (vec_id, j, embedding);
+    * the caller owns id fan-out (noise direction keys off the ORIGINAL
+    * vec_id, exactly like the fold-of-unions did).
+    */
+  def gradedMembers(centers: DataFrame, members: Int, step: Double = 0.01): DataFrame = {
+    val withJ = centers
+      .withColumn("j", explode(sequence(lit(1), lit(members))))
+    val cosT = lit(1.0) - lit(step) * col("j").cast("double")
+    withJ
+      .select(col("vec_id"), col("j"), col("embedding").as("v"),
+        noiseDir(col("vec_id")).as("u"), cosT.as("cosT"))
+      .withColumn("sinT", sqrt(lit(1.0) - col("cosT") * col("cosT")))
+      .withColumn("nv2", VectorOps.dot(col("v"), col("v")))
+      .withColumn("duv", VectorOps.dot(col("u"), col("v")))
+      .select(col("vec_id"), col("j"), col("v"), col("nv2"), col("cosT"), col("sinT"),
+        zip_with(col("u"), col("v"), (ui, vi) => ui - vi * col("duv") / col("nv2")).as("w"))
+      .withColumn("nw", sqrt(VectorOps.dot(col("w"), col("w"))))
+      .select(col("vec_id"), col("j"),
+        zip_with(col("v"), col("w"),
+          (vi, wi) => (col("cosT") * vi / sqrt(col("nv2")) + col("sinT") * wi / col("nw"))
+            .cast("float")).as("embedding"))
+  }
+
   private[graft] def plantedCosineFrom(e: DataFrame, base: DataFrame): DataFrame =
     CosineTiers.foldLeft(e) { case (acc, (_, cosT, k, _)) =>
       acc.unionByName(

@@ -191,11 +191,11 @@ object Ann {
     val e = emb(spark, sfDir).select("vec_id", "embedding")
     graft.dedup.NearDup.guardIds(e, "vec_id")
     val centers = e.filter(pmod(col("vec_id"), lit(centerEvery)) === 0)
-    (1 to members).foldLeft(e) { (acc, j) =>
-      acc.unionByName(
-        graft.dedup.NearDup.rotatedTo(centers, 1.0 - 0.01 * j)
-          .select((col("vec_id") + j * offset).as("vec_id"), col("embedding")))
-    }
+    // one-scan fan-out (bit-identical to a fold of rotatedTo unions —
+    // spec-pinned); a 12-branch union was the dominant corpus-build cost
+    e.unionByName(
+      graft.dedup.NearDup.gradedMembers(centers, members)
+        .select((col("vec_id") + col("j") * offset).as("vec_id"), col("embedding")))
   }
 
   /** Deterministic hash-sample of at most `maxProbes` probe rows from a

@@ -17,6 +17,26 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("one-scan graded fan-out is bit-identical to the fold of rotatedTo unions") {
+    // clusteredEmbeddings switched from `members` union branches to one
+    // explode scan; every planted recall contract hashes these floats,
+    // so the two constructions must agree to the BIT.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").select("vec_id", "embedding")
+    val centers = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+    val offset = 1000000L
+    val oldWay = (1 to 12).foldLeft(e) { (acc, j) =>
+      acc.unionByName(
+        graft.dedup.NearDup.rotatedTo(centers, 1.0 - 0.01 * j)
+          .select((col("vec_id") + j * offset).as("vec_id"), col("embedding")))
+    }.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val newWay = Ann.clusteredEmbeddings(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(newWay.keySet == oldWay.keySet)
+    newWay.keys.foreach { id =>
+      assert(newWay(id) == oldWay(id), s"vec $id differs between constructions")
+    }
+  }
+
   test("LSH top-k is a subset-quality approximation of brute force") {
     val row = Ann.lshSummary(spark, sf0001, k = 5, probeEvery = 100).collect()(0)
     assert(row.getAs[Long]("n_probes") == 5)
