@@ -121,6 +121,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("mg_topk",
       es => MisraGriesAgg(es.head,
         es(1).eval(null).asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
+    // topk_by(score, id, k): k a foldable int literal, like mg_topk.
+    reg.createOrReplaceTempFunction("topk_by",
+      es => TopKByAgg(es.head, es(1),
+        es(2).eval(null).asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
   }
 
   /** Config-driven registration for [[graft.GraftExtensions]]

@@ -44,4 +44,30 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT simhash_agg(xxhash64(CAST(vec_id AS STRING))) FROM e_funcs").collect()
     assert(sim.length == 1)
   }
+
+  test("topk_by keeps the k best (score desc, id asc) with map-side heaps") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 12L), (1L, 0.1, 13L),
+      (2L, 0.7, 20L), (2L, 0.7, 21L), (2L, 0.6, 22L))
+      .toDF("g", "score", "id").repartition(4)
+    val got = df.groupBy("g")
+      .agg(GraftFunctions.topk_by(col("score"), col("id"), 2).as("top"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getDouble(1))))
+      .toMap
+    // ties break to the LOWER id; output is best-first
+    assert(got(1L) == Seq((11L, 0.9), (12L, 0.9)), got(1L).toString)
+    assert(got(2L) == Seq((20L, 0.7), (21L, 0.7)), got(2L).toString)
+    // SQL registration path agrees
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("topk_src")
+    val viaSql = spark.sql(
+      "SELECT g, topk_by(score, id, 2) AS top FROM topk_src GROUP BY g").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getDouble(1))))
+      .toMap
+    assert(viaSql == got)
+  }
 }
