@@ -291,8 +291,12 @@ object Opq {
     val nProbes = probes.count()
     val brute = Ann.bruteForceTopKOf(corpus, probes, k)
       .select("probe_id", "neighbor_id").localCheckpoint()
+    // pqTopKFlat, deliberately: this contrast is about the PQ CODES
+    // (axis-aligned vs rotated), not the composed index — ann_opq_ivf
+    // owns the IVF-composed statement — and the capped corpus keeps the
+    // flat scan cheap here.
     val plain = recallOf(brute,
-      Pq.pqTopKOf(corpus, probes, k).select("probe_id", "neighbor_id"))
+      Pq.pqTopKFlat(corpus, probes, k).select("probe_id", "neighbor_id"))
     val rot = rotationMatrix(64)
     val rotCorpus = rotated(corpus, rot).localCheckpoint()
     val rotProbes = rotated(
@@ -302,7 +306,7 @@ object Opq {
     // cosine is rotation-invariant, so the rotated brute-force truth is
     // the same pair set — reuse `brute` rather than recompute it
     val opq = recallOf(brute,
-      Pq.pqTopKOf(rotCorpus, rotProbes, k).select("probe_id", "neighbor_id"))
+      Pq.pqTopKFlat(rotCorpus, rotProbes, k).select("probe_id", "neighbor_id"))
     Seq(
       ("opq", nProbes > 0, opq >= minOpqRecall),
       ("pq_plain", nProbes > 0, plain <= maxPlainRecall))
