@@ -376,41 +376,41 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q3_join" ->
-      """SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT l_orderkey, o_orderdate, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_multijoin" ->
-      """SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+      """SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q6_filter" ->
-      "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+      "SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue, count(*) AS n_rows FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
     "q_window" ->
       """SELECT o_custkey, o_orderkey, rk FROM (
         |  SELECT o_custkey, o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk FROM orders
         |) t WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
     "q_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
+      """SELECT o_orderstatus, o_orderpriority, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total, count(*) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
+      """SELECT o_orderstatus, o_orderpriority, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     // The two marginals + grand total, no cross cells — the sets
     // rollup/cube cannot express.
     "q_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
+      """SELECT o_orderstatus, o_orderpriority, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total, count(*) AS n
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_events_sessionize" ->
@@ -537,7 +537,7 @@ object SparkEntry {
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ntile" ->
-      """SELECT quartile, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total,
+      """SELECT quartile, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total,
         |  round(avg(o_totalprice), 4) AS avg_price
         |FROM (
         |  SELECT o_totalprice, CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
@@ -547,7 +547,7 @@ object SparkEntry {
     // join against the filtered dim.
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -815,7 +815,7 @@ object SparkEntry {
         |  FROM lineitem
         |)
         |SELECT count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
         |FROM lineitem, b
         |WHERE l_suppkey > slo AND l_suppkey <= shi
         |  AND l_partkey > plo AND l_partkey <= phi""".stripMargin,
@@ -830,7 +830,7 @@ object SparkEntry {
     // 4-table star join.
     "q_dpp" ->
       """SELECT s_nationkey AS n, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
@@ -865,7 +865,7 @@ object SparkEntry {
     // Salting must be invisible: the oracle is the PLAIN join.
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_setops" ->

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,17 @@ object Analytics {
     normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
+  /** Deterministic money sum: cast each double term to DECIMAL(30,10)
+    * before aggregating. A double sum's last cents depend on
+    * partition/merge order — at sf1 two revenue rows diverged from the
+    * single-threaded oracle by exactly one cent — while the per-term
+    * double product is identical in every engine and the decimal sum
+    * is exact and associative, so the rounded total is reproducible at
+    * ANY parallelism. This is also just how money should be summed.
+    */
+  private[queries] def moneySum(term: Column): Column =
+    round(sum(term.cast("decimal(30,10)")), 2).cast("double")
+
   /** TPC-H Q1-style pricing summary. */
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -54,8 +65,8 @@ object Analytics {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -70,7 +81,7 @@ object Analytics {
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
       .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -88,7 +99,7 @@ object Analytics {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -97,7 +108,7 @@ object Analytics {
   def q6Filter(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** Window functions: rank each customer's orders by totalprice. */
@@ -114,14 +125,14 @@ object Analytics {
   def qRollup(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(moneySum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** Cube aggregation over orders — all 2^2 grouping sets in one pass. */
   def qCube(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(moneySum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** Explicit GROUPING SETS — the shape rollup/cube can't express:
@@ -136,7 +147,7 @@ object Analytics {
       .groupingSets(
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(moneySum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** Pivot: order totals as a (priority × status) matrix — Spark's
@@ -199,7 +210,7 @@ object Analytics {
     SaltedJoin.join(lineitem, supplier, col("l_suppkey"), col("s_suppkey"), salts = 8)
       .groupBy("s_nationkey")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy("s_nationkey")
   }
 

@@ -67,7 +67,7 @@ object Stats {
       .groupBy("quartile")
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total"),
+        Analytics.moneySum(col("o_totalprice")).as("total"),
         round(avg("o_totalprice"), 4).as("avg_price"))
       .orderBy("quartile")
   }
