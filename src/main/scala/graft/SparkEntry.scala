@@ -745,9 +745,15 @@ object SparkEntry {
         |)
         |SELECT node, root, CAST(depth AS BIGINT) AS depth
         |FROM r ORDER BY node""".stripMargin,
-    // The oracle is the BRUTE-FORCE O(n²) Levenshtein join over the
-    // same planted keys — the prefix-filtered pipeline must be both
-    // complete and FP-free to hash-match it.
+    // The oracle is the EXACT Levenshtein join over the same planted
+    // keys — the engine's prefix-filtered pipeline must be both
+    // complete and FP-free to hash-match it. Candidate generation uses
+    // the textbook pigeonhole for distance <= 1 (a single edit cannot
+    // touch both the first 12 and the last 12 characters, so one of
+    // the two must match EXACTLY) as two hash equi-joins instead of the
+    // former all-pairs inequality join, whose ~keys² levenshtein calls
+    // wedged DuckDB at sf1; the final levenshtein <= 1 predicate is
+    // unchanged and exact, so the result set is identical.
     "dedup_editdist" ->
       """WITH k AS (
         |  SELECT doc_id, lower(substring(regexp_replace(text, '\s+', ' ', 'g'), 1, 24)) AS key
@@ -757,12 +763,21 @@ object SparkEntry {
         |    substring(key, 1, CAST(doc_id % 20 AS INT)) || 'q' ||
         |      substring(key, CAST(doc_id % 20 AS INT) + 2, 24) AS key
         |  FROM k WHERE doc_id % 10 = 7
-        |), allk AS (SELECT * FROM k UNION ALL SELECT * FROM twins)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.key, b.key) AS INT) AS dist
-        |FROM allk a JOIN allk b
-        |  ON a.doc_id < b.doc_id AND abs(length(a.key) - length(b.key)) <= 1
-        |WHERE levenshtein(a.key, b.key) <= 1
+        |), allk AS (SELECT * FROM k UNION ALL SELECT * FROM twins),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key AS ka, b.key AS kb
+        |  FROM allk a JOIN allk b
+        |    ON substring(a.key, 1, 12) = substring(b.key, 1, 12)
+        |    AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.key, b.key
+        |  FROM allk a JOIN allk b
+        |    ON substring(a.key, length(a.key) - 11, 12) = substring(b.key, length(b.key) - 11, 12)
+        |    AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
+        |FROM cand
+        |WHERE levenshtein(ka, kb) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
     // The change batch is replanted identically; latest version wins,
     // tombstones drop the key.
