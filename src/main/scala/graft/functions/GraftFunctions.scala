@@ -78,6 +78,17 @@ object GraftFunctions {
       BruteTopKAgg(ColumnBridge.expression(vec), ColumnBridge.expression(id),
         probeIds, probeVecs, k).toAggregateExpression())
 
+  /** Index-filtered bounded-probe top-k in one corpus scan (see
+    * [[KeyedTopKAgg]]); same flat output shape as [[brute_topk]].
+    */
+  def keyed_topk(vec: Column, id: Column, keys: Column,
+                 probeIds: Array[Long], probeVecs: Array[Array[Double]],
+                 keyProbes: Array[Array[Int]], k: Int): Column =
+    ColumnBridge.column(
+      KeyedTopKAgg(ColumnBridge.expression(vec), ColumnBridge.expression(id),
+        ColumnBridge.expression(keys), probeIds, probeVecs, keyProbes, k)
+        .toAggregateExpression())
+
   /** OPQ M-step correlation matrix Σ x·ŷᵀ (flattened row-major) in one
     * scan (see [[OpqMStepAgg]]).
     */

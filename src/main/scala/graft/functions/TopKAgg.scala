@@ -123,6 +123,190 @@ object TopKByAgg {
   }
 }
 
+/** Index-filtered top-k in ONE aggregate — the bounded-probe form of
+  * the LSH / IVF candidate pipelines: each corpus row carries a small
+  * array of integer KEYS (its IVF list id, or its 8 table·bucket LSH
+  * codes — computed by the SAME engine expressions that built the
+  * probe side, so matching is bit-exact), and `keyProbes(key)` lists
+  * the probes whose index probes that key. A row scores (primitive
+  * cosine + bounded heap, as [[BruteTopKAgg]]) against exactly the
+  * probes it shares a key with — a per-row visited stamp dedupes
+  * multi-key matches, mirroring the pair `distinct()` of the join
+  * formulation.
+  *
+  * Why: the join pipelines materialize candidate PAIRS through a
+  * shuffle and rank them with a full sort window — probes × scanned
+  * fraction rows (8M at the sf1 recall contract, 12-17 s each). Here
+  * nothing pair-shaped ever moves: one corpus scan, P×k-entry heap
+  * partials. Correct ONLY when the probe set is driver-bounded (the
+  * recall contracts cap probes); the general unbounded-probe
+  * operators keep the join shape.
+  */
+case class KeyedTopKAgg(
+    vec: Expression,
+    id: Expression,
+    keys: Expression,
+    probeIds: Array[Long],
+    probeVecs: Array[Array[Double]],
+    keyProbes: Array[Array[Int]],
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[mutable.PriorityQueue[(Double, Long)]]]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+  require(k >= 1, s"keyed_topk needs k >= 1, got $k")
+  require(probeIds.length == probeVecs.length, "probe ids/vecs length mismatch")
+
+  override def first: Expression = vec
+  override def second: Expression = id
+  override def third: Expression = keys
+
+  override def prettyName: String = "keyed_topk"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("probe_id", LongType, nullable = false),
+      StructField("rk", IntegerType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val vecIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val probeNorms: Array[Double] =
+    probeVecs.map { p =>
+      var s = 0.0; var i = 0
+      while (i < p.length) { s += p(i) * p(i); i += 1 }
+      math.sqrt(s)
+    }
+  // per-row dedupe stamps (update() is single-threaded per buffer, but
+  // buffers can coexist per task — keep the scratch per-instance)
+  @transient private lazy val stamp: Array[Int] = new Array[Int](probeIds.length)
+  @transient private var stampGen: Int = 0
+
+  override def createAggregationBuffer(): Array[mutable.PriorityQueue[(Double, Long)]] =
+    Array.fill(probeIds.length)(
+      mutable.PriorityQueue.empty[(Double, Long)](TopKByAgg.WorstFirst))
+
+  private def insert(q: mutable.PriorityQueue[(Double, Long)], e: (Double, Long)): Unit = {
+    if (q.size < k) q.enqueue(e)
+    else if (TopKByAgg.WorstFirst.compare(e, q.head) < 0) { q.dequeue(); q.enqueue(e) }
+  }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def update(
+      buf: Array[mutable.PriorityQueue[(Double, Long)]],
+      input: InternalRow): Array[mutable.PriorityQueue[(Double, Long)]] = {
+    val v = vec.eval(input)
+    val i = id.eval(input)
+    val ks = keys.eval(input)
+    if (v != null && i != null && ks != null) {
+      val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = ad.numElements()
+      val x = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        x(j) = if (vecIsFloat) ad.getFloat(j).toDouble else ad.getDouble(j)
+        j += 1
+      }
+      var nx = 0.0
+      j = 0
+      while (j < n) { nx += x(j) * x(j); j += 1 }
+      nx = math.sqrt(nx)
+      val rowId = i.asInstanceOf[Long]
+      val ka = ks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      stampGen += 1
+      var ki = 0
+      while (ki < ka.numElements()) {
+        val key = ka.getInt(ki)
+        if (key >= 0 && key < keyProbes.length) {
+          val plist = keyProbes(key)
+          var pi = 0
+          while (pi < plist.length) {
+            val p = plist(pi)
+            if (stamp(p) != stampGen && probeIds(p) != rowId) {
+              stamp(p) = stampGen
+              val pv = probeVecs(p)
+              val d = math.min(n, pv.length)
+              var dot = 0.0
+              j = 0
+              while (j < d) { dot += x(j) * pv(j); j += 1 }
+              val nn = nx * probeNorms(p)
+              val c = if (nn == 0.0) 0.0 else dot / nn
+              val q = buf(p)
+              if (q.size < k || c >= q.head._1 - 1e-6) insert(q, (round6(c), rowId))
+            }
+            pi += 1
+          }
+        }
+        ki += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      b1: Array[mutable.PriorityQueue[(Double, Long)]],
+      b2: Array[mutable.PriorityQueue[(Double, Long)]])
+      : Array[mutable.PriorityQueue[(Double, Long)]] = {
+    var p = 0
+    while (p < b1.length) {
+      b2(p).foreach(insert(b1(p), _))
+      p += 1
+    }
+    b1
+  }
+
+  override def eval(buf: Array[mutable.PriorityQueue[(Double, Long)]]): Any = {
+    val out = Seq.newBuilder[Any]
+    var p = 0
+    while (p < buf.length) {
+      val drained: Seq[(Double, Long)] = buf(p).clone().dequeueAll
+      val best = drained.reverse
+      var r = 0
+      best.foreach { case (s, i) =>
+        r += 1
+        out += new GenericInternalRow(Array[Any](probeIds(p), r, i, s))
+      }
+      p += 1
+    }
+    new GenericArrayData(out.result().toArray)
+  }
+
+  override def serialize(buf: Array[mutable.PriorityQueue[(Double, Long)]]): Array[Byte] = {
+    val total = buf.map(_.size).sum
+    val bb = ByteBuffer.allocate(4 + buf.length * 4 + total * 16)
+    bb.putInt(buf.length)
+    buf.foreach { q =>
+      bb.putInt(q.size)
+      q.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[mutable.PriorityQueue[(Double, Long)]] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val np = bb.getInt
+    Array.fill(np) {
+      val n = bb.getInt
+      val q = mutable.PriorityQueue.empty[(Double, Long)](TopKByAgg.WorstFirst)
+      var i = 0
+      while (i < n) { q.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+      q
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KeyedTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KeyedTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): KeyedTopKAgg =
+    copy(vec = newFirst, id = newSecond, keys = newThird)
+}
+
 /** Whole brute-force top-k in ONE aggregate: the probe set (ids +
   * vectors) is a referenced constant — the same driver-local-bytes
   * pattern as the IVF centroid and Bloom-bitmap expressions — and the

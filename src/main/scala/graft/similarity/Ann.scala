@@ -157,6 +157,42 @@ object Ann {
       .orderBy("probe_id", "rk")
   }
 
+  /** Bounded-probe LSH top-k: identical semantics to [[lshTopKOf]]
+    * (candidates share ≥ 1 (table, bucket) with the probe, pairs
+    * deduplicated, self excluded, top-k by cosine desc / vec_id asc,
+    * cosine rounded to 6 before ranking) as ONE corpus scan through
+    * [[graft.functions.KeyedTopKAgg]]. Bucket codes are computed by
+    * the SAME [[tableBuckets]] expression on both sides (the probe
+    * side collected — probes are bounded by contract), so matching is
+    * bit-exact; the per-row visited stamp inside the aggregate plays
+    * the role of the join formulation's pair `distinct()`. ONLY for
+    * driver-bounded probe sets; unbounded callers use [[lshTopKOf]].
+    */
+  def lshTopKBounded(data: DataFrame, probes: DataFrame, k: Int,
+                     nTables: Int, planesPerTable: Int): DataFrame = {
+    val nBuckets = 1 << planesPerTable
+    def keysOf(vecCol: Column): Column = transform(
+      tableBuckets(vecCol, nTables, planesPerTable),
+      tb => (tb.getField("table") * nBuckets + tb.getField("bucket")).cast("int"))
+    val pRows = probes
+      .select(col("probe_id"),
+        transform(col("probe_vec"), x => x.cast("double")).as("pv"),
+        keysOf(col("probe_vec")).as("pk"))
+      .collect()
+    val pids = pRows.map(_.getLong(0))
+    val pvecs = pRows.map(_.getSeq[Double](1).toArray)
+    val keyProbes = Array.fill(nTables * nBuckets)(Seq.newBuilder[Int])
+    pRows.zipWithIndex.foreach { case (r, i) =>
+      r.getSeq[Int](2).foreach(keyProbes(_) += i)
+    }
+    data
+      .agg(graft.functions.GraftFunctions.keyed_topk(
+        col("embedding"), col("vec_id"), keysOf(col("embedding")),
+        pids, pvecs, keyProbes.map(_.result().toArray), k).as("top"))
+      .select(inline(col("top")))
+      .orderBy("probe_id", "rk")
+  }
+
   /** Oracle-verified LSH query: each probe's exact duplicate is planted
     * in the corpus (see [[plantedEmbeddings]]), and the query returns
     * the top-1 LSH neighbor per probe. Identical vectors share every
@@ -243,8 +279,10 @@ object Ann {
         Seq("probe_id", "neighbor_id")).count()
       if (nTruth == 0) 0.0 else hits.toDouble / nTruth
     }
-    val lshRecall = recallOf(lshTopKOf(data, probes, k, nTables = 8, planesPerTable = 6))
-    val ivfRecall = recallOf(Ivf.ivfTopKOf(data, probes, k, nLists = 16, nProbe = 4))
+    // bounded-probe scan variants (probes are capped above): identical
+    // semantics, no candidate-pair shuffle — parity spec-pinned
+    val lshRecall = recallOf(lshTopKBounded(data, probes, k, nTables = 8, planesPerTable = 6))
+    val ivfRecall = recallOf(Ivf.ivfTopKBounded(data, probes, k, nLists = 16, nProbe = 4))
     Seq(
       ("ivf", nProbes > 0, ivfRecall >= minRecallIvf),
       ("lsh", nProbes > 0, lshRecall >= minRecallLsh))

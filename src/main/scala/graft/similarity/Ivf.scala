@@ -158,6 +158,50 @@ object Ivf {
     out
   }
 
+  /** Bounded-probe IVF top-k: identical semantics to [[ivfTopKOf]]
+    * (rows of the probe's nProbe nearest lists, self excluded, top-k
+    * by cosine desc / vec_id asc, cosine rounded to 6 before ranking)
+    * computed as ONE corpus scan through
+    * [[graft.functions.KeyedTopKAgg]]: the probes and their probed
+    * list sets ride along as referenced constants, so no candidate
+    * pair ever crosses a shuffle and no sort window runs — the join
+    * pipeline spent 17 s on the sf1 recall contract, this ~1 s. ONLY
+    * for driver-bounded probe sets (the recall contracts cap theirs);
+    * unbounded-probe callers use [[ivfTopKOf]].
+    */
+  def ivfTopKBounded(data: DataFrame, probes: DataFrame, k: Int,
+                     nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val cent = trainCentroids(data, nLists, iters)
+    val cents = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // nProbe nearest lists per probe — same pipeline as ivfTopKOf, just
+    // collected (probes are bounded by contract)
+    val wp = Window.partitionBy("probe_id").orderBy(col("dist"), col("list_id"))
+    val plRows = probes
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", VectorOps.distSq(col("probe_vec"), col("cvec")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select("probe_id", "list_id")
+      .collect()
+    val pRows = probes
+      .select(col("probe_id"), transform(col("probe_vec"), x => x.cast("double")).as("pv"))
+      .collect()
+    val pids = pRows.map(_.getLong(0))
+    val pvecs = pRows.map(_.getSeq[Double](1).toArray)
+    val idx = pids.zipWithIndex.toMap
+    val keyProbes = Array.fill(cents.map(_._1).max + 1)(Seq.newBuilder[Int])
+    plRows.foreach(r => keyProbes(r.getInt(1)) += idx(r.getLong(0)))
+    data
+      .agg(graft.functions.GraftFunctions.keyed_topk(
+        col("embedding"), col("vec_id"),
+        array(nearestIdExpr(cents, col("embedding")).cast("int")),
+        pids, pvecs, keyProbes.map(_.result().toArray), k).as("top"))
+      .select(inline(col("top")))
+      .orderBy("probe_id", "rk")
+  }
+
   /** Oracle-verified IVF query: each probe's exact duplicate is planted
     * in the corpus ([[Ann.plantedEmbeddings]]); identical vectors share
     * the same nearest centroid, so the planted copy always lives in the

@@ -35,6 +35,14 @@ object RecallProbe {
     println(s"RECALLPROBE n_truth=${brute.count()}")
     t("train_centroids") { graft.similarity.Ivf.trainCentroids(data, 16, 3).collect() }
     t("train_codebooks") { graft.similarity.Pq.trainCodebooks(data, 8, 16, 3) }
+    t("lsh_topk") {
+      graft.similarity.Ann.lshTopKOf(data, probes, 10, nTables = 8, planesPerTable = 6)
+        .select("probe_id", "neighbor_id").localCheckpoint()
+    }
+    t("ivf_topk") {
+      graft.similarity.Ivf.ivfTopKOf(data, probes, 10, nLists = 16, nProbe = 4)
+        .select("probe_id", "neighbor_id").localCheckpoint()
+    }
     val pq = t("pq_topk(ivf-bounded)") {
       graft.similarity.Pq.pqTopKOf(data, probes, 10).select("probe_id", "neighbor_id")
         .localCheckpoint()

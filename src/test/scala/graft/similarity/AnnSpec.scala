@@ -37,6 +37,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("bounded-probe LSH/IVF scans are row-identical to the join pipelines") {
+    // KeyedTopKAgg replaces the candidate-pair join + sort window for
+    // bounded probe sets; the recall contract routes through it, so the
+    // two formulations must agree to the row (ids, ranks AND cosines).
+    val data = Ann.clusteredEmbeddings(spark, sf0001).localCheckpoint()
+    val probes = data
+      .filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(20)) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rk", "neighbor_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(rows(Ann.lshTopKBounded(data, probes, 10, 8, 6)) ==
+      rows(Ann.lshTopKOf(data, probes, 10, 8, 6)), "LSH bounded != join")
+    assert(rows(Ivf.ivfTopKBounded(data, probes, 10, 16, 4)) ==
+      rows(Ivf.ivfTopKOf(data, probes, 10, 16, 4)), "IVF bounded != join")
+  }
+
   test("LSH top-k is a subset-quality approximation of brute force") {
     val row = Ann.lshSummary(spark, sf0001, k = 5, probeEvery = 100).collect()(0)
     assert(row.getAs[Long]("n_probes") == 5)
