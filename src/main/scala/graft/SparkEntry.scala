@@ -138,6 +138,16 @@ object SparkEntry {
     // re-shingled (scan-audited in IncrementalSpec).
     "dedup_incremental_indexed" -> ((s: SparkSession, d: String) => graft.dedup.Incremental.incrementalClassifyIndexed(s, d)),
     "dedup_embedding_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.embeddingNearRecall(s, d)),
+    // SemDeDup (Abbas et al. 2023): k-means clusters bound candidate
+    // generation (within-cluster pairs only, guarded cluster sizes) —
+    // the third near-dup candidate family next to hash bands and
+    // hyperplane-LSH buckets. Same graded-cosine planted contract.
+    "dedup_semantic" -> ((s: SparkSession, d: String) => graft.dedup.Semantic.semanticDedupRecall(s, d)),
+    // Corpus k-means clustering (curation primitive under SemDeDup):
+    // exact-copy co-assignment is structural (assignment is a pure
+    // function of the embedding), c99 co-assignment pins with margin,
+    // and the fit row pins Lloyd's objective against its own seed.
+    "corpus_cluster" -> ((s: SparkSession, d: String) => graft.dedup.Semantic.clusterRecall(s, d)),
     "ann_near_top1" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.annNearTop1(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     // recall@10 among DENSE competition: every center gets 12 planted
@@ -205,6 +215,12 @@ object SparkEntry {
     "mm_audio" -> ((s: SparkSession, d: String) => Multimodal.audioSummary(s, d)),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeSummary(s, d)),
     "corpus_filter" -> graft.text.CorpusFilter.funnel _,
+    // Trained quality-classifier filter (the CCNet/WebText recipe):
+    // planted junk (proportional digit payload → structural feature
+    // gap vs natural docs in every language), LinearSVC on the
+    // text_quality ratio signals, held-out per-class accuracy pinned
+    // at 1.0 with n_eval from the plant arithmetic.
+    "corpus_quality_svm" -> ((s: SparkSession, d: String) => graft.text.QualitySvm.qualitySvm(s, d)),
     // Benchmark decontamination: 8-gram collision scan of the corpus
     // against a probe set; planted contaminated docs must show
     // n_hit_docs >= 2 / leaked=true per the arithmetic planting rule.
@@ -1035,6 +1051,25 @@ object SparkEntry {
         |  ('c97', true, true, true),
         |  ('c99', true, true, true)) AS t(tier, planted_ok, recall_ok, cosine_ok)
         |ORDER BY tier""".stripMargin,
+    "dedup_semantic" ->
+      """SELECT * FROM (VALUES
+        |  ('c95', true, true, true),
+        |  ('c97', true, true, true),
+        |  ('c99', true, true, true)) AS t(tier, planted_ok, recall_ok, cosine_ok)
+        |ORDER BY tier""".stripMargin,
+    "corpus_cluster" ->
+      """SELECT * FROM (VALUES
+        |  ('c99', true, true),
+        |  ('exact', true, true),
+        |  ('fit', true, true)) AS t(tier, planted_ok, ok)
+        |ORDER BY tier""".stripMargin,
+    "corpus_quality_svm" ->
+      """SELECT 'good' AS quality_class, count(*) AS n_eval, true AS acc_ok
+        |FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT 'junk', count(*), true FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+        |ORDER BY quality_class""".stripMargin,
     "ann_near_top1" ->
       """SELECT * FROM (VALUES
         |  ('ivf', true),

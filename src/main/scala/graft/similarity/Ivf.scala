@@ -32,20 +32,7 @@ object Ivf {
   def trainCentroids(data: DataFrame, nLists: Int, iters: Int = 3): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    // init spacing relative to min(vec_id) so OFFSET id spaces (planted
-    // corpora live at large bases, e.g. Opq.OpqOffset) seed nLists
-    // centroids too; for natural corpora minId = 0 and the arithmetic
-    // is unchanged
-    val (n, minId) = {
-      val r = data.agg(count(lit(1)), min(col("vec_id").cast("long"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val spacing = math.max(n / nLists, 1L)
-    var cent = data
-      .filter(pmod(col("vec_id") - minId, lit(spacing)) === 0 &&
-        col("vec_id") - minId < spacing * nLists)
-      .select(((col("vec_id") - minId) / spacing).cast("int").as("list_id"),
-        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    var cent = initCentroids(data, nLists)
     for (_ <- 1 to iters) {
       // assignWithVec carries the embedding THROUGH the assignment
       // instead of re-joining assignments back to `data` — one shuffle
@@ -67,6 +54,26 @@ object Ivf {
       cent = rows.toSeq.toDF("list_id", "cvec")
     }
     cent
+  }
+
+  /** The deterministic Lloyd seed: every `spacing`-th vec_id relative
+    * to min(vec_id), so OFFSET id spaces (planted corpora live at
+    * large bases, e.g. Opq.OpqOffset) seed nLists centroids too; for
+    * natural corpora minId = 0 and the arithmetic is unchanged. Public
+    * so contracts can pin Lloyd's objective against its own seed
+    * (graft.dedup.Semantic.clusterRecall's `fit` row).
+    */
+  def initCentroids(data: DataFrame, nLists: Int): DataFrame = {
+    val (n, minId) = {
+      val r = data.agg(count(lit(1)), min(col("vec_id").cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val spacing = math.max(n / nLists, 1L)
+    data
+      .filter(pmod(col("vec_id") - minId, lit(spacing)) === 0 &&
+        col("vec_id") - minId < spacing * nLists)
+      .select(((col("vec_id") - minId) / spacing).cast("int").as("list_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
   }
 
   /** Nearest-centroid assignment: (vec_id, list_id). The centroids are
