@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, RateSpike, Sample, Stats, Timeline, Zorder}
 import graft.similarity.{Ann, Ivf}
-import graft.streaming.EventStream
+import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
 import graft.text.TextOps
 
@@ -261,7 +261,12 @@ object SparkEntry {
     "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d)),
     // Streaming ordered funnel (custom state machine); must converge
     // to the batch chain, so it shares q_funnel's oracle.
-    "stream_funnel" -> ((s: SparkSession, d: String) => EventStream.runFunnelBounded(s, d))
+    "stream_funnel" -> ((s: SparkSession, d: String) => EventStream.runFunnelBounded(s, d)),
+    // Streaming ANN lookup (vector-serving topology): static
+    // LSH-bucketed index, probe stream answered per micro-batch by a
+    // stream-static bucket join + exact re-rank, file-sink appended;
+    // noised-probe top-1 contract + chunked (≥ 2 micro-batch) pin.
+    "stream_ann" -> ((s: SparkSession, d: String) => AnnStream.runAnnTop1Bounded(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -1075,6 +1080,10 @@ object SparkEntry {
         |  ('ivf', true),
         |  ('lsh', true)) AS t(method, top1_ok)
         |ORDER BY method""".stripMargin,
+    "stream_ann" ->
+      """SELECT * FROM (VALUES
+        |  ('lsh_stream', true, true, true)
+        |) AS t(method, planted_ok, chunked_ok, top1_ok)""".stripMargin,
     "ann_recall_atk" ->
       """SELECT * FROM (VALUES
         |  ('ivf', true, true),
