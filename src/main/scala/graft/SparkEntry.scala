@@ -158,6 +158,12 @@ object SparkEntry {
     "ann_recall_atk" -> ((s: SparkSession, d: String) => Ann.annRecallAtK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshPlantedTop1(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfPlantedTop1(s, d)),
+    // Incremental IVF add (the index's day-2 shape): a batch of new
+    // vectors assigned against the FROZEN quantizer and appended —
+    // per-add work proportional to the batch; fresh index must reach
+    // the inserts, the stale index must see nothing near the probes.
+    "ann_ivf_incremental" -> ((s: SparkSession, d: String) =>
+      graft.similarity.IvfIncremental.incrementalContract(s, d)),
     // Product quantization: compressed-domain ADC scan + exact re-rank;
     // recall@10 over the same dense clustered corpus as ann_recall_atk,
     // pinned >= 0.90 (measured via RecallProbe; detuned m/ksub/rerank
@@ -1134,6 +1140,11 @@ object SparkEntry {
     "ann_ivf" ->
       """SELECT vec_id AS probe_id, vec_id + 1000000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+    "ann_ivf_incremental" ->
+      """SELECT * FROM (VALUES
+        |  ('fresh', true, true),
+        |  ('stale', true, true)) AS t(phase, planted_ok, ok)
+        |ORDER BY phase""".stripMargin,
     // Frozen determinism pin (training output is not SQL-expressible).
     // modelIo trains on the sf-INDEPENDENT RingData slice, so these six
     // numbers are constants at every scale factor; the pin verifies

@@ -141,6 +141,18 @@ object Ivf {
     // trainCentroids returns a driver-local frame — no persist needed.
     val cent = trainCentroids(data, nLists, iters)
     val index = assign(data, cent) // inverted lists as (vec_id, list_id)
+    queryIndex(cent, index, data.select("vec_id", "embedding"), probes, k, nProbe)
+  }
+
+  /** The QUERY side of the IVF scheme against a PREBUILT index: probes
+    * scan their nProbe nearest lists, exact cosine within candidates.
+    * Factored out of [[ivfTopKOf]] so callers with a frozen index
+    * (e.g. [[IvfIncremental]] after a batch add) rank with the
+    * identical pipeline — probe lists via broadcast centroid argmin,
+    * ids-only through the list join, top-k by cosine desc / vec_id asc.
+    */
+  def queryIndex(cent: DataFrame, index: DataFrame, vectors: DataFrame,
+                 probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
     // nProbe nearest lists per probe
     val wp = Window.partitionBy("probe_id").orderBy(col("dist"), col("list_id"))
     val probeLists = probes
@@ -151,18 +163,17 @@ object Ivf {
       .select("probe_id", "list_id")
     // candidates = union of the probed lists; ids only through the join
     val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), col("vec_id"))
-    val out = index
+    index
       .join(probeLists.hint("broadcast"), "list_id")
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id")
-      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(probes), "probe_id")
       .withColumn("cosine", round(VectorOps.cosine(col("embedding"), col("probe_vec")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy("probe_id", "rk")
-    out
   }
 
   /** Bounded-probe IVF top-k: identical semantics to [[ivfTopKOf]]
@@ -177,8 +188,19 @@ object Ivf {
     * unbounded-probe callers use [[ivfTopKOf]].
     */
   def ivfTopKBounded(data: DataFrame, probes: DataFrame, k: Int,
-                     nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
-    val cent = trainCentroids(data, nLists, iters)
+                     nLists: Int, nProbe: Int, iters: Int = 3): DataFrame =
+    queryIndexBounded(trainCentroids(data, nLists, iters), data, probes, k, nProbe)
+
+  /** The bounded-probe query against a PREBUILT coarse quantizer —
+    * [[ivfTopKBounded]] minus the training step, so frozen-index
+    * callers ([[IvfIncremental]]) rank with the same one-scan
+    * aggregate. The per-row list id is re-derived by the same
+    * [[nearestIdExpr]] the index was built with (assignment is a pure
+    * per-row function — spec-pinned — so scanning `vectors` with the
+    * derived key IS scanning the stored inverted lists).
+    */
+  def queryIndexBounded(cent: DataFrame, vectors: DataFrame, probes: DataFrame,
+                        k: Int, nProbe: Int): DataFrame = {
     val cents = cent.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
@@ -200,7 +222,7 @@ object Ivf {
     val idx = pids.zipWithIndex.toMap
     val keyProbes = Array.fill(cents.map(_._1).max + 1)(Seq.newBuilder[Int])
     plRows.foreach(r => keyProbes(r.getInt(1)) += idx(r.getLong(0)))
-    data
+    vectors
       .agg(graft.functions.GraftFunctions.keyed_topk(
         col("embedding"), col("vec_id"),
         array(nearestIdExpr(cents, col("embedding")).cast("int")),
