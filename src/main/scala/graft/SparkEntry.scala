@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, RateSpike, Sample, Stats, Timeline, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, RateSpike, Sample, Skyline, Stats, Timeline, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -64,6 +64,7 @@ object SparkEntry {
     "q_salted_join" -> Analytics.qSaltedJoin _,
     "q_sql_vec" -> Analytics.qSqlVec _,
     "q_skew_histogram" -> Analytics.qSkewHistogram _,
+    "q_skyline" -> Skyline.qSkyline _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
@@ -523,6 +524,17 @@ object SparkEntry {
         |SELECT length(bin(cnt)) AS log2_bucket, count(*) AS n_keys,
         |  CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The engine runs a bucketed sweep (no self-join); the quadratic
+    // NOT EXISTS is exactly what an oracle is allowed to be. Pure
+    // comparisons on stored values — no float arithmetic to drift.
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice AS price, CAST(p.p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice >= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice > p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY price DESC, p.p_partkey""".stripMargin,
     // The sketch's 5%-accuracy boolean is the pinned contract; the
     // oracle computes only the exact count (HLL internals are
     // engine-specific by nature).
