@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, RateSpike, Sample, Skyline, Stats, Timeline, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, RateSpike, Sample, Skyline, Stats, Timeline, Triangle, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -65,6 +65,7 @@ object SparkEntry {
     "q_sql_vec" -> Analytics.qSqlVec _,
     "q_skew_histogram" -> Analytics.qSkewHistogram _,
     "q_skyline" -> Skyline.qSkyline _,
+    "q_triangle" -> Triangle.qTriangle _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
@@ -535,6 +536,26 @@ object SparkEntry {
         |  WHERE q.p_retailprice >= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice > p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY price DESC, p.p_partkey""".stripMargin,
+    // The engine counts via degree orientation (O(m^1.5) wedge volume);
+    // the oracle is the plain ordered 3-way join — same triangles, any
+    // algorithm. Wedge sum uses per-term integer division (d·(d−1) is
+    // even), so every statistic is exact integer arithmetic; closure is
+    // ONE IEEE division, rounded.
+    "q_triangle" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+        |deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) t GROUP BY 1),
+        |tri AS (SELECT count(*) AS n_triangles FROM e e1
+        |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_suppliers,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |  n_triangles,
+        |  CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+        |    THEN round(n_triangles * 3 / (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg), 6)
+        |    ELSE 0.0 END AS closure
+        |FROM tri""".stripMargin,
     // The sketch's 5%-accuracy boolean is the pinned contract; the
     // oracle computes only the exact count (HLL internals are
     // engine-specific by nature).

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Triangle census of the supplier co-occurrence graph (SURVEY.md
+  * §2b): vertices are suppliers, an edge connects two suppliers that
+  * ship lines of the same order; output is one row of exact-integer
+  * graph statistics (vertices, edges, wedges, triangles) plus the
+  * global closure coefficient 3T/W as one IEEE division.
+  *
+  * Scale shape — the naive 3-way edge self-join enumerates every wedge
+  * at every vertex: Θ(Σ deg²), which a single hub vertex blows up. The
+  * classic distributed fix (degree orientation — Suri & Vassilvitskii
+  * 2011's MR triangle counting; Schank & Wagner 2005) orients every
+  * edge from its (degree, id)-smaller endpoint to the larger, which
+  * provably bounds out-degrees by O(√m): wedges are generated ONLY at
+  * each edge's designated low vertex, so the candidate volume is
+  * O(m^1.5) regardless of skew, and each triangle is generated exactly
+  * once (at its orientation-minimal vertex).
+  *
+  * Stage shuffles: pair generation on l_orderkey (fan-out bounded by
+  * lines-per-order, a TPC-H constant), edge dedup + wedge join on edge
+  * keys, degree count map-side-combined. Every intermediate row is a
+  * pair of long ids — no payload columns travel.
+  */
+object Triangle {
+
+  def qTriangle(spark: SparkSession, sfDir: String): DataFrame =
+    censusFromOrders(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")))
+
+  /** Census of the co-occurrence graph of any (o, s) membership table. */
+  private[queries] def censusFromOrders(li: DataFrame): DataFrame = {
+    // distinct (order, supplier) first so the pair join's per-order
+    // fan-out is distinct-suppliers-per-order, not raw lines².
+    val os = li.distinct()
+
+    // undirected edge set, canonical u < v, deduplicated across orders.
+    val edges = os.as("a").join(os.as("b"),
+        col("a.o") === col("b.o") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+
+    // edge-degree per vertex (map-side combined; isolated suppliers
+    // carry degree 0 and join in for the vertex census only).
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+
+    // orient u→v iff (deg, id) of u < of v: out-degree ≤ O(√m).
+    val oriented = edges
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+
+    // wedges at the low vertex, then close against the oriented edges.
+    val wedgeCands = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("w_src"), col("e2.dst").as("w_dst"))
+    val triangles = wedgeCands.join(oriented,
+        col("w_src") === col("src") && col("w_dst") === col("dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+
+    val nSupp = li.select(countDistinct("s").as("n_suppliers"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    // d·(d−1) is even per term, so per-term integer division is exact —
+    // no float division whose precision could slip past 2^53 at scale.
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+
+    nSupp.crossJoin(edgeStats).crossJoin(wedges).crossJoin(triangles)
+      .withColumn("closure",
+        when(col("n_wedges") > 0,
+          round(col("n_triangles") * lit(3) / col("n_wedges"), 6))
+          .otherwise(lit(0.0)))
+  }
+}
