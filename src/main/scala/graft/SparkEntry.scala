@@ -129,6 +129,10 @@ object SparkEntry {
     // closure itself the thing under test: {a, a+1M, a+2M} must merge
     // without an a–c pair ever being emitted.
     "dedup_near_survivors" -> ((s: SparkSession, d: String) => graft.dedup.Cluster.nearDupSurvivors(s, d)),
+    // Train/holdout assignment at the near-dup-CLUSTER level: no two
+    // near-duplicates ever straddle the split; `leak_clusters` counts
+    // the clusters a doc-level hash split WOULD have torn apart.
+    "corpus_split_leakproof" -> ((s: SparkSession, d: String) => graft.dedup.Cluster.leakproofSplit(s, d)),
     "dedup_simhash_near" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.simhashNearRecall(s, d)),
     // Incremental (continual-crawl) dedup: a synthetic new batch
     // (verbatim / truncated / reversed+nonce copies by id arithmetic)
@@ -1060,6 +1064,42 @@ object SparkEntry {
         |)
         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
         |FROM manifest ORDER BY doc_id""".stripMargin,
+    // Same manifest arithmetic as dedup_near_survivors, then the split
+    // census: multiply-mod + shift-xor finalizer hash in pure BIGINT
+    // (bit-identical cross-engine; the nonlinear finalizer matters —
+    // a bare multiplier is translation-covariant and the chains sit at
+    // constant id offsets), cluster-level assignment vs the doc-level
+    // counterfactual straddle count.
+    "corpus_split_leakproof" ->
+      """WITH elig AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 2 = 0 AND length(regexp_extract_all(text, '\S+')) >= 60
+        |), manifest AS (
+        |  SELECT doc_id, doc_id AS cluster_id FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM elig
+        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM elig
+        |), h AS (
+        |  SELECT doc_id, cluster_id,
+        |    (cluster_id * 2654435761) % 4294967296 AS cb1,
+        |    (doc_id * 2654435761) % 4294967296 AS db1
+        |  FROM manifest
+        |), h2 AS (
+        |  SELECT doc_id, cluster_id,
+        |    (xor(cb1, cb1 // 65536) * 1540483477) % 4294967296 AS cb2,
+        |    (xor(db1, db1 // 65536) * 1540483477) % 4294967296 AS db2
+        |  FROM h
+        |), a AS (
+        |  SELECT doc_id, cluster_id,
+        |    CASE WHEN xor(cb2, cb2 // 8192) % 10 < 9 THEN 'train' ELSE 'holdout' END AS split,
+        |    CASE WHEN xor(db2, db2 // 8192) % 10 < 9 THEN 'train' ELSE 'holdout' END AS doc_split
+        |  FROM h2
+        |), c AS (
+        |  SELECT cluster_id, split, count(*) AS n_docs_c, count(DISTINCT doc_split) AS n_doc_splits
+        |  FROM a GROUP BY 1, 2
+        |)
+        |SELECT split, CAST(sum(n_docs_c) AS BIGINT) AS n_docs, count(*) AS n_clusters,
+        |  count(CASE WHEN n_doc_splits > 1 THEN 1 END) AS leak_clusters
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash_near" ->
       """SELECT * FROM (VALUES
         |  ('swap15', true, true),

@@ -178,4 +178,51 @@ object Cluster {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** Portable bucket hash: Knuth-multiplicative steps with shift-xor
+    * finalizers, in pure positive BIGINT arithmetic (products < 2^63,
+    * divisors are powers of two so the double division is exact), so
+    * DuckDB computes bit-identical splits. The finalizers are
+    * LOAD-BEARING: a bare multiply-mod is linear, and linear maps are
+    * translation-covariant — the planted chains live at id, id+1M,
+    * id+2M, so all chains would shift buckets by the SAME constant and
+    * the doc-level-leak counterfactual silently degenerates (observed:
+    * zero straddles at sf0.001 under the bare multiplier).
+    */
+  private def splitOf(id: Column): Column = {
+    val b1 = (id * lit(2654435761L)) % lit(4294967296L)
+    val s1 = b1.bitwiseXOR((b1 / lit(65536L)).cast("long"))
+    val b2 = (s1 * lit(1540483477L)) % lit(4294967296L)
+    val s2 = b2.bitwiseXOR((b2 / lit(8192L)).cast("long"))
+    when(s2 % lit(10) < 9, lit("train")).otherwise(lit("holdout"))
+  }
+
+  /** Leakage-proof train/holdout split (SURVEY.md §2c): assign splits
+    * at the NEAR-DUP-CLUSTER level, not the document level, so no two
+    * near-duplicates ever straddle train and holdout — the
+    * training-data split discipline that decontamination alone cannot
+    * give (a doc-level hash split puts ~27% of 3-doc clusters on both
+    * sides; `leak_clusters` quantifies exactly that counterfactual
+    * per split, and the planted chains guarantee it is non-zero).
+    *
+    * Scale shape: the expensive step is the already-scale-audited
+    * clustering ([[nearDupSurvivors]]); the split itself is pure
+    * arithmetic on the cluster label — no extra join, any reader can
+    * recompute a doc's split from its manifest row at scan time. The
+    * census is a two-level aggregation whose shuffles carry only
+    * (cluster_id, split) ids.
+    */
+  def leakproofSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    nearDupSurvivors(spark, sfDir)
+      .withColumn("split", splitOf(col("cluster_id")))
+      .withColumn("doc_split", splitOf(col("doc_id")))
+      .groupBy("cluster_id", "split")
+      .agg(count(lit(1)).as("n_docs_c"),
+        countDistinct("doc_split").as("n_doc_splits"))
+      .groupBy("split")
+      .agg(sum("n_docs_c").as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        count(when(col("n_doc_splits") > 1, 1)).as("leak_clusters"))
+      .orderBy("split")
+  }
 }

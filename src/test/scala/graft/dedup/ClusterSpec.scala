@@ -65,4 +65,38 @@ class ClusterSpec extends SparkSpec {
     // the contract has teeth: clusters of size 3 actually exist
     assert(eligible.nonEmpty)
   }
+
+  test("leakproof split: clusters never straddle, doc-level hashing would") {
+    val census = Cluster.leakproofSplit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(census.keySet == Set("holdout", "train"))
+
+    // splits PARTITION the chained corpus (base docs + 2 copies per eligible)
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val nElig = NearDup.eligibleDocs(spark, sf0001, plantEvery = 2, minTokens = 60).count()
+    assert(census.values.map(_._1).sum == nDocs + 2 * nElig)
+
+    // cluster-level assignment is leak-free BY RECOMPUTATION: every doc
+    // of every multi-doc cluster carries its root's split
+    def split(id: Long): String = {
+      val b1 = id * 2654435761L % 4294967296L
+      val s1 = b1 ^ (b1 / 65536L)
+      val b2 = s1 * 1540483477L % 4294967296L
+      val s2 = b2 ^ (b2 / 8192L)
+      if (s2 % 10 < 9) "train" else "holdout"
+    }
+    val manifest = Cluster.nearDupSurvivors(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val straddling = manifest.groupBy(_._2).values
+      .count(c => c.map { case (d, cl) => split(cl) }.distinct.size > 1)
+    assert(straddling == 0)
+
+    // the counterfactual has teeth: a doc-level hash split WOULD tear
+    // at least one planted chain apart, and the census counts exactly those
+    val expectedLeaks = manifest.groupBy(_._2).toSeq.map { case (cl, ds) =>
+      split(cl) -> (if (ds.map(d => split(d._1)).distinct.size > 1) 1L else 0L)
+    }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    assert(census.map { case (s, (_, _, l)) => s -> l } == expectedLeaks)
+    assert(census.values.map(_._3).sum > 0, "planted chains must demonstrate doc-level leakage")
+  }
 }
