@@ -41,6 +41,10 @@ object SparkEntry {
     "svm_evaluate" -> SvmQueries.centroidEvaluate _,
     "svm_model_io" -> SvmQueries.modelIo _,
     "svm_kernel_gram" -> SvmQueries.kernelGram _,
+    // Distributed (C, γ) grid search with 5-fold CV on the fixed noisy
+    // rings sample — model selection parallelized across the GRID (one
+    // SMO solve per task, zero shuffles before the 45-row rollup).
+    "svm_grid_search" -> ((s: SparkSession, d: String) => graft.svm.GridSearch.gridSearch(s, d)),
     // §2b — analytics surface
     "q1_agg" -> Analytics.q1Agg _,
     "q3_join" -> Analytics.q3Join _,
@@ -384,6 +388,22 @@ object SparkEntry {
         |  ('p4_interior', 3, -1, CAST(0.0 AS DOUBLE), false, CAST(1.0 AS DOUBLE), CAST(0.125 AS DOUBLE))
         |) AS t(problem, point_id, y, alpha, is_sv, rho, dual_obj)
         |ORDER BY problem, point_id""".stripMargin,
+    // Literal pin of the deterministic CV table (StrictMath rings +
+    // deterministic SMO): a solver, fold-assignment, or noise-rule
+    // change moves these rows. sf-independent by construction.
+    "svm_grid_search" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0.1 AS DOUBLE), CAST(0.001 AS DOUBLE), CAST(300 AS BIGINT), CAST(155 AS BIGINT), false),
+        |  (CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(300 AS BIGINT), CAST(29 AS BIGINT), false),
+        |  (CAST(0.1 AS DOUBLE), CAST(50.0 AS DOUBLE), CAST(300 AS BIGINT), CAST(99 AS BIGINT), false),
+        |  (CAST(1.0 AS DOUBLE), CAST(0.001 AS DOUBLE), CAST(300 AS BIGINT), CAST(155 AS BIGINT), false),
+        |  (CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(300 AS BIGINT), CAST(6 AS BIGINT), false),
+        |  (CAST(1.0 AS DOUBLE), CAST(50.0 AS DOUBLE), CAST(300 AS BIGINT), CAST(3 AS BIGINT), false),
+        |  (CAST(100.0 AS DOUBLE), CAST(0.001 AS DOUBLE), CAST(300 AS BIGINT), CAST(53 AS BIGINT), false),
+        |  (CAST(100.0 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(300 AS BIGINT), CAST(2 AS BIGINT), true),
+        |  (CAST(100.0 AS DOUBLE), CAST(50.0 AS DOUBLE), CAST(300 AS BIGINT), CAST(3 AS BIGINT), false)
+        |) AS t(c, gamma, n_test, cv_errs, best)
+        |ORDER BY c, gamma""".stripMargin,
     "svm_predict" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(c AS INTEGER) AS c,
