@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, RateSpike, Sample, Skyline, Stats, Timeline, Triangle, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, Pagerank, RateSpike, Sample, Skyline, Stats, Timeline, Triangle, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -45,6 +45,10 @@ object SparkEntry {
     // rings sample — model selection parallelized across the GRID (one
     // SMO solve per task, zero shuffles before the 45-row rollup).
     "svm_grid_search" -> ((s: SparkSession, d: String) => graft.svm.GridSearch.gridSearch(s, d)),
+    // LibSVM's svm-scale step: per-dimension [-1,1] rescale — one
+    // map-side-combined bounds pass, bounds applied as two referenced
+    // literal arrays (never 64 unrolled expression trees).
+    "svm_scale" -> ((s: SparkSession, d: String) => graft.svm.SvmScale.svmScale(s, d)),
     // §2b — analytics surface
     "q1_agg" -> Analytics.q1Agg _,
     "q3_join" -> Analytics.q3Join _,
@@ -70,6 +74,7 @@ object SparkEntry {
     "q_skew_histogram" -> Analytics.qSkewHistogram _,
     "q_skyline" -> Skyline.qSkyline _,
     "q_triangle" -> Triangle.qTriangle _,
+    "q_pagerank" -> Pagerank.qPagerank _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
@@ -404,6 +409,21 @@ object SparkEntry {
         |  (CAST(100.0 AS DOUBLE), CAST(50.0 AS DOUBLE), CAST(300 AS BIGINT), CAST(3 AS BIGINT), false)
         |) AS t(c, gamma, n_test, cv_errs, best)
         |ORDER BY c, gamma""".stripMargin,
+    // Identical IEEE op order on both sides: cast→sub→mul→div→sub,
+    // then round(6) — doubles match bit-for-bit, no tolerance needed.
+    "svm_scale" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) t
+        |), b AS (
+        |  SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1
+        |)
+        |SELECT e.vec_id, e.dim, round(e.x, 6) AS x,
+        |  round(CASE WHEN b.hi = b.lo THEN 0.0
+        |    ELSE (e.x - b.lo) * 2.0 / (b.hi - b.lo) - 1.0 END, 6) AS scaled
+        |FROM ex e JOIN b USING (dim)
+        |WHERE e.vec_id % 50 = 0
+        |ORDER BY e.vec_id, e.dim""".stripMargin,
     "svm_predict" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(c AS INTEGER) AS c,
@@ -585,6 +605,34 @@ object SparkEntry {
         |    THEN round(n_triangles * 3 / (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg), 6)
         |    ELSE 0.0 END AS closure
         |FROM tri""".stripMargin,
+    // Five unrolled integer-arithmetic rounds (r0 = 10^12; teleport
+    // (3T) div 20; damping (17·x) div 20; contribution r div deg) —
+    // BIGINT floor division on positives is identical in both engines,
+    // so the fixpoint iterates to the same bits.
+    "q_pagerank" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        |und AS (SELECT DISTINCT a.s AS u, b.s AS v FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+        |e AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v AS src, u AS dst FROM und),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |verts AS (SELECT DISTINCT s FROM os),
+        |p0 AS (SELECT s, CAST(1000000000000 AS BIGINT) AS r FROM verts),
+        |p1 AS (SELECT v.s, CAST(150000000000 + (17 * COALESCE(i.t, 0)) // 20 AS BIGINT) AS r
+        |       FROM verts v LEFT JOIN (SELECT e.dst AS s, CAST(sum(p.r // deg.d) AS BIGINT) AS t
+        |         FROM e JOIN p0 p ON p.s = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst) i USING (s)),
+        |p2 AS (SELECT v.s, CAST(150000000000 + (17 * COALESCE(i.t, 0)) // 20 AS BIGINT) AS r
+        |       FROM verts v LEFT JOIN (SELECT e.dst AS s, CAST(sum(p.r // deg.d) AS BIGINT) AS t
+        |         FROM e JOIN p1 p ON p.s = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst) i USING (s)),
+        |p3 AS (SELECT v.s, CAST(150000000000 + (17 * COALESCE(i.t, 0)) // 20 AS BIGINT) AS r
+        |       FROM verts v LEFT JOIN (SELECT e.dst AS s, CAST(sum(p.r // deg.d) AS BIGINT) AS t
+        |         FROM e JOIN p2 p ON p.s = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst) i USING (s)),
+        |p4 AS (SELECT v.s, CAST(150000000000 + (17 * COALESCE(i.t, 0)) // 20 AS BIGINT) AS r
+        |       FROM verts v LEFT JOIN (SELECT e.dst AS s, CAST(sum(p.r // deg.d) AS BIGINT) AS t
+        |         FROM e JOIN p3 p ON p.s = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst) i USING (s)),
+        |p5 AS (SELECT v.s, CAST(150000000000 + (17 * COALESCE(i.t, 0)) // 20 AS BIGINT) AS r
+        |       FROM verts v LEFT JOIN (SELECT e.dst AS s, CAST(sum(p.r // deg.d) AS BIGINT) AS t
+        |         FROM e JOIN p4 p ON p.s = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst) i USING (s))
+        |SELECT s AS s_suppkey, r AS rank_scaled FROM p5
+        |ORDER BY rank_scaled DESC, s_suppkey LIMIT 10""".stripMargin,
     // The sketch's 5%-accuracy boolean is the pinned contract; the
     // oracle computes only the exact count (HLL internals are
     // engine-specific by nature).

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank over the supplier co-occurrence graph (SURVEY.md §2b):
+  * the canonical iterative link-analysis operator (Page et al. 1999),
+  * 5 fixed rounds of r' = 0.15·T + 0.85·Σ_in r/deg in EXACT INTEGER
+  * arithmetic — ranks are BIGINTs at scale T = 10^12 and the damping
+  * products are `(3·T) div 20` and `(17·x) div 20`, so two engines
+  * agree bit-for-bit with no float accumulation-order drift (the
+  * q_transition/hierarchy discipline applied to an iterative fixpoint;
+  * T suits corpora to ~10^6 vertices — larger graphs drop T).
+  *
+  * Scale shape: each round is ONE shuffle — contributions flow along
+  * edges (join on the 8-byte src key), sum map-side-combined per dst —
+  * and per-round `localCheckpoint` cuts lineage so the plan stays flat
+  * across rounds (the Cluster/Hierarchy iteration discipline). The
+  * rank table is (id, long); document payloads never enter. Isolated
+  * vertices hold the bare teleport mass. Output is the top-10 cut
+  * (rank desc, id) — a WindowGroupLimit-free global limit over the
+  * vertex-cardinality table.
+  */
+object Pagerank {
+
+  private val T = 1000000000000L
+  private val Rounds = 5
+
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    rankOf(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")),
+      spark)
+
+  private[queries] def rankOf(li: DataFrame, spark: SparkSession): DataFrame = {
+    val und = Triangle.cooccurrenceEdges(li)
+    // directed both ways; undirected degree = out-degree
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val verts = li.select(col("s")).distinct().localCheckpoint()
+
+    var ranks = verts.select(col("s"), lit(T).as("r")).localCheckpoint()
+    (1 to Rounds).foreach { _ =>
+      val inflow = edges
+        .join(ranks.withColumnRenamed("s", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst").as("s"))
+        .agg(sum(expr("r div d")).as("inflow"))
+      ranks = verts
+        .join(inflow, Seq("s"), "left")
+        .select(col("s"),
+          (lit((3L * T) / 20L) +
+            expr(s"17 * coalesce(inflow, 0L) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("s").as("s_suppkey"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("s_suppkey"))
+      .limit(10)
+  }
+}

@@ -31,17 +31,21 @@ object Triangle {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")))
 
-  /** Census of the co-occurrence graph of any (o, s) membership table. */
-  private[queries] def censusFromOrders(li: DataFrame): DataFrame = {
-    // distinct (order, supplier) first so the pair join's per-order
-    // fan-out is distinct-suppliers-per-order, not raw lines².
+  /** Canonical (u < v) co-occurrence edge set of an (o, s) membership
+    * table: distinct memberships first (per-order fan-out is distinct
+    * members, not raw lines²), pair join on the order, dedup.
+    */
+  private[queries] def cooccurrenceEdges(li: DataFrame): DataFrame = {
     val os = li.distinct()
-
-    // undirected edge set, canonical u < v, deduplicated across orders.
-    val edges = os.as("a").join(os.as("b"),
+    os.as("a").join(os.as("b"),
         col("a.o") === col("b.o") && col("a.s") < col("b.s"))
       .select(col("a.s").as("u"), col("b.s").as("v"))
       .distinct()
+  }
+
+  /** Census of the co-occurrence graph of any (o, s) membership table. */
+  private[queries] def censusFromOrders(li: DataFrame): DataFrame = {
+    val edges = cooccurrenceEdges(li)
 
     // edge-degree per vertex (map-side combined; isolated suppliers
     // carry degree 0 and join in for the vertex census only).
