@@ -592,7 +592,8 @@ object SparkEntry {
     // ONE IEEE division, rounded.
     "q_triangle" ->
       """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
-        |e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+        |e AS (SELECT a.s AS u, b.s AS v FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+        |      GROUP BY 1, 2 HAVING count(*) >= 5),
         |deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) t GROUP BY 1),
         |tri AS (SELECT count(*) AS n_triangles FROM e e1
         |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v

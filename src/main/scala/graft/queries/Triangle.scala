@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Triangle census of the supplier co-occurrence graph (SURVEY.md
   * §2b): vertices are suppliers, an edge connects two suppliers that
-  * ship lines of the same order; output is one row of exact-integer
+  * ship lines of the same order in ≥ 5 orders (support threshold —
+  * see [[cooccurrenceEdges]]); output is one row of exact-integer
   * graph statistics (vertices, edges, wedges, triangles) plus the
   * global closure coefficient 3T/W as one IEEE division.
   *
@@ -29,23 +30,33 @@ object Triangle {
   def qTriangle(spark: SparkSession, sfDir: String): DataFrame =
     censusFromOrders(
       spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")))
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")),
+      minSupport = 5)
 
   /** Canonical (u < v) co-occurrence edge set of an (o, s) membership
     * table: distinct memberships first (per-order fan-out is distinct
-    * members, not raw lines²), pair join on the order, dedup.
+    * members, not raw lines²), pair join on the order, then a SUPPORT
+    * threshold — edge iff the pair co-occurs in ≥ `minSupport` orders
+    * (the market-basket discipline: raw co-occurrence saturates toward
+    * a complete graph as orders accumulate — measured 91% dense at
+    * sf0.1 — and a dense graph makes every downstream graph operator
+    * quadratic-ish in vertices; support pruning keeps edges
+    * signal-bearing and the graph sparse at any corpus size). The
+    * dedup-or-count is the same single (u, v) shuffle either way.
     */
-  private[queries] def cooccurrenceEdges(li: DataFrame): DataFrame = {
+  private[queries] def cooccurrenceEdges(li: DataFrame, minSupport: Int = 1): DataFrame = {
     val os = li.distinct()
     os.as("a").join(os.as("b"),
         col("a.o") === col("b.o") && col("a.s") < col("b.s"))
       .select(col("a.s").as("u"), col("b.s").as("v"))
-      .distinct()
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+      .select("u", "v")
   }
 
   /** Census of the co-occurrence graph of any (o, s) membership table. */
-  private[queries] def censusFromOrders(li: DataFrame): DataFrame = {
-    val edges = cooccurrenceEdges(li)
+  private[queries] def censusFromOrders(li: DataFrame, minSupport: Int = 1): DataFrame = {
+    val edges = cooccurrenceEdges(li, minSupport)
 
     // edge-degree per vertex (map-side combined; isolated suppliers
     // carry degree 0 and join in for the vertex census only).

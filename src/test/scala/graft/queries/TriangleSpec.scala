@@ -5,11 +5,13 @@ import graft.SparkSpec
 class TriangleSpec extends SparkSpec {
 
   /** Brute-force census from an explicit membership list. */
-  private def brute(os: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+  private def brute(os: Seq[(Long, Long)], minSupport: Int = 1): (Long, Long, Long, Long) = {
     val edges = os.groupBy(_._1).values.flatMap { grp =>
       val ss = grp.map(_._2).distinct
       for (a <- ss; b <- ss if a < b) yield (a, b)
-    }.toSet
+    // filter + keySet, NOT collect-to-pairs: collecting (a, b) tuples
+    // out of a Map rebuilds a Map keyed by `a` and silently dedups
+    }.toSeq.groupBy(identity).filter(_._2.size >= minSupport).keySet
     val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
     val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
@@ -20,11 +22,11 @@ class TriangleSpec extends SparkSpec {
     (os.map(_._2).distinct.size.toLong, edges.size.toLong, wedges, tris)
   }
 
-  test("q_triangle census matches brute force on sf0.001 lineitem") {
+  test("q_triangle census matches brute force on sf0.001 lineitem (support 5)") {
     val os = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .selectExpr("l_orderkey", "l_suppkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val (nv, ne, nw, nt) = brute(os)
+    val (nv, ne, nw, nt) = brute(os, minSupport = 5)
     val r = Triangle.qTriangle(spark, sf0001).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (nv, ne, nw, nt))
     assert(nt > 0, "test graph must actually contain triangles")
