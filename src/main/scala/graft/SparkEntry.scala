@@ -229,10 +229,11 @@ object SparkEntry {
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
     // Perceptual-hash image dedup over REAL decoded PPM rasters.
     "mm_phash" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
-    // Hamming-near image dedup: 4×16-bit banded pigeonhole join over
-    // the 64-bit phash (complete for d ≤ 3 structurally), exact
-    // bit_count verify, loud bucket guard; planted 1-flip / 3-flip
-    // twins must ALL surface at their exact distance.
+    // Hamming-near image dedup over DISTINCT hash groups, sharded by
+    // image-size class with bands sized to the occupied bit range
+    // (complete for d ≤ 3 structurally), exact bit_count verify, loud
+    // bucket guard; planted 1-flip / 3-flip twins must ALL surface at
+    // their exact distance.
     "mm_phash_near" -> ((s: SparkSession, d: String) => graft.multimodal.PhashNear.phashNearRecall(s, d)),
     // REAL RIFF/PCM WAV parse (magic strings, little-endian fields,
     // chunk sizing) over arithmetic-generated audio; rate/samples/
@@ -1486,11 +1487,12 @@ object SparkEntry {
         |SELECT media_id, ok, phash,
         |  CASE WHEN ok THEN count(*) OVER (PARTITION BY phash) ELSE 0 END AS n_same
         |FROM hs ORDER BY media_id""".stripMargin,
-    // Banding over 4×16-bit bands is pigeonhole-COMPLETE for hamming
-    // ≤ 3, so the planted 1-flip and 3-flip twins (id-arithmetic
-    // masks, pairwise-distinct positions mod 61) must all surface at
-    // their exact distance: recall is structurally 1.0 and n_planted
-    // is the ok-image census (id % 13 truncation rule, as mm_phash).
+    // Banding (4 bands over each size class's occupied bits) is
+    // pigeonhole-COMPLETE for hamming ≤ 3, so the planted 1-flip and
+    // 3-flip twins (id-arithmetic masks, pairwise-distinct positions
+    // mod the image's own npx) must all surface at their exact
+    // distance: recall is structurally 1.0 and n_planted is the
+    // ok-image census (id % 13 truncation rule, as mm_phash).
     "mm_phash_near" ->
       """WITH okn AS (SELECT count(*) AS n FROM documents WHERE doc_id % 13 <> 0)
         |SELECT tier, n AS n_planted, n AS n_found, TRUE AS recall_ok
