@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, Pagerank, RateSpike, Sample, Skyline, Stats, Timeline, Triangle, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, Pagerank, RateSpike, Sample, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -75,6 +75,12 @@ object SparkEntry {
     "q_skyline" -> Skyline.qSkyline _,
     "q_triangle" -> Triangle.qTriangle _,
     "q_pagerank" -> Pagerank.qPagerank _,
+    // DataSketches HLL tier: mergeable per-type sketches, union row
+    // re-aggregates kilobyte states — no data rescan.
+    "q_hll_sketch" -> Sketches.qHllSketch _,
+    // Spark 4 VARIANT shredding: parse once, typed-path traversals
+    // (incl. a nested re-parse), round-trip exactness vs base columns.
+    "q_variant_extract" -> VariantOps.qVariantExtract _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
@@ -635,6 +641,23 @@ object SparkEntry {
         |         FROM e JOIN p4 p ON p.s = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst) i USING (s))
         |SELECT s AS s_suppkey, r AS rank_scaled FROM p5
         |ORDER BY rank_scaled DESC, s_suppkey LIMIT 10""".stripMargin,
+    // The 2%-band booleans are the pinned contract (lgK=14 standard
+    // error ≈ 0.8%); the oracle computes only exact counts — sketch
+    // internals are engine-specific by nature (q_approx_distinct
+    // discipline).
+    "q_hll_sketch" ->
+      """SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__union', count(DISTINCT user_id), TRUE FROM events
+        |ORDER BY scope""".stripMargin,
+    // Every extracted value recomputed from BASE columns: the
+    // construct→parse→traverse→cast round-trip must be exact.
+    "q_variant_extract" ->
+      """SELECT event_type, user_id % 10 AS seg, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The sketch's 5%-accuracy boolean is the pinned contract; the
     // oracle computes only the exact count (HLL internals are
     // engine-specific by nature).

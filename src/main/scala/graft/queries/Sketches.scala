@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native DataSketches HLL surface (SURVEY.md §2b): `q_approx_distinct`
+  * pins Spark's classic HyperLogLog++ aggregate; this operator pins the
+  * Apache DataSketches tier (`hll_sketch_agg` / `hll_union_agg` /
+  * `hll_sketch_estimate`, Spark 3.5+) whose sketches are MERGEABLE
+  * VALUES — the property that matters at 100 TB: per-partition (here
+  * per-event-type) sketches are built in one scan, persist as bytes,
+  * and any rollup (the all-types union) is a re-aggregation of
+  * kilobyte states, never a rescan of the data.
+  *
+  * Contract: per event type, the lgK=14 estimate of distinct users
+  * must sit within 2% of the exact count (lgK=14 keeps the standard
+  * error ≈ 0.8%, so 2% is a real bound, not slack); the union row
+  * re-aggregates the six per-type sketches. Sketch state is
+  * max-per-register, so estimates are insertion-order- and
+  * parallelism-independent — deterministic across engines' run plans.
+  * The oracle recomputes only the exact counts (sketch internals are
+  * engine-specific by nature — the q_approx_distinct discipline).
+  */
+object Sketches {
+
+  def qHllSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val perType = events
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        countDistinct("user_id").as("n_exact"))
+    val union = perType.agg(hll_union_agg(col("sk")).as("sk"))
+    // union-exact needs the raw data once (the oracle's side too); the
+    // sketch union itself never rescans events.
+    val unionExact = events.agg(countDistinct("user_id").as("n_exact"))
+    val perTypeRows = perType.select(
+      col("event_type").as("scope"),
+      col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+        col("n_exact") * 0.02).as("approx_ok"))
+    val unionRow = union.select(hll_sketch_estimate(col("sk")).as("est"))
+      .crossJoin(unionExact)
+      .select(lit("__union").as("scope"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.02).as("approx_ok"))
+    perTypeRows.unionByName(unionRow).orderBy("scope")
+  }
+}

@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchVariantSpec extends SparkSpec {
+
+  test("q_hll_sketch: every scope in-band, union row covers the global distinct") {
+    val rows = Sketches.qHllSketch(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val types = spark.read.parquet(s"$sf001/events.parquet")
+      .select("event_type").distinct().count()
+    assert(rows.length == types + 1)
+    assert(rows.forall(_._3), s"every estimate must sit within the 2% band: ${rows.mkString(",")}")
+    val union = rows.find(_._1 == "__union").get
+    val exact = spark.read.parquet(s"$sf001/events.parquet")
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(union._2 == exact)
+    // the union row's exact count exceeds any single type's (overlap)
+    assert(rows.filter(_._1 != "__union").forall(_._2 <= union._2))
+  }
+
+  test("q_variant_extract: shredded values reconcile with a direct column aggregation") {
+    val got = VariantOps.qVariantExtract(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val direct = Analytics.loadEvents(spark, sf001)
+      .select(col("event_type"), pmod(col("user_id"), lit(10)).as("seg"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy("event_type", "seg")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), round(sum("value"), 2).as("sum_v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == direct)
+    assert(got.nonEmpty && got.keySet.map(_._2).size == 10, "all 10 segments present")
+  }
+}
