@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Merge, Nested, Pagerank, RateSpike, Sample, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, RateSpike, Sample, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -81,6 +81,9 @@ object SparkEntry {
     // Spark 4 VARIANT shredding: parse once, typed-path traversals
     // (incl. a nested re-parse), round-trip exactness vs base columns.
     "q_variant_extract" -> VariantOps.qVariantExtract _,
+    // Correlated LATERAL (ORDER BY LIMIT) — decorrelated by Catalyst
+    // into one WindowGroupLimit scan + broadcast join (plan-pinned).
+    "q_lateral_topk" -> Lateral.qLateralTopK _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
@@ -658,6 +661,15 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(sum(value), 2) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB runs the SAME lateral SQL — different decorrelation
+    // machinery, same rows.
+    "q_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
     // The sketch's 5%-accuracy boolean is the pinned contract; the
     // oracle computes only the exact count (HLL internals are
     // engine-specific by nature).
