@@ -107,6 +107,10 @@ object SparkEntry {
     // into keyed state via foreachBatch; census equals the batch merge
     // with the extra version-2 wave folded in.
     "stream_merge" -> ((s: SparkSession, d: String) => graft.streaming.MergeStream.runMergeBounded(s, d)),
+    // Streaming twin of q_rate_spike: per-hour counts merge additively
+    // across micro-batches (hours straddle files — carried state is
+    // load-bearing), trailing-24h sweep over the |hours|-row state.
+    "stream_rate_spike" -> ((s: SparkSession, d: String) => graft.streaming.RateSpikeStream.runRateSpikeBounded(s, d)),
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
     "q_hierarchy" -> Hierarchy.qHierarchy _,
     "q_sample_stratified" -> Sample.qSampleStratified _,
@@ -972,6 +976,24 @@ object SparkEntry {
         |SELECT o_orderkey, o_totalprice, CAST(version AS BIGINT) AS version
         |FROM ranked WHERE rn = 1 AND NOT is_delete
         |ORDER BY o_orderkey""".stripMargin,
+    // The batch q_rate_spike oracle verbatim: chunked additive hourly
+    // counting must converge to the all-at-once hourly series.
+    "stream_rate_spike" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) - 1704067200000000) // 3600000000 AS h FROM events
+        |), planted AS (
+        |  SELECT h FROM e
+        |  UNION ALL
+        |  SELECT h FROM e, generate_series(1, 9) WHERE h % 97 = 13
+        |), hourly AS (SELECT h, count(*) AS n FROM planted GROUP BY 1
+        |), t AS (
+        |  SELECT h, n,
+        |    sum(n) OVER (ORDER BY h RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail
+        |  FROM hourly
+        |)
+        |SELECT h, n, CAST(trail AS BIGINT) AS trail, (n * 24 > trail * 3) AS is_spike
+        |FROM t WHERE h >= (SELECT min(h) + 24 FROM hourly)
+        |ORDER BY h""".stripMargin,
     // Same shape as q_merge_upsert's oracle plus the stream's
     // version-2 re-update wave — chunked apply must equal
     // all-changes-at-once.

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.queries.RateSpike
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming rate-spike monitor — the streaming twin of
+  * [[graft.queries.RateSpike.qRateSpike]] (the `stream_funnel` /
+  * `stream_merge` symmetry: every batch analytics family member that
+  * makes sense as a stream gets a twin sharing the batch oracle).
+  *
+  * The event feed arrives as files; each micro-batch's per-hour counts
+  * merge ADDITIVELY into a keyed hourly state via `foreachBatch` — the
+  * partial-aggregate shape: cross-batch state is load-bearing because
+  * a single hour's events span many files, and dropping carried counts
+  * between batches undercounts every such hour (the chunked spec pins
+  * ≥ 2 chained states). Only after the bounded replay does the
+  * trailing-24h sweep run — over the |hours|-row state, which is
+  * cardinality-trivial at any corpus size, exactly like the batch
+  * operator's tail. At 100 TB the state side is a bucketed hourly
+  * table and each micro-batch shuffles only its own counts.
+  *
+  * Spike rule, planting, warm-up exclusion, and output columns are
+  * IDENTICAL to the batch operator — `q_rate_spike`'s oracle SQL is
+  * this operator's oracle too.
+  */
+object RateSpikeStream {
+
+  private def dirs(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-ratespike-")
+    (base.resolve("feed").toString, base.resolve("state").toString)
+  }
+
+  /** State root of the most recent run in this JVM (spec hook). */
+  @volatile var lastStateRoot: String = _
+
+  def runRateSpikeBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val (feedDir, stateRoot) = dirs()
+    lastStateRoot = stateRoot
+    // the planted hour feed, split across files so hours straddle
+    // micro-batches (repartition is round-robin: every hour's rows
+    // land in many files)
+    RateSpike.plantedEvents(spark, sfDir).repartition(8)
+      .write.mode("overwrite").parquet(feedDir)
+
+    val statePath = new java.util.concurrent.atomic.AtomicReference[String](
+      s"$stateRoot/state-init")
+    spark.range(0).select(col("id").as("h"), col("id").as("n"))
+      .write.mode("overwrite").parquet(statePath.get)
+
+    val q = spark.readStream
+      .schema(spark.read.parquet(feedDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val counts = batch.groupBy("h").agg(count(lit(1)).as("n"))
+        val merged = spark.read.parquet(statePath.get)
+          .unionByName(counts)
+          .groupBy("h").agg(sum("n").as("n"))
+        val next = s"$stateRoot/state-$id"
+        merged.write.mode("overwrite").parquet(next)
+        statePath.set(next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val hourly = spark.read.parquet(statePath.get)
+    val hminRow = hourly.agg(min("h")).head()
+    require(!hminRow.isNullAt(0),
+      s"stream_rate_spike: empty events at $sfDir — no hourly series to scan")
+    val hmin = hminRow.getLong(0)
+    val trailing = Window.orderBy("h").rangeBetween(-24, -1)
+    hourly
+      .withColumn("trail", sum("n").over(trailing))
+      .filter(col("h") >= hmin + 24)
+      .withColumn("is_spike", col("n") * 24 > col("trail") * 3)
+      .select("h", "n", "trail", "is_spike")
+      .orderBy("h")
+  }
+}
