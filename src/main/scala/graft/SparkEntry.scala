@@ -78,6 +78,10 @@ object SparkEntry {
     // DataSketches HLL tier: mergeable per-type sketches, union row
     // re-aggregates kilobyte states — no data rescan.
     "q_hll_sketch" -> Sketches.qHllSketch _,
+    // The EXACT tier: dense-domain bitmap distinct (custom mergeable
+    // TypedImperativeAggregate) — the bitmap cardinality must EQUAL
+    // the oracle's count(DISTINCT), no tolerance band.
+    "q_bitmap_distinct" -> ((s: SparkSession, d: String) => Sketches.qBitmapDistinct(s, d)),
     // Spark 4 VARIANT shredding: parse once, typed-path traversals
     // (incl. a nested re-parse), round-trip exactness vs base columns.
     "q_variant_extract" -> VariantOps.qVariantExtract _,
@@ -657,6 +661,14 @@ object SparkEntry {
         |FROM events GROUP BY 1
         |UNION ALL
         |SELECT '__union', count(DISTINCT user_id), TRUE FROM events
+        |ORDER BY scope""".stripMargin,
+    // The bitmap VALUES are hash-compared against exact distinct
+    // counts — a strict oracle, unlike the sketch tier's band.
+    "q_bitmap_distinct" ->
+      """SELECT event_type AS scope, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__union', count(DISTINCT user_id) FROM events
         |ORDER BY scope""".stripMargin,
     // Every extracted value recomputed from BASE columns: the
     // construct→parse→traverse→cast round-trip must be exact.

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Exact-distinct bitmap aggregates over a DENSE long id domain — the
+  * ClickHouse/Doris `bitmap` family shape (public docs: groupBitmap /
+  * bitmap_union), complementing `q_hll_sketch`'s approximate tier with
+  * the EXACT one.
+  *
+  * Why this beats `count(DISTINCT)` at scale on dense ids: the
+  * per-group state is a fixed ⌈maxId/64⌉-word bitset, updates are one
+  * bit-set, merges are word-wise OR — associative, commutative,
+  * CONSTANT-size — so the shuffle carries one bitmap per (group ×
+  * partition) instead of every distinct id, and the result is still
+  * exact. Like the HLL sketches the states are MERGEABLE VALUES: a
+  * rollup ORs the per-group bitmaps without rescanning data
+  * ([[BitmapOrCountAgg]]). For sparse/unbounded domains the public
+  * answer is compressed bitmaps (roaring) or re-densified dictionary
+  * ids; this implementation takes the dense contract and GUARDS it —
+  * an id outside [0, maxId) fails loudly rather than silently
+  * truncating the count.
+  */
+object BitmapOps {
+  /** popcount over bitmap bytes (static helper, called from codegen). */
+  def cardinality(bytes: Array[Byte]): Long = {
+    var n = 0L
+    var i = 0
+    while (i < bytes.length) { n += java.lang.Integer.bitCount(bytes(i) & 0xFF); i += 1 }
+    n
+  }
+}
+
+/** groupBy-level builder: long ids in [0, maxId) → bitset bytes. */
+case class BitmapBuildAgg(
+    child: Expression,
+    maxId: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(maxId >= 1, s"bitmap_build needs maxId >= 1, got $maxId")
+
+  private val words = (maxId + 63) / 64
+
+  override def prettyName: String = "bitmap_build"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v.asInstanceOf[Long]
+      require(id >= 0 && id < maxId,
+        s"bitmap_build: id $id outside the dense domain [0, $maxId) — " +
+          "widen maxId or re-densify ids (roaring is the sparse-domain path)")
+      buf((id >> 6).toInt) |= (1L << (id & 63))
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill((bytes.length / 8))(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapBuildAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapBuildAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapBuildAgg =
+    copy(child = newChild)
+}
+
+/** Rollup tier: OR pre-built bitmap VALUES, eval to the exact count —
+  * re-aggregation of states, never a data rescan (the `hll_union_agg`
+  * shape, exact).
+  */
+case class BitmapOrCountAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_or_count"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b.clone()
+    require(a.length == b.length,
+      s"bitmap_or_count: mismatched bitmap widths ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf else orInto(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    if (b2.isEmpty) b1 else orInto(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = BitmapOps.cardinality(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrCountAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrCountAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapOrCountAgg =
+    copy(child = newChild)
+}
+
+/** Scalar popcount of bitmap bytes (codegen: one static call). */
+case class BitmapCardExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_card"
+  override protected def nullSafeEval(input: Any): Any =
+    BitmapOps.cardinality(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BitmapOps.cardinality($c)")
+  override protected def withNewChildInternal(newChild: Expression): BitmapCardExpr =
+    copy(child = newChild)
+}

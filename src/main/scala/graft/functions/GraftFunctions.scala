@@ -59,6 +59,24 @@ object GraftFunctions {
     ColumnBridge.column(
       MisraGriesAgg(ColumnBridge.expression(key), k).toAggregateExpression())
 
+  /** Exact-distinct bitmap of a dense long id column — bitset bytes,
+    * mergeable by OR (see [[BitmapBuildAgg]]).
+    */
+  def bitmap_build(key: Column, maxId: Int): Column =
+    ColumnBridge.column(
+      BitmapBuildAgg(ColumnBridge.expression(key), maxId).toAggregateExpression())
+
+  /** OR pre-built bitmaps and count — exact re-aggregation of states
+    * without a data rescan (see [[BitmapOrCountAgg]]).
+    */
+  def bitmap_or_count(bits: Column): Column =
+    ColumnBridge.column(
+      BitmapOrCountAgg(ColumnBridge.expression(bits)).toAggregateExpression())
+
+  /** Exact popcount of bitmap bytes (see [[BitmapCardExpr]]). */
+  def bitmap_card(bits: Column): Column =
+    ColumnBridge.column(BitmapCardExpr(ColumnBridge.expression(bits)))
+
   /** Bounded top-k by (score desc, id asc) — array<struct<id,score>>
     * best-first, computed with map-side k-entry heaps instead of a
     * full-sort window (see [[TopKByAgg]]).

@@ -45,4 +45,31 @@ object Sketches {
         (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.02).as("approx_ok"))
     perTypeRows.unionByName(unionRow).orderBy("scope")
   }
+
+  /** Exact-distinct bitmaps over the dense user-id domain — the EXACT
+    * tier next to [[qHllSketch]]'s approximate one (the ClickHouse /
+    * Doris bitmap family): per-type bitsets built in one scan
+    * (constant-size mergeable state — the shuffle carries one
+    * ⌈maxId/8⌉-byte bitmap per group × partition, not every distinct
+    * id), the all-types union row ORs the six bitmap VALUES without
+    * rescanning events. The bitmap cardinality IS the output the
+    * oracle's `count(DISTINCT)` must equal — exactness is the
+    * contract, not a tolerance band. Dense-domain guard: ids outside
+    * [0, maxId) fail loudly (roaring / re-densified dictionaries are
+    * the public sparse-domain path).
+    */
+  def qBitmapDistinct(spark: SparkSession, sfDir: String,
+                      maxId: Int = 1 << 20): DataFrame = {
+    import graft.functions.GraftFunctions
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val perType = events.groupBy("event_type")
+      .agg(GraftFunctions.bitmap_build(col("user_id"), maxId).as("bm"))
+    val perTypeRows = perType.select(
+      col("event_type").as("scope"),
+      GraftFunctions.bitmap_card(col("bm")).as("n_distinct"))
+    val unionRow = perType
+      .agg(GraftFunctions.bitmap_or_count(col("bm")).as("n_distinct"))
+      .select(lit("__union").as("scope"), col("n_distinct"))
+    perTypeRows.unionByName(unionRow).orderBy("scope")
+  }
 }

@@ -20,6 +20,24 @@ class SketchVariantSpec extends SparkSpec {
     assert(rows.filter(_._1 != "__union").forall(_._2 <= union._2))
   }
 
+  test("q_bitmap_distinct: bitmap cardinalities equal exact distincts; dense guard fires") {
+    val rows = Sketches.qBitmapDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf001/events.parquet")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactUnion = spark.read.parquet(s"$sf001/events.parquet")
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(rows == exact + ("__union" -> exactUnion))
+
+    // dense-domain contract: an out-of-range id is a loud failure
+    val e = intercept[org.apache.spark.SparkException] {
+      Sketches.qBitmapDistinct(spark, sf001, maxId = 8).collect()
+    }
+    assert(e.getMessage.contains("dense domain") ||
+      e.getCause != null && e.getCause.getMessage.contains("dense domain"))
+  }
+
   test("q_variant_extract: shredded values reconcile with a direct column aggregation") {
     val got = VariantOps.qVariantExtract(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
