@@ -675,7 +675,7 @@ object SparkEntry {
     "q_variant_extract" ->
       """SELECT event_type, user_id % 10 AS seg, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  round(sum(value), 2) AS sum_v
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DuckDB runs the SAME lateral SQL — different decorrelation
     // machinery, same rows.

@@ -93,8 +93,11 @@ object PhashNear {
           struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bk"))
       .select(col("npx"), col("phash"), col("bk.band"), col("bk.bval"))
 
-    val biggest = bands.groupBy("npx", "band", "bval").count()
-      .agg(max("count")).collect()(0).getLong(0)
+    val biggestRow = bands.groupBy("npx", "band", "bval").count()
+      .agg(max("count")).collect()(0)
+    require(!biggestRow.isNullAt(0),
+      s"mm_phash_near: no decodable images at $sfDir — nothing to band")
+    val biggest = biggestRow.getLong(0)
     require(biggest <= maxBucket,
       s"phash band bucket of $biggest DISTINCT hashes exceeds cap $maxBucket — " +
         "degenerate hash-space concentration; shrink bands or pre-split the bucket")

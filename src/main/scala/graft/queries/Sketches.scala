@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   def qHllSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // loadEvents, not a raw read: legacy TIMESTAMP(NANOS) event data
+    // fails parquet schema conversion without the nanosAsLong conf,
+    // even though ts is never selected here.
+    val events = Analytics.loadEvents(spark, sfDir)
     val perType = events
       .groupBy("event_type")
       .agg(
@@ -61,7 +64,7 @@ object Sketches {
   def qBitmapDistinct(spark: SparkSession, sfDir: String,
                       maxId: Int = 1 << 20): DataFrame = {
     import graft.functions.GraftFunctions
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = Analytics.loadEvents(spark, sfDir)
     val perType = events.groupBy("event_type")
       .agg(GraftFunctions.bitmap_build(col("user_id"), maxId).as("bm"))
     val perTypeRows = perType.select(

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *      beats every strictly-higher price's size bound; emitting the
   *      tied rows is one semi-join back to `part` on (price, size).
   *
-  * At 100 TB the only full-data pass is the first aggregation; all
-  * later stages operate on distinct-price cardinality. The frontier
+  * At 100 TB there are exactly TWO full-data passes — the collapse
+  * aggregation (checkpointed, so the extent/bucket-bound collects
+  * don't re-trigger it) and the tie-emitting semi-join; all other
+  * stages operate on distinct-price cardinality. The frontier
   * rule keeps equal-(price, size) twins (neither dominates), drops
   * same-price smaller sizes (dominated via strict size), and drops
   * equal-size lower prices (dominated via strict price).
@@ -44,18 +46,25 @@ object Skyline {
 
   /** Frontier of any (p_partkey, price: double, size: long) relation. */
   private[queries] def frontierOf(spark: SparkSession, part: DataFrame): DataFrame = {
-    // One row: price-axis extent for fixed-width bucketing.
-    val ext = part.agg(min("price"), max("price")).collect()(0)
+    // The collapse to (price → max size) runs ONCE and is checkpointed:
+    // the extent lookup, the per-bucket bound, and the sweep all read
+    // the distinct-price table, not part — without the lineage cut each
+    // driver-side collect would re-trigger the full scan (jobs can't
+    // share exchanges).
+    val groups0 = part.groupBy(col("price"))
+      .agg(max("size").as("gmax"))
+      .localCheckpoint()
+
+    // One row: price-axis extent for fixed-width bucketing (min/max of
+    // the distinct prices == min/max of part).
+    val ext = groups0.agg(min("price"), max("price")).collect()(0)
     require(!ext.isNullAt(0), "q_skyline: empty part table — no frontier to compute")
     val (lo, hi) = (ext.getDouble(0), ext.getDouble(1))
     val width = math.max((hi - lo) / Buckets, java.lang.Double.MIN_VALUE)
     val bucketOf = least(floor((col("price") - lit(lo)) / lit(width)),
       lit(Buckets - 1)).cast("int")
 
-    // (price → max size), bucketed. Output cardinality = |distinct prices|.
-    val groups = part.groupBy(col("price"))
-      .agg(max("size").as("gmax"))
-      .withColumn("bucket", bucketOf)
+    val groups = groups0.withColumn("bucket", bucketOf)
 
     // Cross-bucket bound: max size over all STRICTLY higher buckets —
     // Buckets rows, suffix-max folded on the driver, broadcast back.

@@ -37,10 +37,12 @@ object VariantOps {
       // a second parse — nested semi-structure, not a flat schema
       variant_get(parse_json(variant_get(col("vdoc"), "$.metrics.raw", "string")),
         "$.k", "bigint").as("k"))
+    // moneySum, not round(sum(double)): a double sum's last cents
+    // depend on partition/merge order (the sf1 one-cent lesson).
     shredded
       .groupBy("event_type", "seg")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-        round(sum("v"), 2).as("sum_v"))
+        Analytics.moneySum(col("v")).as("sum_v"))
       .orderBy("event_type", "seg")
   }
 }

@@ -45,7 +45,7 @@ class SketchVariantSpec extends SparkSpec {
       .select(col("event_type"), pmod(col("user_id"), lit(10)).as("seg"),
         get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
       .groupBy("event_type", "seg")
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), round(sum("value"), 2).as("sum_v"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), Analytics.moneySum(col("value")).as("sum_v"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     assert(got == direct)
