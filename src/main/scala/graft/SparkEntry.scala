@@ -115,6 +115,9 @@ object SparkEntry {
     // across micro-batches (hours straddle files — carried state is
     // load-bearing), trailing-24h sweep over the |hours|-row state.
     "stream_rate_spike" -> ((s: SparkSession, d: String) => graft.streaming.RateSpikeStream.runRateSpikeBounded(s, d)),
+    // Incremental EXACT distinct: running per-type bitmap state ORs
+    // each micro-batch's bitmaps — counts can't merge, sets can.
+    "stream_bitmap_distinct" -> ((s: SparkSession, d: String) => graft.streaming.BitmapStream.runBitmapBounded(s, d)),
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
     "q_hierarchy" -> Hierarchy.qHierarchy _,
     "q_sample_stratified" -> Sample.qSampleStratified _,
@@ -665,6 +668,14 @@ object SparkEntry {
     // The bitmap VALUES are hash-compared against exact distinct
     // counts — a strict oracle, unlike the sketch tier's band.
     "q_bitmap_distinct" ->
+      """SELECT event_type AS scope, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__union', count(DISTINCT user_id) FROM events
+        |ORDER BY scope""".stripMargin,
+    // Chunked OR-maintenance must converge to the batch census — the
+    // same strict oracle as q_bitmap_distinct.
+    "stream_bitmap_distinct" ->
       """SELECT event_type AS scope, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1
         |UNION ALL

@@ -137,6 +137,52 @@ case class BitmapOrCountAgg(
     copy(child = newChild)
 }
 
+/** OR pre-built bitmap VALUES into one bitmap (bytes out) — the state
+  * carrier for incremental maintenance: a stream's running per-group
+  * bitmap is last state OR this batch's bitmaps, never a recount.
+  */
+case class BitmapOrAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_or"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b.clone()
+    require(a.length == b.length,
+      s"bitmap_or: mismatched bitmap widths ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf else orInto(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    if (b2.isEmpty) b1 else orInto(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapOrAgg =
+    copy(child = newChild)
+}
+
 /** Scalar popcount of bitmap bytes (codegen: one static call). */
 case class BitmapCardExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

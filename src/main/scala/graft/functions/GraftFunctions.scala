@@ -73,6 +73,13 @@ object GraftFunctions {
     ColumnBridge.column(
       BitmapOrCountAgg(ColumnBridge.expression(bits)).toAggregateExpression())
 
+  /** OR pre-built bitmaps into one bitmap — the incremental-state
+    * carrier (see [[BitmapOrAgg]]).
+    */
+  def bitmap_or(bits: Column): Column =
+    ColumnBridge.column(
+      BitmapOrAgg(ColumnBridge.expression(bits)).toAggregateExpression())
+
   /** Exact popcount of bitmap bytes (see [[BitmapCardExpr]]). */
   def bitmap_card(bits: Column): Column =
     ColumnBridge.column(BitmapCardExpr(ColumnBridge.expression(bits)))
