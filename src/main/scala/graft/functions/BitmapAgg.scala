@@ -33,6 +33,18 @@ object BitmapOps {
     while (i < bytes.length) { n += java.lang.Integer.bitCount(bytes(i) & 0xFF); i += 1 }
     n
   }
+
+  /** OR `b` into `a` (empty `a` = identity), shared by both OR
+    * aggregates; width mismatch is a loud contract failure.
+    */
+  def orInto(name: String, a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b.clone()
+    require(a.length == b.length,
+      s"$name: mismatched bitmap widths ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
 }
 
 /** groupBy-level builder: long ids in [0, maxId) → bitset bytes. */
@@ -107,22 +119,13 @@ case class BitmapOrCountAgg(
 
   override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
 
-  private def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    if (a.isEmpty) return b.clone()
-    require(a.length == b.length,
-      s"bitmap_or_count: mismatched bitmap widths ${a.length} vs ${b.length}")
-    var i = 0
-    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
-    a
-  }
-
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v == null) buf else orInto(buf, v.asInstanceOf[Array[Byte]])
+    if (v == null) buf else BitmapOps.orInto(prettyName, buf, v.asInstanceOf[Array[Byte]])
   }
 
   override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    if (b2.isEmpty) b1 else orInto(b1, b2)
+    if (b2.isEmpty) b1 else BitmapOps.orInto(prettyName, b1, b2)
 
   override def eval(buf: Array[Byte]): Any = BitmapOps.cardinality(buf)
 
@@ -153,22 +156,13 @@ case class BitmapOrAgg(
 
   override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
 
-  private def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    if (a.isEmpty) return b.clone()
-    require(a.length == b.length,
-      s"bitmap_or: mismatched bitmap widths ${a.length} vs ${b.length}")
-    var i = 0
-    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
-    a
-  }
-
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v == null) buf else orInto(buf, v.asInstanceOf[Array[Byte]])
+    if (v == null) buf else BitmapOps.orInto(prettyName, buf, v.asInstanceOf[Array[Byte]])
   }
 
   override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    if (b2.isEmpty) b1 else orInto(b1, b2)
+    if (b2.isEmpty) b1 else BitmapOps.orInto(prettyName, b1, b2)
 
   override def eval(buf: Array[Byte]): Any = buf
 

@@ -65,12 +65,20 @@ object Sketches {
                       maxId: Int = 1 << 20): DataFrame = {
     import graft.functions.GraftFunctions
     val events = Analytics.loadEvents(spark, sfDir)
-    val perType = events.groupBy("event_type")
-      .agg(GraftFunctions.bitmap_build(col("user_id"), maxId).as("bm"))
-    val perTypeRows = perType.select(
+    bitmapCensus(events.groupBy("event_type")
+      .agg(GraftFunctions.bitmap_build(col("user_id"), maxId).as("bm")))
+  }
+
+  /** Census of an (event_type, bm) bitmap table: per-type cardinality
+    * rows + the `__union` OR-rollup row — shared with the streaming
+    * twin, whose carried state has the same shape.
+    */
+  private[graft] def bitmapCensus(bitmaps: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions
+    val perTypeRows = bitmaps.select(
       col("event_type").as("scope"),
       GraftFunctions.bitmap_card(col("bm")).as("n_distinct"))
-    val unionRow = perType
+    val unionRow = bitmaps
       .agg(GraftFunctions.bitmap_or_count(col("bm")).as("n_distinct"))
       .select(lit("__union").as("scope"), col("n_distinct"))
     perTypeRows.unionByName(unionRow).orderBy("scope")

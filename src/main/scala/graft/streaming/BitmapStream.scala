@@ -1,10 +1,9 @@
 package graft.streaming
 
 import graft.functions.GraftFunctions
-import graft.queries.Analytics
+import graft.queries.{Analytics, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Incremental EXACT distinct maintenance — the streaming twin of
   * `q_bitmap_distinct`, and the payoff of mergeable bitmap states:
@@ -28,48 +27,16 @@ object BitmapStream {
 
   def runBitmapBounded(spark: SparkSession, sfDir: String,
                        maxId: Int = 1 << 20): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-bitmapstream-")
-    val feedDir = base.resolve("feed").toString
-    val stateRoot = base.resolve("state").toString
+    val feed = Analytics.loadEvents(spark, sfDir).select("event_type", "user_id")
+    val init = spark.range(0).select(col("id").cast("string").as("event_type"),
+      lit(Array.emptyByteArray).as("bm"))
+    val (state, stateRoot) = ChainedState.run(spark, "bitmapstream", feed, 8, init,
+      (st, batch) => st
+        .unionByName(batch.groupBy("event_type")
+          .agg(GraftFunctions.bitmap_build(col("user_id"), maxId).as("bm")))
+        .groupBy("event_type")
+        .agg(GraftFunctions.bitmap_or(col("bm")).as("bm")))
     lastStateRoot = stateRoot
-    Analytics.loadEvents(spark, sfDir)
-      .select("event_type", "user_id")
-      .repartition(8)
-      .write.mode("overwrite").parquet(feedDir)
-
-    val statePath = new java.util.concurrent.atomic.AtomicReference[String](
-      s"$stateRoot/state-init")
-    spark.range(0).select(col("id").cast("string").as("event_type"),
-        lit(Array.emptyByteArray).as("bm"))
-      .write.mode("overwrite").parquet(statePath.get)
-
-    val q = spark.readStream
-      .schema(spark.read.parquet(feedDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(feedDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val batchBitmaps = batch.groupBy("event_type")
-          .agg(GraftFunctions.bitmap_build(col("user_id"), maxId).as("bm"))
-        val merged = spark.read.parquet(statePath.get)
-          .unionByName(batchBitmaps)
-          .groupBy("event_type")
-          .agg(GraftFunctions.bitmap_or(col("bm")).as("bm"))
-        val next = s"$stateRoot/state-$id"
-        merged.write.mode("overwrite").parquet(next)
-        statePath.set(next)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    val state = spark.read.parquet(statePath.get)
-    val perType = state.select(col("event_type").as("scope"),
-      GraftFunctions.bitmap_card(col("bm")).as("n_distinct"))
-    val unionRow = state
-      .agg(GraftFunctions.bitmap_or_count(col("bm")).as("n_distinct"))
-      .select(lit("__union").as("scope"), col("n_distinct"))
-    perType.unionByName(unionRow).orderBy("scope")
+    Sketches.bitmapCensus(state)
   }
 }

@@ -4,7 +4,6 @@ import graft.queries.RateSpike
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming rate-spike monitor — the streaming twin of
   * [[graft.queries.RateSpike.qRateSpike]] (the `stream_funnel` /
@@ -28,48 +27,20 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object RateSpikeStream {
 
-  private def dirs(): (String, String) = {
-    val base = java.nio.file.Files.createTempDirectory("graft-ratespike-")
-    (base.resolve("feed").toString, base.resolve("state").toString)
-  }
-
   /** State root of the most recent run in this JVM (spec hook). */
   @volatile var lastStateRoot: String = _
 
   def runRateSpikeBounded(spark: SparkSession, sfDir: String): DataFrame = {
-    val (feedDir, stateRoot) = dirs()
-    lastStateRoot = stateRoot
     // the planted hour feed, split across files so hours straddle
     // micro-batches (repartition is round-robin: every hour's rows
     // land in many files)
-    RateSpike.plantedEvents(spark, sfDir).repartition(8)
-      .write.mode("overwrite").parquet(feedDir)
-
-    val statePath = new java.util.concurrent.atomic.AtomicReference[String](
-      s"$stateRoot/state-init")
-    spark.range(0).select(col("id").as("h"), col("id").as("n"))
-      .write.mode("overwrite").parquet(statePath.get)
-
-    val q = spark.readStream
-      .schema(spark.read.parquet(feedDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(feedDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val counts = batch.groupBy("h").agg(count(lit(1)).as("n"))
-        val merged = spark.read.parquet(statePath.get)
-          .unionByName(counts)
-          .groupBy("h").agg(sum("n").as("n"))
-        val next = s"$stateRoot/state-$id"
-        merged.write.mode("overwrite").parquet(next)
-        statePath.set(next)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    val hourly = spark.read.parquet(statePath.get)
+    val init = spark.range(0).select(col("id").as("h"), col("id").as("n"))
+    val (hourly, stateRoot) = ChainedState.run(spark, "ratespike",
+      RateSpike.plantedEvents(spark, sfDir), 8, init,
+      (st, batch) => st
+        .unionByName(batch.groupBy("h").agg(count(lit(1)).as("n")))
+        .groupBy("h").agg(sum("n").as("n")))
+    lastStateRoot = stateRoot
     val hminRow = hourly.agg(min("h")).head()
     require(!hminRow.isNullAt(0),
       s"stream_rate_spike: empty events at $sfDir — no hourly series to scan")
