@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, RateSpike, Sample, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, RateSpike, Sample, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -88,6 +88,10 @@ object SparkEntry {
     // Correlated LATERAL (ORDER BY LIMIT) — decorrelated by Catalyst
     // into one WindowGroupLimit scan + broadcast join (plan-pinned).
     "q_lateral_topk" -> Lateral.qLateralTopK _,
+    // Multi-touch attribution: last-touch + linear in exact integer
+    // cents (remainder to the earliest touch — allocations sum to the
+    // purchase, no float drift).
+    "q_attribution" -> Attribution.qAttribution _,
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
@@ -697,6 +701,29 @@ object SparkEntry {
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
+    // Cents move as exact integers: floor(v·100 + ½) both sides, the
+    // linear split is `cents div n` + remainder to the earliest touch
+    // (rk_old = 1) — allocations sum to the purchase by construction.
+    "q_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value FROM events),
+        |touches AS (SELECT user_id, event_type AS channel, t AS tt, event_id AS touch_id
+        |            FROM ev WHERE event_type IN ('view', 'click')),
+        |purchases AS (SELECT user_id, t AS tp, event_id AS purchase_id,
+        |                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |              FROM ev WHERE event_type = 'purchase'),
+        |pairs AS (SELECT p.purchase_id, p.cents, tch.channel, tch.tt, tch.touch_id
+        |          FROM purchases p JOIN touches tch USING (user_id)
+        |          WHERE tch.tt <= p.tp AND p.tp - tch.tt <= 604800000000),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n,
+        |        row_number() OVER (PARTITION BY purchase_id ORDER BY tt DESC, touch_id DESC) AS rk_new,
+        |        row_number() OVER (PARTITION BY purchase_id ORDER BY tt ASC, touch_id ASC) AS rk_old
+        |      FROM pairs)
+        |SELECT channel,
+        |  count(DISTINCT purchase_id) AS n_purchases_touched,
+        |  count(*) AS n_touches,
+        |  CAST(sum(CASE WHEN rk_new = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_touch_cents,
+        |  CAST(sum(cents // n + CASE WHEN rk_old = 1 THEN cents % n ELSE 0 END) AS BIGINT) AS linear_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // The sketch's 5%-accuracy boolean is the pinned contract; the
     // oracle computes only the exact count (HLL internals are
     // engine-specific by nature).
