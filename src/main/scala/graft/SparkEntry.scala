@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, RateSpike, Sample, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, Sample, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -92,6 +92,9 @@ object SparkEntry {
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
     "q_attribution" -> Attribution.qAttribution _,
+    // Top behavioral trigram paths: one user exchange for both lags,
+    // |types|^3-key rollup, TakeOrderedAndProject cut.
+    "q_paths" -> ((s: SparkSession, d: String) => Paths.qPaths(s, d)),
     "q_approx_distinct" -> Analytics.qApproxDistinct _,
     "q_range_join" -> Analytics.qRangeJoin _,
     "q_json_extract" -> Analytics.qJsonExtract _,
@@ -724,6 +727,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rk_new = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_touch_cents,
         |  CAST(sum(cents // n + CASE WHEN rk_old = 1 THEN cents % n ELSE 0 END) AS BIGINT) AS linear_cents
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same trigram lags, same deterministic (ts, event_id) order, same
+    // (count desc, path asc) cut.
+    "q_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS p1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS p2
+        |  FROM events
+        |)
+        |SELECT p1, p2, event_type AS p3, count(*) AS n
+        |FROM e WHERE p1 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, p1, p2, p3 LIMIT 15""".stripMargin,
     // The sketch's 5%-accuracy boolean is the pinned contract; the
     // oracle computes only the exact count (HLL internals are
     // engine-specific by nature).
