@@ -262,6 +262,9 @@ object SparkEntry {
     // bucket guard; planted 1-flip / 3-flip twins must ALL surface at
     // their exact distance.
     "mm_phash_near" -> ((s: SparkSession, d: String) => graft.multimodal.PhashNear.phashNearRecall(s, d)),
+    // Scene segmentation over the sampled frames: cut where adjacent
+    // frame peaks differ > τ; peaks are bit-identical cross-engine.
+    "mm_scene_cut" -> ((s: SparkSession, d: String) => Multimodal.sceneCut(s, d)),
     // REAL RIFF/PCM WAV parse (magic strings, little-endian fields,
     // chunk sizing) over arithmetic-generated audio; rate/samples/
     // duration/loudness recomputed by the oracle from the generation
@@ -1644,6 +1647,37 @@ object SparkEntry {
         |SELECT r.media_id AS media_id, CAST(r.f AS INTEGER) AS frame, coalesce(pk.peak, 0.0) AS peak
         |FROM rng r LEFT JOIN pk ON r.media_id = pk.media_id AND r.f = pk.f
         |ORDER BY media_id, frame""".stripMargin,
+    // mm_frames' peak CTE (bit-identical by that oracle) + lag:
+    // identical IEEE subtraction of identical doubles ⇒ identical cuts.
+    "mm_scene_cut" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+        |), fr AS (
+        |  SELECT media_id, hx, n, f, greatest(n // 4, 1) AS sz FROM h, (SELECT unnest(generate_series(0, 3)) AS f)
+        |), rng AS (
+        |  SELECT media_id, hx, f,
+        |    least(f * sz, n) AS b0,
+        |    CASE WHEN f = 3 THEN n ELSE least(least(f * sz, n) + sz, n) END AS b1
+        |  FROM fr
+        |), nb AS (
+        |  SELECT media_id, f, b1 - b0 AS flen,
+        |    unnest([substr(hx, 2 * (b0 + i) + 1, 1) FOR i IN generate_series(0, b1 - b0 - 1)]) AS nib
+        |  FROM rng WHERE b1 > b0
+        |), c AS (
+        |  SELECT media_id, f, any_value(flen) AS flen, nib, count(*) AS cnt FROM nb GROUP BY media_id, f, nib
+        |), pk AS (
+        |  SELECT media_id, f, round(CAST(CAST(max(cnt) AS FLOAT) / CAST(any_value(flen) AS FLOAT) AS DOUBLE), 4) AS peak
+        |  FROM c GROUP BY media_id, f
+        |), pk2 AS (
+        |  SELECT r.media_id, r.f AS frame, coalesce(pk.peak, 0.0) AS peak
+        |  FROM rng r LEFT JOIN pk ON r.media_id = pk.media_id AND r.f = pk.f
+        |), l AS (
+        |  SELECT *, lag(peak) OVER (PARTITION BY media_id ORDER BY frame) AS prev FROM pk2
+        |)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND abs(peak - prev) > 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND abs(peak - prev) > 0.03 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_segments
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     // Expected decode output from the WAV generation formula: sample i
     // of clip id is (id*31 + i*7) mod 256; 8-bit mono PCM at 8 kHz.
     "mm_audio" ->

@@ -136,4 +136,21 @@ class MultimodalSpec extends SparkSpec {
     assert(perMedia.length == 1 && perMedia(0).getLong(0) == 3)
     assert(frames.limit(5).collect().forall(_.getSeq[Float](2).length == 16))
   }
+
+  test("scene cuts equal a brute-force threshold pass over the frame peaks") {
+    import org.apache.spark.sql.functions._
+    val peaks = Multimodal.frameSummary(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expected = peaks.groupBy(_._1).map { case (m, fs) =>
+      val ordered = fs.sortBy(_._2).map(_._3)
+      val cuts = ordered.sliding(2).count(p => p.length == 2 && math.abs(p(1) - p(0)) > 0.03)
+      m -> (ordered.length.toLong, cuts.toLong, cuts.toLong + 1)
+    }
+    val got = Multimodal.sceneCut(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    val cutCounts = got.values.map(_._2).toSet
+    assert(cutCounts.size > 1 && cutCounts.exists(_ > 0),
+      "threshold must discriminate: some media cut, with varying counts")
+  }
 }
