@@ -103,20 +103,14 @@ case class BitmapBuildAgg(
     copy(child = newChild)
 }
 
-/** Rollup tier: OR pre-built bitmap VALUES, eval to the exact count —
-  * re-aggregation of states, never a data rescan (the `hll_union_agg`
-  * shape, exact).
+/** Shared OR-fold over pre-built bitmap VALUES: the two concrete
+  * aggregates differ only in what `eval` exposes (the bitmap vs its
+  * cardinality).
   */
-case class BitmapOrCountAgg(
-    child: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+sealed abstract class BitmapOrBase
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
-  override def prettyName: String = "bitmap_or_count"
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
-
   override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
@@ -127,10 +121,23 @@ case class BitmapOrCountAgg(
   override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
     if (b2.isEmpty) b1 else BitmapOps.orInto(prettyName, b1, b2)
 
-  override def eval(buf: Array[Byte]): Any = BitmapOps.cardinality(buf)
-
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+}
+
+/** Rollup tier: OR pre-built bitmap VALUES, eval to the exact count —
+  * re-aggregation of states, never a data rescan (the `hll_union_agg`
+  * shape, exact).
+  */
+case class BitmapOrCountAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapOrBase {
+
+  override def prettyName: String = "bitmap_or_count"
+  override def dataType: DataType = LongType
+  override def eval(buf: Array[Byte]): Any = BitmapOps.cardinality(buf)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrCountAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -148,26 +155,11 @@ case class BitmapOrAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends BitmapOrBase {
 
   override def prettyName: String = "bitmap_or"
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
-
-  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
-
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v == null) buf else BitmapOps.orInto(prettyName, buf, v.asInstanceOf[Array[Byte]])
-  }
-
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    if (b2.isEmpty) b1 else BitmapOps.orInto(prettyName, b1, b2)
-
   override def eval(buf: Array[Byte]): Any = buf
-
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -48,17 +48,17 @@ object Attribution {
     val byPurchase = Window.partitionBy("purchase_id")
     val recency = Window.partitionBy("purchase_id")
       .orderBy(col("tt").desc, col("touch_id").desc)
-    val age = Window.partitionBy("purchase_id")
-      .orderBy(col("tt").asc, col("touch_id").asc)
 
+    // (tt, touch_id) is a total order, so the earliest touch is simply
+    // rk_new == n — one recency sort serves both models; a second
+    // age-ordered window would re-sort every purchase partition.
     val credited = pairs
       .withColumn("n", count(lit(1)).over(byPurchase))
       .withColumn("rk_new", row_number().over(recency))
-      .withColumn("rk_old", row_number().over(age))
       .withColumn("lt_cents", when(col("rk_new") === 1, col("cents")).otherwise(lit(0L)))
       .withColumn("lin_cents",
         expr("cents div n") +
-          when(col("rk_old") === 1, expr("cents % n")).otherwise(lit(0L)))
+          when(col("rk_new") === col("n"), expr("cents % n")).otherwise(lit(0L)))
 
     credited.groupBy("channel")
       .agg(

@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Evolution {
 
-  /** Two-generation dataset: gen-1 (o_orderkey, month, total), gen-2
-    * adds `priority`. Returns (path, gen1 rows, gen2 rows).
+  /** Two-generation dataset at `path`: gen-1 (o_orderkey, month,
+    * total), gen-2 adds `priority`. Returns (gen1 rows, gen2 rows).
     */
   def writeEvolved(spark: SparkSession, sfDir: String, path: String): (Long, Long) = {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -22,6 +22,15 @@ object ChainedState {
           initState: DataFrame,
           merge: (DataFrame, DataFrame) => DataFrame): (DataFrame, String) = {
     val base = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    // the root (full feed copy + every chained snapshot) lives until
+    // JVM exit — long enough for spec chain assertions, bounded across
+    // repeated fork-per-query bench runs
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base.toFile)
+    }
     val feedDir = base.resolve("feed").toString
     val stateRoot = base.resolve("state").toString
     feed.repartition(feedFiles).write.mode("overwrite").parquet(feedDir)

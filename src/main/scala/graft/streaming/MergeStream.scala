@@ -4,7 +4,6 @@ import graft.queries.Merge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming CDC apply — the streaming twin of
   * [[graft.queries.Merge.qMergeUpsert]]: the change feed arrives as
@@ -28,16 +27,6 @@ import org.apache.spark.sql.streaming.Trigger
   * shuffles; the reconciliation operator itself is unchanged.
   */
 object MergeStream {
-
-  /** Per-run feed/state roots: the run writes its own feed and walks its
-    * own state chain, so a fresh temp root (nonce included by
-    * createTempDirectory) makes concurrent runs on the same dataset
-    * disjoint writers instead of racing over a shared (user, sfDir) path.
-    */
-  private def dirs(): (String, String) = {
-    val base = java.nio.file.Files.createTempDirectory("graft-cdc-")
-    (base.resolve("feed").toString, base.resolve("state").toString)
-  }
 
   /** State root of the most recent [[runMergeBounded]] in this JVM —
     * diagnostic hook so the spec can assert the run actually chained
@@ -70,39 +59,14 @@ object MergeStream {
     * must equal the all-changes-at-once batch merge (the oracle).
     */
   def runMergeBounded(spark: SparkSession, sfDir: String): DataFrame = {
-    val (feedDir, stateRoot) = dirs()
-    lastStateRoot = stateRoot
-    // fresh feed + state every run — the run IS the reconciliation
-    changeFeed(spark, sfDir).repartition(4)
-      .write.mode("overwrite").parquet(feedDir)
     val base = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"),
         lit(0L).as("version"), lit(false).as("is_delete"))
-    // foreachBatch runs on the micro-batch thread; the final read below
-    // happens on the caller thread after awaitTermination — an
-    // AtomicReference makes that cross-thread hand-off explicit instead
-    // of leaning on incidental synchronization.
-    val statePath = new java.util.concurrent.atomic.AtomicReference[String](
-      s"$stateRoot/state-init")
-    base.write.mode("overwrite").parquet(statePath.get)
-
-    val q = spark.readStream
-      .schema(spark.read.parquet(feedDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(feedDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val merged = latestWins(spark.read.parquet(statePath.get).unionByName(batch))
-        val next = s"$stateRoot/state-$id"
-        merged.write.mode("overwrite").parquet(next)
-        statePath.set(next)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    spark.read.parquet(statePath.get)
+    val (state, stateRoot) = ChainedState.run(spark, "cdc",
+      changeFeed(spark, sfDir), 4, base,
+      (st, batch) => latestWins(st.unionByName(batch)))
+    lastStateRoot = stateRoot
+    state
       .filter(!col("is_delete"))
       .select("o_orderkey", "o_totalprice", "version")
       .orderBy("o_orderkey")
