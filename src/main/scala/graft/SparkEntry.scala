@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, Sample, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -29,6 +29,9 @@ object SparkEntry {
     "svm_partition_random" -> ((s: SparkSession, d: String) => graft.svm.Partitioner.balancedRandomSizes(s, d)),
     "svm_linear_train" -> SvmQueries.linearTrain _,
     "svm_cascade_train" -> SvmQueries.cascadeTrain _,
+    // Opt-in dense-regime fallback: guard trips → route to the linear
+    // scale path, switch recorded in the trace (fail-loud default kept).
+    "svm_cascade_auto" -> SvmQueries.cascadeAutoTrain _,
     "svm_bagging_train" -> SvmQueries.baggingTrain _,
     "svm_iterative_train" -> SvmQueries.iterativeTrain _,
     "svm_cascade_train_rbf" -> SvmQueries.cascadeTrainRbf _,
@@ -88,6 +91,10 @@ object SparkEntry {
     // Correlated LATERAL (ORDER BY LIMIT) — decorrelated by Catalyst
     // into one WindowGroupLimit scan + broadcast join (plan-pinned).
     "q_lateral_topk" -> Lateral.qLateralTopK _,
+    // Correlated SCALAR-AGGREGATE subquery (TPC-H q17 shape) —
+    // decorrelated into one per-part aggregate + join, never a
+    // per-outer-row re-execution; DuckDB runs the SAME SQL text.
+    "q_scalar_subquery" -> ScalarSubquery.qScalarSubquery _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -485,41 +492,41 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
+        |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  ((sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) + 50) // 100) / 100.0 AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q3_join" ->
-      """SELECT l_orderkey, o_orderdate, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+      """SELECT l_orderkey, o_orderdate, ((sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) + 50) // 100) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_multijoin" ->
-      """SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue, count(*) AS n_items
+      """SELECT r_name, n_name, ((sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) + 50) // 100) / 100.0 AS revenue, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q6_filter" ->
-      "SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue, count(*) AS n_rows FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+      "SELECT ((sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * CAST(floor(l_discount*100+0.5) AS BIGINT)) + 50) // 100) / 100.0 AS revenue, count(*) AS n_rows FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
     "q_window" ->
       """SELECT o_custkey, o_orderkey, rk FROM (
         |  SELECT o_custkey, o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk FROM orders
         |) t WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
     "q_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total, count(*) AS n
+      """SELECT o_orderstatus, o_orderpriority, sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS total, count(*) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total, count(*) AS n
+      """SELECT o_orderstatus, o_orderpriority, sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS total, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     // The two marginals + grand total, no cross cells — the sets
     // rollup/cube cannot express.
     "q_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total, count(*) AS n
+      """SELECT o_orderstatus, o_orderpriority, sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS total, count(*) AS n
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_events_sessionize" ->
@@ -696,7 +703,7 @@ object SparkEntry {
     "q_variant_extract" ->
       """SELECT event_type, user_id % 10 AS seg, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_v
+        |  sum(CAST(floor(value*100+0.5) AS BIGINT)) / 100.0 AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DuckDB runs the SAME lateral SQL — different decorrelation
     // machinery, same rows.
@@ -707,6 +714,9 @@ object SparkEntry {
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
+    // DuckDB runs the SAME correlated scalar-agg SQL — its own
+    // decorrelator, same rows (the q_lateral_topk discipline).
+    "q_scalar_subquery" -> graft.queries.ScalarSubquery.sql("lineitem", "part"),
     // Cents move as exact integers: floor(v·100 + ½) both sides, the
     // linear split is `cents div n` + remainder to the earliest touch
     // (rk_old = 1) — allocations sum to the purchase by construction.
@@ -784,7 +794,7 @@ object SparkEntry {
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ntile" ->
-      """SELECT quartile, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total,
+      """SELECT quartile, count(*) AS n_orders, sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS total,
         |  round(avg(o_totalprice), 4) AS avg_price
         |FROM (
         |  SELECT o_totalprice, CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
@@ -794,7 +804,7 @@ object SparkEntry {
     // join against the filtered dim.
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n_items,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |  ((sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) + 50) // 100) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1095,7 +1105,7 @@ object SparkEntry {
         |  FROM lineitem
         |)
         |SELECT count(*) AS n_items,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |  ((sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) + 50) // 100) / 100.0 AS revenue
         |FROM lineitem, b
         |WHERE l_suppkey > slo AND l_suppkey <= shi
         |  AND l_partkey > plo AND l_partkey <= phi""".stripMargin,
@@ -1110,7 +1120,7 @@ object SparkEntry {
     // 4-table star join.
     "q_dpp" ->
       """SELECT s_nationkey AS n, count(*) AS n_items,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |  ((sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) + 50) // 100) / 100.0 AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
@@ -1145,7 +1155,7 @@ object SparkEntry {
     // Salting must be invisible: the oracle is the PLAIN join.
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |  ((sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) + 50) // 100) / 100.0 AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_setops" ->

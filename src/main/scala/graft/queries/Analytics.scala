@@ -47,16 +47,49 @@ object Analytics {
     normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
-  /** Deterministic money sum: cast each double term to DECIMAL(30,10)
-    * before aggregating. A double sum's last cents depend on
-    * partition/merge order — at sf1 two revenue rows diverged from the
-    * single-threaded oracle by exactly one cent — while the per-term
-    * double product is identical in every engine and the decimal sum
-    * is exact and associative, so the rounded total is reproducible at
-    * ANY parallelism. This is also just how money should be summed.
+  /** Exact integer CENTS of a 2-decimal money double. The stored double
+    * is the nearest binary64 of c/100 with error far below 0.005, so
+    * `floor(x*100 + 0.5)` recovers c exactly — one IEEE
+    * multiply+add+floor, bit-identical in every engine (Spark `floor`
+    * on a double already returns BIGINT).
     */
-  private[queries] def moneySum(term: Column): Column =
-    round(sum(term.cast("decimal(30,10)")), 2).cast("double")
+  private[graft] def cents(x: Column): Column = floor(x * 100 + 0.5)
+
+  /** Deterministic money sum: convert each 2-decimal term to exact
+    * BIGINT cents, sum as integers. A double sum's last cents depend on
+    * partition/merge order — at sf1 two revenue rows diverged from the
+    * single-threaded oracle by exactly one cent — while the integer sum
+    * is exact, associative, and reproducible at ANY parallelism. An
+    * earlier round bought the same determinism with per-term
+    * DECIMAL(30,10) casts; those cost ~2× on the wide aggregations
+    * (BASELINE.md q1_agg/q_rollup) where BIGINT adds are near-free.
+    * Int64 headroom: max money ~5·10^7 cents ⇒ ~1.8·10^11 rows per
+    * group before overflow (ANSI mode fails loudly, never wraps); past
+    * that, sum DECIMAL(38,0) cents.
+    */
+  private[graft] def moneySum(x: Column): Column = sum(cents(x)) / 100.0
+
+  /** price·(1−discount) revenue summed exactly in integer arithmetic:
+    * cents(price) and the discount percentage are both exact small
+    * integers, so each term `cents · (100 − pct)` is the exact revenue
+    * in 10⁻⁴ dollars. Summed as BIGINT; one final HALF_UP to cents via
+    * `(S+50) div 100` (S ≥ 0), then a single exact-integer/100.0 IEEE
+    * division. Per-term ≤ ~5·10^9 ⇒ ~1.8·10^9 rows per group of int64
+    * headroom at max price — ANSI fails loudly past that; DECIMAL(38,0)
+    * is the documented escape at that scale.
+    */
+  private[graft] def moneyRevenueSum(price: Column, discount: Column): Column =
+    centiMoney(sum(cents(price) * (lit(100L) - cents(discount))))
+
+  /** price·discount (the discounted-amount shape, q6) in the same exact
+    * 10⁻⁴-dollar units as [[moneyRevenueSum]]. */
+  private[graft] def moneyDiscSum(price: Column, discount: Column): Column =
+    centiMoney(sum(cents(price) * cents(discount)))
+
+  /** 10⁻⁴-dollar BIGINT total → dollars: HALF_UP to cents in integer
+    * arithmetic, one final exact division. */
+  private def centiMoney(s: Column): Column =
+    call_function("div", s + lit(50L), lit(100L)) / 100.0
 
   /** TPC-H Q1-style pricing summary. */
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
@@ -66,7 +99,7 @@ object Analytics {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneyRevenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -81,7 +114,7 @@ object Analytics {
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
       .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(moneyRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -99,7 +132,7 @@ object Analytics {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+      .agg(moneyRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -108,7 +141,7 @@ object Analytics {
   def q6Filter(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+      .agg(moneyDiscSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** Window functions: rank each customer's orders by totalprice. */
@@ -210,7 +243,7 @@ object Analytics {
     SaltedJoin.join(lineitem, supplier, col("l_suppkey"), col("s_suppkey"), salts = 8)
       .groupBy("s_nationkey")
       .agg(count(lit(1)).as("n_items"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        moneyRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("s_nationkey")
   }
 

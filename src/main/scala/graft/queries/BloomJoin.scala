@@ -49,7 +49,7 @@ object BloomJoin {
       .join(urgent.hint("merge"), facts("l_orderkey") === urgent("o_orderkey"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
-        Analytics.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        Analytics.moneyRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("l_returnflag")
   }
 }

@@ -63,7 +63,7 @@ object Dpp {
       .join(broadcast(dim), fact("n") === dim("n_nationkey"))
       .groupBy(col("n").cast("long").as("n"))
       .agg(count(lit(1)).as("n_items"),
-        Analytics.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        Analytics.moneyRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("n")
   }
 

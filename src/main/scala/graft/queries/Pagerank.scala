@@ -48,6 +48,12 @@ object Pagerank {
         .join(deg, Seq("src"))
         .groupBy(col("dst").as("s"))
         .agg(sum(expr("r div d")).as("inflow"))
+      // int64 headroom: the damping multiply bounds total rank mass at
+      // 2^63/17 ≈ 5.4e17 — a strong hub can reach that on a ~5×10^5-
+      // vertex graph at T=10^12 (tighter than the naive ~10^6-vertex
+      // bound). ANSI mode (the engine default, pinned at every entry
+      // point) makes the multiply FAIL LOUDLY past it, never wrap; for
+      // larger graphs lower T one decade per 10× vertices.
       ranks = verts
         .join(inflow, Seq("s"), "left")
         .select(col("s"),

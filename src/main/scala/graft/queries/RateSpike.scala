@@ -39,13 +39,28 @@ object RateSpike {
         .select("h"))
   }
 
-  def qRateSpike(spark: SparkSession, sfDir: String): DataFrame = {
+  def qRateSpike(spark: SparkSession, sfDir: String): DataFrame =
+    trailingSweep(
+      plantedEvents(spark, sfDir).groupBy("h").agg(count(lit(1)).as("n")),
+      "q_rate_spike")
+
+  /** Trailing-24h sweep over an ALREADY-AGGREGATED (h, n) hourly
+    * series — shared with the streaming twin. The global-order window
+    * here is single-partition by design and bounded BY CONSTRUCTION:
+    * its input is one row per hour, so cardinality scales with the
+    * TIME SPAN (a decade < 90k rows), never with corpus size — the
+    * RateSpikeSpec pins both the plan shape (window fed by the
+    * aggregate, not raw events) and the measured sub-linear input
+    * cardinality across SFs. If a series ever outgrew one partition,
+    * the reshape is day-bucketed windows with a 24-row boundary
+    * overlap; at any realistic span the single sorted partition of a
+    * few-thousand-row series is the cheaper plan.
+    */
+  private[graft] def trailingSweep(hourly: DataFrame, tag: String): DataFrame = {
     val trailing = Window.orderBy("h").rangeBetween(-24, -1)
-    val hourly = plantedEvents(spark, sfDir)
-      .groupBy("h").agg(count(lit(1)).as("n"))
     val hminRow = hourly.agg(min("h")).head()
     require(!hminRow.isNullAt(0),
-      s"q_rate_spike: empty events at $sfDir — no hourly series to scan")
+      s"$tag: empty events — no hourly series to scan")
     val hmin = hminRow.getLong(0)
     hourly
       .withColumn("trail", sum("n").over(trailing))

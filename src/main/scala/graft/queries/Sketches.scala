@@ -28,11 +28,17 @@ object Sketches {
     // fails parquet schema conversion without the nanosAsLong conf,
     // even though ts is never selected here.
     val events = Analytics.loadEvents(spark, sfDir)
+    // localCheckpoint the |types|-row sketch table before fanning out:
+    // it feeds both the per-type rows and the union row, and without
+    // the cut the union branch would re-run the full events aggregation
+    // unless exchange reuse happened to fire — the one-scan framing
+    // made physical, not hoped-for (the Skyline collapse discipline).
     val perType = events
       .groupBy("event_type")
       .agg(
         hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
         countDistinct("user_id").as("n_exact"))
+      .localCheckpoint()
     val union = perType.agg(hll_union_agg(col("sk")).as("sk"))
     // union-exact needs the raw data once (the oracle's side too); the
     // sketch union itself never rescans events.

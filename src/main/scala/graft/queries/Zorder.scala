@@ -107,7 +107,7 @@ object Zorder {
         col("l_partkey") > pLo && col("l_partkey") <= pHi)
       .agg(
         count(lit(1)).as("n_items"),
-        Analytics.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        Analytics.moneyRevenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
   }
 
   def qZorder(spark: SparkSession, sfDir: String): DataFrame =

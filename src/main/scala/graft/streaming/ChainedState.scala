@@ -15,6 +15,20 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ChainedState {
 
+  // One static hook draining every run's root: per-run addShutdownHook
+  // calls would accumulate hook threads without bound across repeated
+  // bench/test runs in one JVM.
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val hookOnce: Unit = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      tempRoots.forEach(p => rm(p.toFile))
+    }
+    ()
+  }
+
   /** Runs the bounded replay; returns (final state DataFrame, state
     * root — for spec chain assertions).
     */
@@ -25,12 +39,8 @@ object ChainedState {
     // the root (full feed copy + every chained snapshot) lives until
     // JVM exit — long enough for spec chain assertions, bounded across
     // repeated fork-per-query bench runs
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(base.toFile)
-    }
+    hookOnce
+    tempRoots.add(base)
     val feedDir = base.resolve("feed").toString
     val stateRoot = base.resolve("state").toString
     feed.repartition(feedFiles).write.mode("overwrite").parquet(feedDir)

@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.queries.RateSpike
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming rate-spike monitor — the streaming twin of
@@ -41,16 +40,9 @@ object RateSpikeStream {
         .unionByName(batch.groupBy("h").agg(count(lit(1)).as("n")))
         .groupBy("h").agg(sum("n").as("n")))
     lastStateRoot = stateRoot
-    val hminRow = hourly.agg(min("h")).head()
-    require(!hminRow.isNullAt(0),
-      s"stream_rate_spike: empty events at $sfDir — no hourly series to scan")
-    val hmin = hminRow.getLong(0)
-    val trailing = Window.orderBy("h").rangeBetween(-24, -1)
-    hourly
-      .withColumn("trail", sum("n").over(trailing))
-      .filter(col("h") >= hmin + 24)
-      .withColumn("is_spike", col("n") * 24 > col("trail") * 3)
-      .select("h", "n", "trail", "is_spike")
-      .orderBy("h")
+    // shared sweep: the carried state is already the (h, n) hourly
+    // series, so the global-order window input is |hours| rows —
+    // the bound RateSpike.trailingSweep documents and its spec pins
+    RateSpike.trailingSweep(hourly, "stream_rate_spike")
   }
 }

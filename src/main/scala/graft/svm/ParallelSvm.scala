@@ -17,6 +17,22 @@ final case class LayerStat(stage: String, layer: Int, subset: Int, nIn: Long, nS
   */
 final case class IterRow(subset: Int, nIn: Long, errs: Long, sv: Option[Ex])
 
+/** Thrown by [[ParallelSvm.cascade]]'s dense-SV guard. A typed subclass
+  * (not a bare IllegalStateException) so an opt-in fallback caller
+  * ([[SvmQueries.cascadeAutoTrain]]) can catch EXACTLY this regime,
+  * keep the already-paid layer-1 census for its trace, and route to the
+  * linear-time path — while every other failure still propagates.
+  */
+final case class DenseSvRegime(nSv: Long, nIn: Long, maxSvFraction: Double,
+                               layer1: Seq[LayerStat])
+  extends IllegalStateException(
+    f"cascade: layer 1 kept $nSv of $nIn rows as support vectors " +
+      f"(${nSv.toDouble / nIn * 100}%.1f%% > ${maxSvFraction * 100}%.0f%%) — " +
+      "the data is SV-dense, so every merge layer re-solves ~the full set and " +
+      "the final single-task solve is O(n²). Use the linear-time path instead " +
+      "(LinearSvm / svm_linear_train), or pass maxSvFraction=1.0 to knowingly " +
+      "run the dense regime")
+
 /** Spark-native re-expression of the reference's three parallel-SVM
   * meta-algorithms (cascade_svm/, Bagging_svm/, Iterative_svm/).
   *
@@ -176,13 +192,7 @@ object ParallelSvm {
         val nIn = data.count()
         if (nSv > maxSvFraction * nIn) {
           svs.unpersist()
-          throw new IllegalStateException(
-            f"cascade: layer 1 kept $nSv of $nIn rows as support vectors " +
-              f"(${nSv.toDouble / nIn * 100}%.1f%% > ${maxSvFraction * 100}%.0f%%) — " +
-              "the data is SV-dense, so every merge layer re-solves ~the full set and " +
-              "the final single-task solve is O(n²). Use the linear-time path instead " +
-              "(LinearSvm / svm_linear_train), or pass maxSvFraction=1.0 to knowingly " +
-              "run the dense regime")
+          throw DenseSvRegime(nSv, nIn, maxSvFraction, stats.result())
         }
       }
       if (isLast) {

@@ -21,4 +21,31 @@ class RateSpikeSpec extends SparkSpec {
     val falsePos = rows.collect { case (h, (_, _, true)) if h % 97 != 13 => h }
     assert(falsePos.isEmpty, s"unexpected natural spikes at $falsePos")
   }
+
+  test("the global-order window provably consumes the |hours| pre-aggregate, not raw events") {
+    val df = RateSpike.qRateSpike(spark, sf001)
+    df.collect()
+    // plan structure: linear chain scan → hourly HashAggregate → Window,
+    // so in the printed tree the Window line precedes the aggregate
+    // which precedes the events scan — the window never sees raw rows
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    val iWin = lines.indexWhere(_.contains("Window"))
+    assert(iWin >= 0, "expected a Window operator")
+    val iAgg = lines.indexWhere(_.contains("HashAggregate"), iWin)
+    val iScan = lines.indexWhere(l => l.contains("Scan parquet") || l.contains("FileScan"), iWin)
+    assert(iAgg >= 0 && iScan >= 0 && iWin < iAgg && iAgg < iScan,
+      s"window input must be the hourly aggregate, not raw events:\n${lines.mkString("\n")}")
+    // measured bound: the series cardinality tracks the TIME SPAN, not
+    // the corpus — 10× the data may not grow the window input beyond
+    // the densified span (and it stays tiny vs the event count)
+    def hours(sf: String) =
+      RateSpike.plantedEvents(spark, sf).select("h").distinct().count()
+    val hSmall = hours(sf0001)
+    val hBig = hours(sf001)
+    val nBig = Analytics.loadEvents(spark, sf001).count()
+    assert(hBig <= (hSmall * 3) / 2,
+      s"hour-series cardinality must be span-bounded: $hSmall → $hBig at 10× data")
+    assert(hBig * 10 < nBig,
+      s"window input ($hBig rows) must be far below the corpus ($nBig rows)")
+  }
 }

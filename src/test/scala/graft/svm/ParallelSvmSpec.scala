@@ -91,6 +91,23 @@ class ParallelSvmSpec extends SparkSpec {
     assert(l1 < 0.9 * 400, s"rings layer-1 SV count $l1 should be sparse")
   }
 
+  test("cascadeAutoTrain routes the dense regime to the linear path, switch recorded in the trace") {
+    val rows = SvmQueries.cascadeAutoTrain(spark, sf0001).collect()
+    val stages = rows.map(_.getString(0))
+    // the paid layer-1 census is preserved, the switch row is loud, and
+    // the linear training summary follows in the same schema
+    assert(stages.contains("cascade"), "layer-1 census rows must survive the reroute")
+    val marker = rows.filter(_.getString(0) == "dense_fallback")
+    assert(marker.length == 1, "exactly one fallback marker row")
+    assert(marker(0).getDouble(5) > 0.9, "marker metric = the tripping SV fraction")
+    val linear = rows.filter(_.getString(0) == "linear")
+    assert(linear.length == 11, "10 per-class rows + the accuracy row")
+    // 10-class chance is 0.1; the noisy 500-row sf0.001 slice trains to
+    // ~0.44 — the bar is "far above chance", not a quality pin
+    val acc = linear.find(_.getInt(2) == -1).get.getDouble(5)
+    assert(acc > 0.3, s"fallback linear model must actually train (acc=$acc)")
+  }
+
   test("iterative fails loudly when the global-SV set exceeds maxGlobalSvs") {
     // The noisy embeddings are adversarial for iterative SVM: nearly every
     // point is a bound SV, so round 1 already overflows a tiny cap.
