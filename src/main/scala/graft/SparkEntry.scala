@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Compact, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -120,6 +120,9 @@ object SparkEntry {
     "q_interval_overlap" -> IntervalOverlap.qIntervalOverlap _,
     "q_rate_spike" -> RateSpike.qRateSpike _,
     "q_zorder" -> Zorder.qZorder _,
+    // Small-file compaction (OPTIMIZE bin-packing): fragmented layout
+    // rebuilt into full files via ONE range shuffle; census invisible.
+    "q_compact" -> ((s: SparkSession, d: String) => Compact.qCompact(s, d)),
     "q_merge_upsert" -> Merge.qMergeUpsert _,
     // Streaming CDC apply: file-per-micro-batch change feed reconciled
     // into keyed state via foreachBatch; census equals the batch merge
@@ -205,6 +208,12 @@ object SparkEntry {
     // recall must clear 0.95 per method (measured 0.991-1.0; detuned
     // tables/nProbe fall below the pin).
     "ann_recall_atk" -> ((s: SparkSession, d: String) => Ann.annRecallAtK(s, d)),
+    // Graph ANN tier (HNSW-class, NSW-lite per shard): per-shard
+    // in-memory small-world graphs, beam search under a HARD eval cap
+    // equal to IVF's 1/4 scan budget; recall@10 must clear the same
+    // 0.95 bar as the IVF row measured side by side on the same
+    // probes/truth — the equal-candidate-budget family comparison.
+    "ann_hnsw" -> ((s: SparkSession, d: String) => graft.similarity.Hnsw.annHnsw(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshPlantedTop1(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ivf.ivfPlantedTop1(s, d)),
     // Incremental IVF add (the index's day-2 shape): a batch of new
@@ -1109,6 +1118,15 @@ object SparkEntry {
         |FROM lineitem, b
         |WHERE l_suppkey > slo AND l_suppkey <= shi
         |  AND l_partkey > plo AND l_partkey <= phi""".stripMargin,
+    // Compaction is semantically invisible: the oracle computes the
+    // census from the base table; the physical certificates
+    // (fewer-files, per-file cap) are deterministic-by-construction
+    // booleans the hash must reproduce.
+    "q_compact" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS total,
+        |  true AS compact_ok, true AS cap_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // The struct-array packing must be lossless: the oracle is the
     // plain two-level aggregate that never builds the array.
     "q_nested" ->
@@ -1378,6 +1396,17 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('ivf', true, true),
         |  ('lsh', true, true)) AS t(method, planted_ok, recall_ok)
+        |ORDER BY method""".stripMargin,
+    // Graph tier vs IVF at equal candidate budget: both methods must
+    // clear recall@10 >= 0.95 on the same probes/corpus/ground truth,
+    // and the graph's measured per-probe evals respect the IVF-equal
+    // cap (budget_ok). Deterministic booleans (sorted insertion, tie
+    // rules pinned) — the 20i/ann_recall_atk discipline.
+    "ann_hnsw" ->
+      """SELECT * FROM (VALUES
+        |  ('hnsw', true, true, true),
+        |  ('ivf_budget_ref', true, true, true))
+        |  AS t(method, planted_ok, recall_ok, budget_ok)
         |ORDER BY method""".stripMargin,
     // Same dense-cluster recall regime as ann_recall_atk, for the PQ
     // compressed-domain scan + exact re-rank.

@@ -51,4 +51,22 @@ class SketchVariantSpec extends SparkSpec {
     assert(got == direct)
     assert(got.nonEmpty && got.keySet.map(_._2).size == 10, "all 10 segments present")
   }
+
+  test("variant shred is physical: the read path carries zero parse/variant expressions") {
+    val path = VariantOps.writeShredded(spark, sf001)
+    val read = spark.read.parquet(path)
+    val plan = VariantOps.aggShredded(read).queryExecution.executedPlan.toString
+    Seq("parse_json", "variant_get", "VariantExpressionEvalUtils", "VariantGet").foreach { m =>
+      assert(!plan.contains(m),
+        s"read path must aggregate typed columns only — found '$m':\n$plan")
+    }
+    // one shred row per event: the p traversals never re-shred or fan out
+    val nEvents = Analytics.loadEvents(spark, sf001).count()
+    assert(read.count() == nEvents, "exactly one shredded row per event")
+    // the materialized round-trip loses nothing vs the in-memory shred
+    val viaParquet = VariantOps.aggShredded(read).collect().map(_.toSeq).toSeq
+    val inMemory = VariantOps.aggShredded(VariantOps.shredded(spark, sf001))
+      .collect().map(_.toSeq).toSeq
+    assert(viaParquet == inMemory)
+  }
 }
