@@ -34,10 +34,9 @@ object HnswProbe {
     println(s"HNSWPROBE corpus=$corpusN probes=${probes.count()} truth=$nTruth")
     val ivfR = recallOf(Ivf.ivfTopKBounded(data, probes, k, nLists = 16, nProbe = 4))
     println(f"HNSWPROBE ivf recall=$ivfR%.4f")
-    for (p <- Seq(
-      Hnsw.Params(m = 8, efConstruction = 32, efSearch = 64, shards = 4),
-      Hnsw.Params(m = 12, efConstruction = 48, efSearch = 64, shards = 4));
-         cap <- Seq(50, 80, 128, 200)) {
+    val shipped = math.max(128, (corpusN / 4 / 4).toInt)
+    for (p <- Seq(Hnsw.Params(m = 8, efConstruction = 32, efSearch = 64, shards = 4));
+         cap <- Seq(shipped)) {
       val cands = Hnsw.searchShards(data, probes, k, p, cap).localCheckpoint()
       val r = recallOf(Hnsw.topK(cands, k))
       val maxEv = cands.groupBy("probe_id", "shard").agg(max("evals").as("e"))
