@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Compact, Dpp, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -95,6 +95,9 @@ object SparkEntry {
     // decorrelated into one per-part aggregate + join, never a
     // per-outer-row re-execution; DuckDB runs the SAME SQL text.
     "q_scalar_subquery" -> ScalarSubquery.qScalarSubquery _,
+    // Correlated EXISTS/NOT EXISTS — the predicate-subquery SQL text,
+    // decorrelated into left-semi + left-anti hash joins (plan-pinned).
+    "q_exists_subquery" -> ExistsSubquery.qExistsSubquery _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -299,6 +302,10 @@ object SparkEntry {
     // n_hit_docs >= 2 / leaked=true per the arithmetic planting rule.
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => graft.text.Decontaminate.decontaminate(s, d)),
     "corpus_pack" -> ((s: SparkSession, d: String) => graft.text.CorpusShard.pack(s, d)),
+    // Sequence packing with document SPLITTING: the concatenated token
+    // stream cut into fixed-capacity training sequences — offsets via
+    // a two-level distributed prefix sum, span histogram out.
+    "corpus_seqpack" -> ((s: SparkSession, d: String) => graft.text.SeqPack.corpusSeqPack(s, d)),
     // physical shard write + read-back: the census of what was WRITTEN
     // must equal the manifest — same oracle SQL as corpus_pack, so a
     // dropped row, a partition-key mixup, or a lossy type round-trip
@@ -726,6 +733,23 @@ object SparkEntry {
     // DuckDB runs the SAME correlated scalar-agg SQL — its own
     // decorrelator, same rows (the q_lateral_topk discipline).
     "q_scalar_subquery" -> graft.queries.ScalarSubquery.sql("lineitem", "part"),
+    // Same-SQL-text contract for the predicate-subquery class.
+    "q_exists_subquery" -> graft.queries.ExistsSubquery.sql("customer", "orders"),
+    // The oracle computes the identical token stream with DuckDB's
+    // naive single global window cumsum — different plan (the engine
+    // runs the two-level distributed prefix sum), same offsets.
+    "corpus_seqpack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_extract_all(text, '[A-Za-z]+')) + length(regexp_extract_all(text, '[0-9]+')) + length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS nt
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, nt,
+        |    coalesce(sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM toks WHERE nt > 0)
+        |SELECT ((p + nt - 1) // 64) - (p // 64) + 1 AS n_spans,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM pre GROUP BY 1 ORDER BY 1""".stripMargin,
     // Cents move as exact integers: floor(v·100 + ½) both sides, the
     // linear split is `cents div n` + remainder to the earliest touch
     // (rk_old = 1) — allocations sum to the purchase by construction.

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training SEQUENCE PACKING (SURVEY.md §2c) — the GPT-style
+  * pretraining batch layout: the corpus is one concatenated token
+  * stream in doc_id order, cut into fixed-`capacity` sequences;
+  * a document occupies the half-open token interval
+  * [start, start+nt) and therefore spans sequences
+  * `start div cap .. (start+nt−1) div cap` — long documents SPLIT
+  * across sequence boundaries (the part `corpus_pack`'s whole-doc
+  * shard packing deliberately does not do). Sequence count is exactly
+  * ⌈Σtokens/cap⌉ by construction — zero padding waste except the tail.
+  *
+  * Scale shape — DISTRIBUTED PREFIX SUM, two levels: a global running
+  * token offset is inherently sequential, so it is computed as
+  * (1) per-bucket token totals (one map-side-combined aggregate;
+  * bucket = doc_id div bucketSize preserves the stream order as
+  * contiguous ranges), cumulated by a window over the |buckets|-row
+  * totals — the rate-spike discipline: a single-partition window whose
+  * input is corpus-size/bucketSize rows, bounded and spec-pinned, with
+  * bucketSize the knob that keeps |buckets| ≈ √n at extreme scale
+  * (recurse the same two-level scheme for more); then (2) an
+  * intra-bucket cumsum windowed PER BUCKET — fully parallel. Every
+  * quantity is exact integer arithmetic (`div` floors on positives
+  * identically in any engine); the DuckDB oracle computes the same
+  * offsets with its naive single global window — different plan, same
+  * stream.
+  *
+  * Output: the per-doc span-count histogram (n_spans, n_docs,
+  * n_tokens) — the number a data engineer actually checks before
+  * training ("how many documents get cut, how badly").
+  */
+object SeqPack {
+
+  def corpusSeqPack(spark: SparkSession, sfDir: String,
+                    capacity: Int = 64, bucketSize: Long = 100L): DataFrame = {
+    // localCheckpoint: the (doc_id, nt, bucket) frame feeds BOTH the
+    // bucket-total aggregate and the per-doc join — without the cut the
+    // 3-regex tokenization scans the corpus text twice (measured ~2×
+    // at sf1); checkpointed it is three 8-byte columns read twice.
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("bucket", expr(s"doc_id div ${bucketSize}L"))
+      .localCheckpoint()
+    // level 1: |buckets|-row totals; strict-prefix cumsum so a bucket's
+    // own tokens are not included in its offset
+    val bucketPrefix = toks.groupBy("bucket").agg(sum("nt").as("bt"))
+      .withColumn("bpre", coalesce(
+        sum("bt").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bpre")
+    // level 2: intra-bucket strict-prefix cumsum — parallel per bucket
+    val intra = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .join(bucketPrefix, "bucket")
+      .withColumn("start", col("bpre") + coalesce(sum("nt").over(intra), lit(0L)))
+      .withColumn("n_spans",
+        expr(s"(start + nt - 1) div ${capacity}L") - expr(s"start div ${capacity}L") + 1)
+      .groupBy("n_spans")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .orderBy("n_spans")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SeqPackSpec extends SparkSpec {
+
+  /** The naive single-global-window offsets — correct by inspection,
+    * the reference the two-level distributed prefix sum must equal.
+    */
+  private def naive(sf: String, cap: Long) = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("start", coalesce(sum("nt").over(w), lit(0L)))
+      .withColumn("n_spans",
+        expr(s"(start + nt - 1) div ${cap}L") - expr(s"start div ${cap}L") + 1)
+  }
+
+  test("two-level distributed prefix sum equals the naive global cumsum, doc for doc") {
+    val hist = SeqPack.corpusSeqPack(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = naive(sf001, 64L)
+      .groupBy("n_spans").agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hist == expect)
+    assert(hist.keySet.exists(_ >= 2),
+      "some documents must actually split across sequences or the operator is vacuous")
+    assert(hist.contains(1L), "and most documents should fit one sequence")
+  }
+
+  test("packing is tight: sequence count is exactly ceil(total_tokens / capacity)") {
+    val cap = 64L
+    val perDoc = naive(sf001, cap)
+    val total = perDoc.agg(sum("nt")).head().getLong(0)
+    val lastSeq = perDoc
+      .select(expr(s"(start + nt - 1) div ${cap}L").as("s1"))
+      .agg(max("s1")).head().getLong(0)
+    assert(lastSeq + 1 == (total + cap - 1) / cap,
+      "the concatenated stream leaves no internal padding gaps")
+  }
+
+  test("the level-1 window input is |buckets| rows — bounded by the bucket knob, not the corpus") {
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    val nBuckets = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(expr("doc_id div 100L").as("b")).distinct().count()
+    assert(nBuckets * 50 <= nDocs * 1 + 100,
+      s"bucketing must compress the single-partition window input ($nDocs docs -> $nBuckets buckets)")
+  }
+}
