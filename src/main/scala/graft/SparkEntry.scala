@@ -66,6 +66,9 @@ object SparkEntry {
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
     "q_asof_join" -> ((s: SparkSession, d: String) => Analytics.qAsofJoin(s, d)),
     "q_asof_tolerance" -> ((s: SparkSession, d: String) => Analytics.qAsofTolerance(s, d)),
+    // Forward direction through the SAME backward linear-merge plan
+    // via time negation; DuckDB's native forward ASOF is the oracle.
+    "q_asof_forward" -> ((s: SparkSession, d: String) => Analytics.qAsofForward(s, d)),
     "q_distinct_agg" -> Analytics.qDistinctAgg _,
     "q_outer_join" -> Analytics.qOuterJoin _,
     "q_percentiles" -> Analytics.qPercentiles _,
@@ -306,6 +309,9 @@ object SparkEntry {
     // stream cut into fixed-capacity training sequences — offsets via
     // a two-level distributed prefix sum, span histogram out.
     "corpus_seqpack" -> ((s: SparkSession, d: String) => graft.text.SeqPack.corpusSeqPack(s, d)),
+    // The dataloader-consumable span assignment: one row per
+    // (doc, sequence) span, reassembly invariants spec-pinned.
+    "corpus_seqpack_manifest" -> ((s: SparkSession, d: String) => graft.text.SeqPack.seqPackManifest(s, d)),
     // physical shard write + read-back: the census of what was WRITTEN
     // must equal the manifest — same oracle SQL as corpus_pack, so a
     // dropped row, a partition-key mixup, or a lossy type round-trip
@@ -589,6 +595,16 @@ object SparkEntry {
         |  count(CASE WHEN t - t2 <= CAST(709344000000000 AS BIGINT) THEN okey END) AS n_matched,
         |  max(CASE WHEN t - t2 <= CAST(709344000000000 AS BIGINT) THEN okey END) AS max_okey
         |FROM j GROUP BY k ORDER BY k""".stripMargin,
+    // Forward as-of: DuckDB's <= comparator is its native forward
+    // direction — different machinery than the negated backward merge,
+    // same matches.
+    "q_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id AS k, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS k2, epoch_us(ts) AS t2, max(event_id) AS pid
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (SELECT k, pid FROM v ASOF LEFT JOIN p ON v.k = p.k2 AND v.t <= p.t2)
+        |SELECT k % 50 AS cohort, count(*) AS n_views, count(pid) AS n_matched, max(pid) AS max_pid
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_outer_join" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_only,
@@ -750,6 +766,25 @@ object SparkEntry {
         |SELECT ((p + nt - 1) // 64) - (p // 64) + 1 AS n_spans,
         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM pre GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The manifest oracle explodes each doc's span range from the same
+    // naive global-window offsets.
+    "corpus_seqpack_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_extract_all(text, '[A-Za-z]+')) + length(regexp_extract_all(text, '[0-9]+')) + length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS nt
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, nt,
+        |    CAST(coalesce(sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+        |  FROM toks WHERE nt > 0),
+        |m AS (
+        |  SELECT doc_id, nt, p,
+        |    unnest(generate_series(p // 64, (p + nt - 1) // 64)) AS seq_id
+        |  FROM pre)
+        |SELECT doc_id, seq_id,
+        |  greatest(seq_id * 64 - p, 0) AS off_in_doc,
+        |  least((seq_id + 1) * 64, p + nt) - greatest(seq_id * 64, p) AS span_len
+        |FROM m ORDER BY doc_id, seq_id""".stripMargin,
     // Cents move as exact integers: floor(v·100 + ½) both sides, the
     // linear split is `cents div n` + remainder to the earliest touch
     // (rk_old = 1) — allocations sum to the purchase by construction.

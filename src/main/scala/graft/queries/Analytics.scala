@@ -402,6 +402,35 @@ object Analytics {
         |ORDER BY id_a""".stripMargin)
   }
 
+  /** FORWARD as-of join (pandas merge_asof `direction='forward'`):
+    * each view event matches the user's EARLIEST purchase at-or-after
+    * it — the "next conversion" lookup, the direction the backward
+    * operator can't express. Runs through the SAME backward
+    * linear-merge SparkPlan by TIME NEGATION: latest(−t₂) ≤ −t ⟺
+    * earliest(t₂) ≥ t, so one physical operator serves both directions
+    * (the classic reduction — no second plan to build, test, and keep
+    * in sync). Purchases are pre-aggregated to unique (user, time)
+    * keys so the tie winner is deterministic; the oracle is DuckDB's
+    * native forward ASOF (`ON v.t <= p.t2`).
+    */
+  def qAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id").as("k"),
+        (-unix_micros(col("ts"))).as("tn"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("k2"), unix_micros(col("ts")).as("t2"))
+      .agg(max("event_id").as("pid"))
+      .select(col("k2"), (-col("t2")).as("t2n"), col("pid"))
+    graft.plans.AsOf.join(views, purchases,
+        Seq(views("k")), Seq(purchases("k2")), views("tn"), purchases("t2n"))
+      .groupBy(pmod(col("k"), lit(50)).as("cohort"))
+      .agg(count(lit(1)).as("n_views"),
+        count(col("pid")).as("n_matched"),
+        max(col("pid")).as("max_pid"))
+      .orderBy("cohort")
+  }
+
   /** As-of join with a staleness TOLERANCE (pandas merge_asof
     * `tolerance`): matches older than `tolUs` microseconds are dropped.
     * The synthetic event/order gap clusters around 8195-8224 days, so

@@ -35,8 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object SeqPack {
 
-  def corpusSeqPack(spark: SparkSession, sfDir: String,
-                    capacity: Int = 64, bucketSize: Long = 100L): DataFrame = {
+  /** Per-doc stream offsets via the two-level distributed prefix sum:
+    * (doc_id, nt, start) — the shared core of the histogram and the
+    * manifest.
+    */
+  private[text] def perDocStarts(spark: SparkSession, sfDir: String,
+                                 bucketSize: Long): DataFrame = {
     // localCheckpoint: the (doc_id, nt, bucket) frame feeds BOTH the
     // bucket-total aggregate and the per-doc join — without the cut the
     // 3-regex tokenization scans the corpus text twice (measured ~2×
@@ -60,10 +64,40 @@ object SeqPack {
     toks
       .join(bucketPrefix, "bucket")
       .withColumn("start", col("bpre") + coalesce(sum("nt").over(intra), lit(0L)))
+      .select("doc_id", "nt", "start")
+  }
+
+  def corpusSeqPack(spark: SparkSession, sfDir: String,
+                    capacity: Int = 64, bucketSize: Long = 100L): DataFrame =
+    perDocStarts(spark, sfDir, bucketSize)
       .withColumn("n_spans",
         expr(s"(start + nt - 1) div ${capacity}L") - expr(s"start div ${capacity}L") + 1)
       .groupBy("n_spans")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
       .orderBy("n_spans")
+
+  /** The dataloader-consumable ASSIGNMENT MANIFEST
+    * (`corpus_seqpack_manifest`): one row per (document, sequence)
+    * span — the sequence id, the token offset INSIDE the document, and
+    * the span length. A loader materializes sequence s by
+    * concatenating s's spans in doc_id order; a document's spans are
+    * contiguous (each `off_in_doc` resumes where the previous span
+    * ended) and sum to its token count, and every sequence except the
+    * last sums exactly to `capacity` — all three reassembly invariants
+    * spec-pinned. Row volume = Σ spans ≈ n_docs + n_seqs (each split
+    * adds one row), never tokens; the per-doc explode fans out over
+    * the doc's own span RANGE only (≤ ⌈nt/cap⌉ + 1 rows).
+    */
+  def seqPackManifest(spark: SparkSession, sfDir: String,
+                      capacity: Int = 64, bucketSize: Long = 100L): DataFrame = {
+    val cap = capacity.toLong
+    perDocStarts(spark, sfDir, bucketSize)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start div ${cap}L"), expr(s"(start + nt - 1) div ${cap}L"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("seq_id") * cap - col("start"), lit(0L)).as("off_in_doc"),
+        (least((col("seq_id") + 1) * cap, col("start") + col("nt")) -
+          greatest(col("seq_id") * cap, col("start"))).as("span_len"))
+      .orderBy("doc_id", "seq_id")
   }
 }

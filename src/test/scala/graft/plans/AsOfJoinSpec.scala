@@ -109,4 +109,31 @@ class AsOfJoinSpec extends SparkSpec {
     val diffs = fast.collect { case (k, v) if slow(k) != v => (k, v, slow(k)) }
     assert(diffs.isEmpty, s"${diffs.take(5)}")
   }
+
+  test("forward direction via time negation equals the brute earliest-at-or-after composition") {
+    import spark.implicits._
+    import graft.queries.Analytics
+    val ev = Analytics.loadEvents(spark, sf0001)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id").as("k"), unix_micros(col("ts")).as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("k2"), unix_micros(col("ts")).as("t2"))
+      .agg(max("event_id").as("pid"))
+    // brute: per view, min-(t2) purchase at-or-after; ties cannot occur
+    // (purchases pre-aggregated to unique (user, time))
+    val w = Window.partitionBy("event_id").orderBy(asc("t2"), asc("pid"))
+    val slow = views.join(purchases,
+        views("k") === purchases("k2") && purchases("t2") >= views("t"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_id", "pid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val vn = views.select(col("event_id"), col("k"), (-col("t")).as("tn"))
+    val pn = purchases.select(col("k2"), (-col("t2")).as("t2n"), col("pid"))
+    val fast = AsOf.join(vn, pn, Seq(vn("k")), Seq(pn("k2")), vn("tn"), pn("t2n"))
+      .select("event_id", "pid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast == slow)
+    assert(fast.values.exists(_ >= 0) && fast.values.exists(_ == -1L),
+      "both matched and unmatched views must occur or the direction isn't exercised")
+  }
 }

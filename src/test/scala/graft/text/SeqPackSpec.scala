@@ -43,6 +43,36 @@ class SeqPackSpec extends SparkSpec {
       "the concatenated stream leaves no internal padding gaps")
   }
 
+  test("manifest reassembly invariants: contiguous per-doc spans, full sequences, total conservation") {
+    val cap = 64L
+    val m = SeqPack.seqPackManifest(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perDoc = naive(sf001, cap).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (1) per doc: spans are contiguous from offset 0 and sum to nt
+    m.groupBy(_._1).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $doc first span must start at offset 0")
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, s1, o1, l1), (_, s2, o2, _)) =>
+          assert(s2 == s1 + 1 && o2 == o1 + l1,
+            s"doc $doc spans must be consecutive sequences and contiguous offsets")
+        case _ =>
+      }
+      assert(spans.map(_._4).sum == perDoc(doc), s"doc $doc spans must sum to its tokens")
+    }
+    // (2) per sequence: every sequence except the last is exactly full
+    val bySeq = m.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, tot) =>
+      if (s != lastSeq) assert(tot == cap, s"sequence $s holds $tot of $cap tokens")
+      else assert(tot <= cap && tot > 0)
+    }
+    // (3) the manifest stays span-sized, not token-sized
+    assert(m.length < perDoc.values.sum / 8,
+      "manifest volume must be spans, never tokens")
+  }
+
   test("the level-1 window input is |buckets| rows — bounded by the bucket knob, not the corpus") {
     val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
     val nBuckets = spark.read.parquet(s"$sf001/documents.parquet")
