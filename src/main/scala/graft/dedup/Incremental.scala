@@ -174,14 +174,7 @@ object Incremental {
     * that the indexed path loses nothing.
     */
   def incrementalClassifyIndexed(spark: SparkSession, sfDir: String): DataFrame = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // pid in the path: concurrent JVMs must not race on the index
-    // overwrite (see Zorder.outDir); per-JVM reruns stay deterministic.
-    val pid = ProcessHandle.current().pid()
-    val indexDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$user", s"snapidx-$digest-p$pid").toString
+    val indexDir = graft.util.TempDirs.forInput(sfDir, "snapidx")
     val old = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), lower(col("text")).as("text"))
     writeSnapshotIndex(old, indexDir)

@@ -36,14 +36,8 @@ import scala.jdk.CollectionConverters._
   */
 object Compact {
 
-  private def dir(sfDir: String, tag: String): String = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val pid = ProcessHandle.current().pid()
-    java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$user", s"$tag-$digest-p$pid").toString
-  }
+  private def dir(sfDir: String, tag: String): String =
+    graft.util.TempDirs.forInput(sfDir, tag)
 
   private[queries] def parquetFiles(root: String): Seq[java.nio.file.Path] = {
     val p = java.nio.file.Paths.get(root)
@@ -55,25 +49,28 @@ object Compact {
     }
   }
 
-  /** Build the fragmented layout (overwrite); returns its path. */
-  private[queries] def writeFragmented(spark: SparkSession, sfDir: String): String = {
+  /** Build the fragmented layout (overwrite); returns (path, row
+    * count). The count comes from the BASE table's compact layout —
+    * sizing the later compaction must not itself pay a scan of the
+    * pathological many-small-files layout it exists to remove.
+    */
+  private[queries] def writeFragmented(spark: SparkSession, sfDir: String): (String, Long) = {
     val frag = dir(sfDir, "compact-frag")
-    spark.read.parquet(s"$sfDir/orders.parquet")
-      .repartition(64)
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+    base.repartition(64)
       .write.partitionBy("o_orderstatus").mode("overwrite").parquet(frag)
-    frag
+    (frag, base.count())
   }
 
-  /** Compact `frag` into `targetRecordsPerFile`-row files (overwrite);
-    * returns the compacted path.
+  /** Compact `frag` (known to hold `n` rows — in production the table
+    * metadata/manifest carries this) into `targetRecordsPerFile`-row
+    * files (overwrite); returns the compacted path.
     */
-  def compact(spark: SparkSession, sfDir: String, frag: String,
+  def compact(spark: SparkSession, sfDir: String, frag: String, n: Long,
               targetRecordsPerFile: Int): String = {
     val out = dir(sfDir, "compact-out")
-    val fragDf = spark.read.parquet(frag)
-    val n = fragDf.count()
     val nRanges = math.max(1, math.ceil(n.toDouble / targetRecordsPerFile).toInt)
-    fragDf
+    spark.read.parquet(frag)
       .repartitionByRange(nRanges, col("o_orderstatus"), col("o_orderkey"))
       .write.partitionBy("o_orderstatus")
       .option("maxRecordsPerFile", targetRecordsPerFile.toLong)
@@ -83,8 +80,8 @@ object Compact {
 
   def qCompact(spark: SparkSession, sfDir: String,
                targetRecordsPerFile: Int = 50000): DataFrame = {
-    val frag = writeFragmented(spark, sfDir)
-    val out = compact(spark, sfDir, frag, targetRecordsPerFile)
+    val (frag, n) = writeFragmented(spark, sfDir)
+    val out = compact(spark, sfDir, frag, n, targetRecordsPerFile)
     val before = parquetFiles(frag).length
     val after = parquetFiles(out).length
     val compacted = spark.read.parquet(out)

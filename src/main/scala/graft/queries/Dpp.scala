@@ -34,14 +34,7 @@ object Dpp {
     * task (repartition on the partition key first).
     */
   def writePartitionedFact(spark: SparkSession, sfDir: String): String = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // pid in the path: concurrent JVMs must not race on the overwrite
-    // (see Zorder.outDir); per-JVM reruns stay deterministic.
-    val pid = ProcessHandle.current().pid()
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$user", s"dpp-$digest-p$pid").toString
+    val out = graft.util.TempDirs.forInput(sfDir, "dpp")
     val supplier = t(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
     t(spark, sfDir, "lineitem")
       .select("l_suppkey", "l_extendedprice", "l_discount")

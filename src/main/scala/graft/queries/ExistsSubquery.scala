@@ -28,17 +28,10 @@ object ExistsSubquery {
        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
-  def qExistsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
-    val sfx = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val custV = s"graft_ex_customer_$sfx"
-    val ordV = s"graft_ex_orders_$sfx"
-    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView(custV)
-    spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView(ordV)
-    try spark.sql(sql(custV, ordV))
-    finally {
-      spark.catalog.dropTempView(custV)
-      spark.catalog.dropTempView(ordV)
-      ()
+  def qExistsSubquery(spark: SparkSession, sfDir: String): DataFrame =
+    SqlViews.withTempViews(spark, Seq(
+      "customer" -> spark.read.parquet(s"$sfDir/customer.parquet"),
+      "orders" -> spark.read.parquet(s"$sfDir/orders.parquet"))) { v =>
+      spark.sql(sql(v("customer"), v("orders")))
     }
-  }
 }

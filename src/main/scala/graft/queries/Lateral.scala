@@ -16,28 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Lateral {
 
-  def qLateralTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    // per-call view names: fixed session-global names would mutate
-    // shared catalog state and race under concurrent queries in one
-    // session; the views are dropped once the plan is resolved (the
-    // returned DataFrame holds the analyzed plan, not the view names)
-    val sfx = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val nationV = s"graft_lat_nation_$sfx"
-    val customerV = s"graft_lat_customer_$sfx"
-    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView(nationV)
-    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView(customerV)
-    try {
+  def qLateralTopK(spark: SparkSession, sfDir: String): DataFrame =
+    SqlViews.withTempViews(spark, Seq(
+      "nation" -> spark.read.parquet(s"$sfDir/nation.parquet"),
+      "customer" -> spark.read.parquet(s"$sfDir/customer.parquet"))) { v =>
       spark.sql(s"""
         SELECT n.n_name, t.c_custkey, t.c_acctbal
-        FROM $nationV n, LATERAL (
-          SELECT c_custkey, c_acctbal FROM $customerV c
+        FROM ${v("nation")} n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM ${v("customer")} c
           WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
-    } finally {
-      spark.catalog.dropTempView(nationV)
-      spark.catalog.dropTempView(customerV)
-      ()
     }
-  }
 }

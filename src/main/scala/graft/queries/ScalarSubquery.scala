@@ -43,19 +43,10 @@ object ScalarSubquery {
        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
        |                    FROM $lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
-  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
-    // per-call view names (the Lateral discipline): fixed names would
-    // mutate shared catalog state; views dropped once the plan resolves
-    val sfx = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val liV = s"graft_ssq_lineitem_$sfx"
-    val partV = s"graft_ssq_part_$sfx"
-    spark.read.parquet(s"$sfDir/lineitem.parquet").createOrReplaceTempView(liV)
-    spark.read.parquet(s"$sfDir/part.parquet").createOrReplaceTempView(partV)
-    try spark.sql(sql(liV, partV))
-    finally {
-      spark.catalog.dropTempView(liV)
-      spark.catalog.dropTempView(partV)
-      ()
+  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame =
+    SqlViews.withTempViews(spark, Seq(
+      "lineitem" -> spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      "part" -> spark.read.parquet(s"$sfDir/part.parquet"))) { v =>
+      spark.sql(sql(v("lineitem"), v("part")))
     }
-  }
 }

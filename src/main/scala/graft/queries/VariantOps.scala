@@ -54,14 +54,8 @@ object VariantOps {
         "$.k", "bigint").as("k"))
   }
 
-  private def shredDir(sfDir: String): String = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val pid = ProcessHandle.current().pid()
-    java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$user", s"varshred-$digest-p$pid").toString
-  }
+  private def shredDir(sfDir: String): String =
+    graft.util.TempDirs.forInput(sfDir, "varshred")
 
   /** Materialize the shredded typed columns (overwrite); returns the
     * path. This is where ALL parsing happens — once per row, however

@@ -45,17 +45,8 @@ object Zorder {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_suppkey", "l_partkey", "l_extendedprice", "l_discount")
 
-  private def outDir(sfDir: String, tag: String): String = {
-    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // pid in the path: two concurrent JVMs (parallel bench/verify runs)
-    // must not read a directory the other is mid-overwrite; within one
-    // JVM reruns stay deterministic and bounded (overwrite semantics).
-    val pid = ProcessHandle.current().pid()
-    java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$user", s"$tag-$digest-p$pid").toString
-  }
+  private def outDir(sfDir: String, tag: String): String =
+    graft.util.TempDirs.forInput(sfDir, tag)
 
   /** Writes (overwrite) the z-clustered copy and returns its path:
     * range-partition on z so each of the 32 output files covers a

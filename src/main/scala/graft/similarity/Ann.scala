@@ -249,6 +249,41 @@ object Ann {
       .orderBy(pmod(xxhash64(col("probe_id")), lit(1000003L)), col("probe_id"))
       .limit(maxProbes)
 
+  /** The shared recall-contract scaffold: the eagerly-materialized
+    * clustered corpus, the hash-sampled center probes, the one-scan
+    * brute-force ground truth, and the recall function against it —
+    * ONE implementation for every index family's contract
+    * (annRecallAtK's LSH/IVF, Hnsw.annHnsw, tools/HnswProbe), so the
+    * probe-sampling and ground-truth rules cannot silently drift apart
+    * between methods.
+    */
+  final case class RecallHarness(data: DataFrame, probes: DataFrame,
+                                 nProbes: Long, brute: DataFrame, nTruth: Long) {
+    def recallOf(ann: DataFrame): Double = {
+      val hits = brute.join(ann.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id")).count()
+      if (nTruth == 0) 0.0 else hits.toDouble / nTruth
+    }
+  }
+
+  def recallHarness(spark: SparkSession, sfDir: String, k: Int,
+                    centerEvery: Int = 20, members: Int = 12,
+                    maxProbes: Int = 2000): RecallHarness = {
+    // one eager materialization shared by every pipeline (brute + the
+    // indexes under test — plus k-means passes inside ivf); probes
+    // hash-sampled to the cap so the brute-force ground truth stays
+    // corpus-linear
+    val data = clusteredEmbeddings(spark, sfDir, centerEvery, members).localCheckpoint()
+    val probes = sampleProbes(
+      data.filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(centerEvery)) === 0),
+      maxProbes)
+      .localCheckpoint()
+    val nProbes = probes.count()
+    val brute = bruteForceTopKOf(data, probes, k)
+      .select("probe_id", "neighbor_id").localCheckpoint()
+    RecallHarness(data, probes, nProbes, brute, brute.count())
+  }
+
   /** recall@k contract for BOTH ANN indexes over the clustered corpus:
     * each center probes for its top-k; ground truth is the engine's own
     * exact brute force over the same corpus (its per-neighbor ranking
@@ -262,30 +297,14 @@ object Ann {
                    minRecallLsh: Double = 0.95, minRecallIvf: Double = 0.95,
                    maxProbes: Int = 2000): DataFrame = {
     import spark.implicits._
-    // one eager materialization shared by all three pipelines (brute,
-    // lsh, ivf — plus k-means passes inside ivf); probes hash-sampled
-    // to the cap so the brute-force ground truth stays corpus-linear
-    val data = clusteredEmbeddings(spark, sfDir, centerEvery, members).localCheckpoint()
-    val probes = sampleProbes(
-      data.filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(centerEvery)) === 0),
-      maxProbes)
-      .localCheckpoint()
-    val nProbes = probes.count()
-    val brute = bruteForceTopKOf(data, probes, k)
-      .select("probe_id", "neighbor_id").localCheckpoint()
-    val nTruth = brute.count() // = k * nProbes
-    def recallOf(ann: DataFrame): Double = {
-      val hits = brute.join(ann.select("probe_id", "neighbor_id"),
-        Seq("probe_id", "neighbor_id")).count()
-      if (nTruth == 0) 0.0 else hits.toDouble / nTruth
-    }
+    val h = recallHarness(spark, sfDir, k, centerEvery, members, maxProbes)
     // bounded-probe scan variants (probes are capped above): identical
     // semantics, no candidate-pair shuffle — parity spec-pinned
-    val lshRecall = recallOf(lshTopKBounded(data, probes, k, nTables = 8, planesPerTable = 6))
-    val ivfRecall = recallOf(Ivf.ivfTopKBounded(data, probes, k, nLists = 16, nProbe = 4))
+    val lshRecall = h.recallOf(lshTopKBounded(h.data, h.probes, k, nTables = 8, planesPerTable = 6))
+    val ivfRecall = h.recallOf(Ivf.ivfTopKBounded(h.data, h.probes, k, nLists = 16, nProbe = 4))
     Seq(
-      ("ivf", nProbes > 0, ivfRecall >= minRecallIvf),
-      ("lsh", nProbes > 0, lshRecall >= minRecallLsh))
+      ("ivf", h.nProbes > 0, ivfRecall >= minRecallIvf),
+      ("lsh", h.nProbes > 0, lshRecall >= minRecallLsh))
       .toDF("method", "planted_ok", "recall_ok").orderBy("method")
   }
 

@@ -33,16 +33,6 @@ import org.apache.spark.sql.functions._
   * measured in the output rows; `ann_hnsw` pins recall@10 ≥ 0.95 —
   * the same bar as the IVF row of `ann_recall_atk` — under that cap.
   */
-/** One shard-local HNSW answer row; `evals` = the shard's total distance
-  * evaluations for this probe (budget accounting; same value repeats on
-  * each of the probe's rows from that shard). Top-level and public so
-  * Spark's generated SerializeFromObject code can invoke the accessors
-  * (a `private` nested case class drops the whole stage to interpreted
-  * execution — the freshName'd-codegen-locals lesson, encoder edition).
-  */
-final case class HnswCand(probeId: Long, neighborId: Long,
-                          cosine: Double, shard: Int, evals: Long)
-
 object Hnsw {
 
   /** @param m            neighbors linked per inserted node (degree cap 2m)
@@ -218,10 +208,11 @@ object Hnsw {
     // single node spends most of a tight eval cap traversing; 8
     // deterministic scattered seeds put the best one near the target
     // region for the cost of 8 evals (the in-shard analog of coarse
-    // routing)
+    // routing). Seed evals COUNT AGAINST the cap like every other —
+    // the cap is hard for the whole search, not just expansion.
     val nSeeds = math.min(8, limit)
     var s = 0
-    while (s < nSeeds) {
+    while (s < nSeeds && evals < evalCap) {
       val entry = (s.toLong * limit / nSeeds).toInt
       if (!visited.get(entry)) {
         visited.set(entry)
@@ -274,20 +265,11 @@ object Hnsw {
               minRecall: Double = 0.95, maxProbes: Int = 2000,
               p: Params = Params()): DataFrame = {
     import spark.implicits._
-    val data = Ann.clusteredEmbeddings(spark, sfDir).localCheckpoint()
-    val corpusN = data.count()
-    val probes = Ann.sampleProbes(
-      data.filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(20)) === 0),
-      maxProbes).localCheckpoint()
-    val nProbes = probes.count()
-    val brute = Ann.bruteForceTopKOf(data, probes, k)
-      .select("probe_id", "neighbor_id").localCheckpoint()
-    val nTruth = brute.count()
-    def recallOf(ann: DataFrame): Double = {
-      val hits = brute.join(ann.select("probe_id", "neighbor_id"),
-        Seq("probe_id", "neighbor_id")).count()
-      if (nTruth == 0) 0.0 else hits.toDouble / nTruth
-    }
+    // the shared recall scaffold (corpus / probes / brute truth /
+    // recall) — ONE implementation with annRecallAtK, so the two
+    // contracts can never measure against drifting probe rules
+    val h = Ann.recallHarness(spark, sfDir, k)
+    val corpusN = h.data.count()
     // IVF scans nProbe/nLists = 1/4 of the corpus per probe; the graph
     // gets the same total budget, split evenly across its shards. The
     // 128-eval FLOOR is the graph's minimum working set (8 seeds + a
@@ -299,20 +281,32 @@ object Hnsw {
     // the shard as the corpus grows — the regime where graph routing
     // genuinely beats list scanning.
     val evalCap = math.max(128, (corpusN / 4 / p.shards).toInt)
-    val cands = Hnsw.searchShards(data, probes, k, p, evalCap).localCheckpoint()
-    val hnswRecall = recallOf(topK(cands, k))
+    val cands = Hnsw.searchShards(h.data, h.probes, k, p, evalCap).localCheckpoint()
+    val hnswRecall = h.recallOf(topK(cands, k))
     // measured accounting: one evals value per (probe, shard), summed
-    // per probe — must respect cap × shards
-    val maxProbeEvals = cands.groupBy("probe_id", "shard").agg(max("evals").as("e"))
+    // per probe — must respect cap × shards (0 on an empty probe set:
+    // degrade to the planted_ok=false rows, never an NPE)
+    val maxProbeEvalsRow = cands.groupBy("probe_id", "shard").agg(max("evals").as("e"))
       .groupBy("probe_id").agg(sum("e").as("tot"))
-      .agg(max("tot")).head().getLong(0)
-    val ivfRecall = recallOf(
-      Ivf.ivfTopKBounded(data, probes, k, nLists = 16, nProbe = 4))
+      .agg(max("tot")).head()
+    val maxProbeEvals = if (maxProbeEvalsRow.isNullAt(0)) 0L else maxProbeEvalsRow.getLong(0)
+    val ivfRecall = h.recallOf(
+      Ivf.ivfTopKBounded(h.data, h.probes, k, nLists = 16, nProbe = 4))
     Seq(
-      ("hnsw", nProbes > 0, hnswRecall >= minRecall,
+      ("hnsw", h.nProbes > 0, hnswRecall >= minRecall,
         maxProbeEvals <= evalCap.toLong * p.shards),
-      ("ivf_budget_ref", nProbes > 0, ivfRecall >= minRecall, true))
+      ("ivf_budget_ref", h.nProbes > 0, ivfRecall >= minRecall, true))
       .toDF("method", "planted_ok", "recall_ok", "budget_ok")
       .orderBy("method")
   }
 }
+
+/** One shard-local HNSW answer row; `evals` = the shard's total distance
+  * evaluations for this probe (budget accounting; same value repeats on
+  * each of the probe's rows from that shard). Top-level and public so
+  * Spark's generated SerializeFromObject code can invoke the accessors
+  * (a `private` nested case class drops the whole stage to interpreted
+  * execution — the freshName'd-codegen-locals lesson, encoder edition).
+  */
+final case class HnswCand(probeId: Long, neighborId: Long,
+                          cosine: Double, shard: Int, evals: Long)

@@ -191,41 +191,6 @@ object SvmQueries {
     * reference's cascade trace on the canonical table is the point here —
     * a production caller gets the guard by default.
     */
-  /** Cascade with the OPT-IN dense-regime fallback (`svm_cascade_auto`)
-    * — the operational behavior a production job wants at 3 a.m.: run
-    * the cascade under the DEFAULT dense-SV guard; if layer 1 trips it
-    * (the noisy embeddings corpus does), route to the engine's
-    * linear-time scale path (MLlib LinearSVC, [[LinearSvm.trainSummary]])
-    * instead of dying, and RECORD the switch in the returned trace:
-    * the already-paid layer-1 SV census, one loud `dense_fallback`
-    * marker row (n_in/n_sv = the tripping census, metric = the SV
-    * fraction), then the linear summary mapped into the same schema
-    * (stage="linear", subset = class, n_sv = non-zero coefficients,
-    * metric = coef norm; the class −1 row carries train accuracy).
-    * Only [[DenseSvRegime]] reroutes — every other failure propagates —
-    * and `svm_cascade_train`'s fail-loud default is untouched.
-    */
-  def cascadeAutoTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val data = ParallelSvm.loadTraining(spark, sfDir, K)
-    try {
-      val (stats, _) = ParallelSvm.cascade(data, K, ParallelSvm.defaultParams(64))
-      ParallelSvm.statsDf(spark, stats)
-    } catch {
-      case d: DenseSvRegime =>
-        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
-          s"cascadeAutoTrain: dense-SV regime (${d.nSv}/${d.nIn} layer-1 SVs) — " +
-            "routing to the linear-time path (svm_linear_train shape)")
-        val marker = LayerStat("dense_fallback", 1, -1, d.nIn, d.nSv,
-          d.nSv.toDouble / d.nIn)
-        ParallelSvm.statsDf(spark, d.layer1 :+ marker).unionByName(
-          LinearSvm.trainSummary(spark, sfDir).select(
-            lit("linear").as("stage"), lit(2).as("layer"),
-            col("class_label").as("subset"), lit(-1L).as("n_in"),
-            col("n_nonzero").as("n_sv"),
-            round(col("coef_norm"), 6).as("metric")))
-    }
-  }
-
   def cascadeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val data = ParallelSvm.loadTraining(spark, sfDir, K)
     // The reference's output contract is the SAVED final model
@@ -262,6 +227,41 @@ object SvmQueries {
     val data = ParallelSvm.loadTraining(spark, sfDir, K)
     val stats = ParallelSvm.iterative(data, K, ParallelSvm.defaultParams(64))
     ParallelSvm.statsDf(spark, stats)
+  }
+
+  /** Cascade with the OPT-IN dense-regime fallback (`svm_cascade_auto`)
+    * — the operational behavior a production job wants at 3 a.m.: run
+    * the cascade under the DEFAULT dense-SV guard; if layer 1 trips it
+    * (the noisy embeddings corpus does), route to the engine's
+    * linear-time scale path (MLlib LinearSVC, [[LinearSvm.trainSummary]])
+    * instead of dying, and RECORD the switch in the returned trace:
+    * the already-paid layer-1 SV census, one loud `dense_fallback`
+    * marker row (n_in/n_sv = the tripping census, metric = the SV
+    * fraction), then the linear summary mapped into the same schema
+    * (stage="linear", subset = class, n_sv = non-zero coefficients,
+    * metric = coef norm; the class −1 row carries train accuracy).
+    * Only [[DenseSvRegime]] reroutes — every other failure propagates —
+    * and `svm_cascade_train`'s fail-loud default is untouched.
+    */
+  def cascadeAutoTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = ParallelSvm.loadTraining(spark, sfDir, K)
+    try {
+      val (stats, _) = ParallelSvm.cascade(data, K, ParallelSvm.defaultParams(64))
+      ParallelSvm.statsDf(spark, stats)
+    } catch {
+      case d: DenseSvRegime =>
+        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          s"cascadeAutoTrain: dense-SV regime (${d.nSv}/${d.nIn} layer-1 SVs) — " +
+            "routing to the linear-time path (svm_linear_train shape)")
+        val marker = LayerStat("dense_fallback", 1, -1, d.nIn, d.nSv,
+          d.nSv.toDouble / d.nIn)
+        ParallelSvm.statsDf(spark, d.layer1 :+ marker).unionByName(
+          LinearSvm.trainSummary(spark, sfDir).select(
+            lit("linear").as("stage"), lit(2).as("layer"),
+            col("class_label").as("subset"), lit(-1L).as("n_in"),
+            col("n_nonzero").as("n_sv"),
+            round(col("coef_norm"), 6).as("metric")))
+    }
   }
 
   /** The reference's EXACT LibSVM configuration — RBF, gamma = 1/dim,

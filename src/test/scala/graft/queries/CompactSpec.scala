@@ -7,8 +7,8 @@ class CompactSpec extends SparkSpec {
 
   test("compaction shrinks the file count >=10x, respects the cap, and loses no row") {
     val target = 5000
-    val frag = Compact.writeFragmented(spark, sf001)
-    val out = Compact.compact(spark, sf001, frag, target)
+    val (frag, n) = Compact.writeFragmented(spark, sf001)
+    val out = Compact.compact(spark, sf001, frag, n, target)
     val before = Compact.parquetFiles(frag).length
     val after = Compact.parquetFiles(out).length
     assert(before >= 10 * after,
