@@ -73,6 +73,9 @@ object SparkEntry {
     "q_outer_join" -> Analytics.qOuterJoin _,
     "q_percentiles" -> Analytics.qPercentiles _,
     "q_pivot" -> Analytics.qPivot _,
+    // The inverse reshape: the pivot output melted back to long rows
+    // via native Dataset.unpivot (Expand, shuffle-free).
+    "q_unpivot" -> Analytics.qUnpivot _,
     "q_moving_avg" -> Analytics.qMovingAvg _,
     "q_setops" -> Analytics.qSetOps _,
     "q_salted_join" -> Analytics.qSaltedJoin _,
@@ -537,6 +540,10 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, rk FROM (
         |  SELECT o_custkey, o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk FROM orders
         |) t WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    // The melt must land exactly on the direct long-form aggregation.
+    "q_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS total, count(*) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)

@@ -196,6 +196,26 @@ object Analytics {
       .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
       .orderBy("o_orderpriority")
 
+  /** UNPIVOT/melt — the inverse of [[qPivot]] and the other half of the
+    * reshape surface: the wide (priority × status) totals matrix melts
+    * back to long (priority, status, total) rows via the native
+    * `Dataset.unpivot` (Spark's melt — a per-row Expand, no shuffle
+    * beyond the pivot that built the input). Round-tripping the
+    * engine's own pivot output makes the contract self-checking: the
+    * melted rows must equal the pre-pivot aggregation the oracle
+    * computes directly.
+    */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    qPivot(spark, sfDir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("total_f").as("F"), col("total_o").as("O"), col("total_p").as("P")),
+        "o_orderstatus", "total")
+      // absent (priority, status) cells melt to null totals; dropping
+      // them restores exactly the pre-pivot aggregation rows
+      .filter(col("total").isNotNull)
+      .orderBy("o_orderpriority", "o_orderstatus")
+
   /** Moving average over a RANGE-style window frame: each order's price
     * averaged with the customer's previous two orders (ROWS BETWEEN 2
     * PRECEDING AND CURRENT ROW) — the frame-spec window variant the

@@ -192,4 +192,22 @@ class AnalyticsSpec extends SparkSpec {
     // every window catches at least its own anchor event
     assert(got.values.forall(_._1 >= 1) && got.size == 20)
   }
+
+  test("unpivot round-trips the pivot back to the direct long-form aggregation") {
+    val melted = Analytics.qUnpivot(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val direct = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("total")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(melted == direct)
+    // the melt itself is shuffle-free: exactly the one exchange the
+    // pivot's aggregation needs, none added by unpivot's Expand
+    val plan = Analytics.qUnpivot(spark, sf0001).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val pivotExchanges = "Exchange".r.findAllIn(
+      Analytics.qPivot(spark, sf0001).queryExecution.executedPlan.toString).size
+    assert(exchanges <= pivotExchanges + 1, // +1: the final orderBy range exchange
+      s"unpivot must not add a data shuffle ($pivotExchanges -> $exchanges)")
+  }
 }
