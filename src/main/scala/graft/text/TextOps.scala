@@ -43,11 +43,17 @@ object TextOps {
     * tokenizer load estimation. No lookarounds, so the exact rule is
     * reproducible in any RE2-based external engine, which is what the
     * DuckDB oracle uses.
+    *
+    * ONE alternation scan, not three separate regexp_counts: the three
+    * classes are disjoint, so the greedy left-to-right alternation
+    * matches exactly the union of the per-class matches (equality
+    * verified corpus-wide against the three-scan form, whose sum the
+    * oracle SQL still computes) at a third of the regex passes — this
+    * expression sits under every tokenization-bound operator
+    * (text_tokens, text_token_budget, corpus_seqpack ±manifest).
     */
   def bpeishTokenCount(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z]+")) +
-      regexp_count(c, lit("[0-9]+")) +
-      regexp_count(c, lit("[^A-Za-z0-9\\s]"))
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Per-document token statistics. */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
