@@ -761,6 +761,11 @@ object SparkEntry {
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
+    // `p` MUST be cast to BIGINT: DuckDB widens window sum(BIGINT) to
+    // HUGEINT, which propagates through the `//` span arithmetic and
+    // reaches pandas as float64 — "1.0" vs Spark's "1" fails any
+    // stringifying hash while passing a numeric compare (the exact
+    // r7 driver-gate flake; the manifest oracle below always cast).
     "corpus_seqpack" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -768,7 +773,7 @@ object SparkEntry {
         |  FROM documents),
         |pre AS (
         |  SELECT doc_id, nt,
-        |    coalesce(sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |    CAST(coalesce(sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
         |  FROM toks WHERE nt > 0)
         |SELECT ((p + nt - 1) // 64) - (p // 64) + 1 AS n_spans,
         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2 ↔ SparkEntry registry drift guard (round-7 verdict #2):
+  * the r6 ADVICE renumbering dropped `stream_rate_spike`'s §2 row on
+  * the floor while the operator stayed implemented/registered/benched —
+  * a doc-only gap no spec caught. This spec makes the two surfaces
+  * structurally inseparable: every §2 query row's backticked name must
+  * be a `SparkEntry.queries` key and vice versa, so adding an operator
+  * without its SURVEY row (or renumbering a row away) fails the build.
+  */
+class RegistryAuditSpec extends AnyFunSuite {
+
+  private def survey2Names: Set[String] = {
+    val lines = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().toVector
+    val s2 = lines.dropWhile(!_.startsWith("## §2 "))
+      .drop(1).takeWhile(!_.startsWith("## §3 "))
+    // query rows: `| <id> | `name` | ...` with a numeric-prefixed id —
+    // distinguishes them from §2e surface rows and table headers
+    val Row = """^\|\s*[0-9]+[a-z0-9]*\s*\|\s*`([a-z0-9_]+)`\s*\|.*""".r
+    s2.collect { case Row(name) => name }.toSet
+  }
+
+  test("SURVEY §2 query names == SparkEntry.queries keys (no drift)") {
+    val survey = survey2Names
+    val registry = SparkEntry.queries.keySet
+    val docOnly = survey -- registry
+    val regOnly = registry -- survey
+    assert(docOnly.isEmpty && regOnly.isEmpty,
+      s"\nSURVEY §2 rows with no registry entry: ${docOnly.toSeq.sorted.mkString(", ")}" +
+      s"\nregistry keys with no SURVEY §2 row:   ${regOnly.toSeq.sorted.mkString(", ")}")
+    assert(survey.size >= 149, s"§2 parse regressed: only ${survey.size} rows matched")
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries: ${orphans.mkString(", ")}")
+  }
+}
