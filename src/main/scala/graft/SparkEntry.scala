@@ -542,7 +542,7 @@ object SparkEntry {
         |) t WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
     // The melt must land exactly on the direct long-form aggregation.
     "q_unpivot" ->
-      """SELECT o_orderpriority, o_orderstatus, round(sum(o_totalprice), 2) AS total
+      """SELECT o_orderpriority, o_orderstatus, sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS total, count(*) AS n
@@ -627,9 +627,9 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
-        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
-        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) END) / 100.0 AS total_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) END) / 100.0 AS total_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) END) / 100.0 AS total_p
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_moving_avg" ->
       """SELECT o_custkey, o_orderkey,

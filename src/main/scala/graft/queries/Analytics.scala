@@ -187,12 +187,16 @@ object Analytics {
     * pivot with an EXPLICIT value list (omit it and the planner runs an
     * extra distinct-collect job over 100 TB just to learn the columns).
     * One shuffle, pivoted aggregates computed map-side like any agg.
+    * Cells sum with [[moneySum]]'s exact BIGINT cents — a double sum's
+    * last cent is partition-order-dependent once cells reach ~100k
+    * terms (sf1), the same failure mode the rest of the money family
+    * already eliminated.
     */
   def qPivot(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum("o_totalprice"), 2))
+      .agg(moneySum(col("o_totalprice")))
       .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
       .orderBy("o_orderpriority")
 

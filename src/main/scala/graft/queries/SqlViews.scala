@@ -26,7 +26,10 @@ object SqlViews {
       }
       body(named.map { case (base, name, _) => base -> name }.toMap)
     } finally {
-      registered.foreach(spark.catalog.dropTempView(_))
+      // best-effort per view: one failed drop must not leak the rest
+      // for the session lifetime (the partial-failure case this helper
+      // exists to close)
+      registered.foreach(v => scala.util.Try(spark.catalog.dropTempView(v)))
     }
   }
 }

@@ -89,10 +89,16 @@ object Hnsw {
           // ground truth's `vec_id =!= probe_id` contract) but kept in
           // the beam — a corpus copy of the probe is the best possible
           // navigation anchor into its neighborhood
-          found.filter { case (node, _) => ids(node) != probeIds(pi) }
+          val answers = found.filter { case (node, _) => ids(node) != probeIds(pi) }
             .take(k).map { case (node, sim) =>
               HnswCand(probeIds(pi), ids(node), sim, shard, evals)
             }
+          // zero-answer searches (beam found only the probe itself)
+          // still spent `evals` — emit a sentinel accounting row
+          // (neighbor_id = -1, dropped by topK) so the summed budget
+          // reflects every shard searched, not just the productive ones
+          if (answers.nonEmpty) answers
+          else Seq(HnswCand(probeIds(pi), -1L, -2.0, shard, evals))
         }
       }
       .toDF("probe_id", "neighbor_id", "cosine", "shard", "evals")
@@ -106,6 +112,7 @@ object Hnsw {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cands
+      .filter(col("neighbor_id") =!= -1L) // drop sentinel accounting rows
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("probe_id", "neighbor_id", "cosine", "rk")

@@ -18,10 +18,15 @@ class CompactSpec extends SparkSpec {
     assert(perFile.forall(_.getLong(1) <= target),
       s"files over the $target-row cap: ${perFile.filter(_.getLong(1) > target).mkString(",")}")
     // content identity: the full row multiset survives the rewrite
-    // (partition column re-read included)
-    def census(df: org.apache.spark.sql.DataFrame): Long =
-      df.select(xxhash64(struct(df.columns.sorted.map(col): _*)).as("h"))
-        .agg(expr("bit_xor(h)")).head().getLong(0)
+    // (partition column re-read included). XOR alone is blind to
+    // even-multiplicity changes (a row duplicated twice cancels), so
+    // the census pairs it with the row count — together they catch any
+    // single-row change and any count drift.
+    def census(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(struct(df.columns.sorted.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val base = spark.read.parquet(s"$sf001/orders.parquet")
     assert(census(spark.read.parquet(out)) == census(base),
       "compacted content must equal the base table row-for-row")

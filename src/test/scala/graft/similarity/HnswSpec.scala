@@ -62,6 +62,24 @@ class HnswSpec extends SparkSpec {
     assert(maxFree > cap, s"uncapped search ($maxFree evals) should exceed the tight cap")
   }
 
+  test("eval accounting covers EVERY (probe, shard) pair — zero-answer searches included") {
+    import spark.implicits._
+    val data = Ann.clusteredEmbeddings(spark, sf0001).localCheckpoint()
+    val probes = Ann.sampleProbes(
+      data.filter(col("vec_id") < 1000000L && pmod(col("vec_id"), lit(20)) === 0), 20)
+    val p = Hnsw.Params()
+    // a tiny cap forces degenerate beams (some shards find only the
+    // probe's own copy → zero answer rows pre-fix); the sentinel row
+    // must keep the (probe, shard) pair visible to the budget sum
+    val cands = Hnsw.searchShards(data, probes, 10, p, 1)
+    val pairs = cands.select("probe_id", "shard").distinct().count()
+    val nProbes = probes.count()
+    assert(pairs == nProbes * p.shards,
+      s"accounting saw $pairs (probe, shard) pairs, expected ${nProbes * p.shards}")
+    // and the sentinel never reaches the answer surface
+    assert(Hnsw.topK(cands, 10).filter(col("neighbor_id") === -1L).count() == 0)
+  }
+
   test("a shard above maxShardRows fails loudly, naming the fix") {
     import spark.implicits._
     val data = Ann.clusteredEmbeddings(spark, sf0001)
