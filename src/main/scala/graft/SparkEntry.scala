@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -146,6 +146,7 @@ object SparkEntry {
     "stream_bitmap_distinct" -> ((s: SparkSession, d: String) => graft.streaming.BitmapStream.runBitmapBounded(s, d)),
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
     "q_hierarchy" -> Hierarchy.qHierarchy _,
+    "q_recursive_cte" -> RecursiveCte.qRecursiveCte _,
     "q_sample_stratified" -> Sample.qSampleStratified _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
@@ -1082,6 +1083,10 @@ object SparkEntry {
         |)
         |SELECT node, root, CAST(depth AS BIGINT) AS depth
         |FROM r ORDER BY node""".stripMargin,
+    // SAME text both engines (q_exists_subquery discipline): two
+    // independent WITH RECURSIVE implementations must agree on the
+    // fixpoint. Spark runs it via spark.sql over temp views.
+    "q_recursive_cte" -> graft.queries.RecursiveCte.sql("orders"),
     // The oracle is the EXACT Levenshtein join over the same planted
     // keys — the engine's prefix-filtered pipeline must be both
     // complete and FP-free to hash-match it. Candidate generation uses
