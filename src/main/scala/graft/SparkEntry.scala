@@ -274,6 +274,7 @@ object SparkEntry {
     // Per-doc salient terms: tf·N/df (idf log dropped — transcendental-
     // free exact ranking), top-3 per doc via WindowGroupLimit.
     "text_tfidf" -> ((s: SparkSession, d: String) => graft.text.Tfidf.tfidfTopK(s, d)),
+    "text_bpe_train" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.textBpeTrain(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -1047,6 +1048,11 @@ object SparkEntry {
         |  n_pos, n_neg
         |FROM a ORDER BY i""".stripMargin,
     // tf·N and df are exact integers; the single IEEE division is
+    // K unrolled BPE merge rounds over the identical word encoding —
+    // exact integer pair counts, total (n DESC, lhs, rhs) tie order,
+    // and `replace`'s left-to-right non-overlapping scan give one
+    // deterministic merge sequence in both engines.
+    "text_bpe_train" -> graft.text.BpeTrain.oracleSql(),
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),
