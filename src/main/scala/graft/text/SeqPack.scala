@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * bucket = doc_id div bucketSize preserves the stream order as
   * contiguous ranges), cumulated by a window over the |buckets|-row
   * totals — the rate-spike discipline: a single-partition window whose
-  * input is corpus-size/bucketSize rows, bounded and spec-pinned, with
-  * bucketSize the knob that keeps |buckets| ≈ √n at extreme scale
-  * (recurse the same two-level scheme for more); then (2) an
+  * input is bounded BY CONSTRUCTION: bucketSize defaults to
+  * ⌈√(maxDocId+1)⌉ (one cheap aggregate over the already-checkpointed
+  * 3-column frame), so BOTH levels are ≈ √n at any corpus size —
+  * level 1 sees ≈ √n bucket rows, each bucket holds ≈ √n docs
+  * (recurse the same two-level scheme past ~10¹² docs); then (2) an
   * intra-bucket cumsum windowed PER BUCKET — fully parallel. Every
   * quantity is exact integer arithmetic (`div` floors on positives
   * identically in any engine); the DuckDB oracle computes the same
@@ -35,22 +37,36 @@ import org.apache.spark.sql.functions._
   */
 object SeqPack {
 
+  /** √n bucket width for a dense id space [0, maxIdPlus1): makes the
+    * level-1 window input and the per-bucket cumsum BOTH ≈ √n rows.
+    */
+  private[text] def autoBucketSize(maxIdPlus1: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(math.max(1L, maxIdPlus1).toDouble)).toLong)
+
   /** Per-doc stream offsets via the two-level distributed prefix sum:
     * (doc_id, nt, start) — the shared core of the histogram and the
-    * manifest.
+    * manifest. `bucketSize <= 0` (the default) auto-sizes to
+    * [[autoBucketSize]] of the corpus's max doc_id.
     */
   private[text] def perDocStarts(spark: SparkSession, sfDir: String,
                                  bucketSize: Long): DataFrame = {
-    // localCheckpoint: the (doc_id, nt, bucket) frame feeds BOTH the
-    // bucket-total aggregate and the per-doc join — without the cut the
-    // 3-regex tokenization scans the corpus text twice (measured ~2×
-    // at sf1); checkpointed it is three 8-byte columns read twice.
-    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+    // localCheckpoint: the (doc_id, nt) frame feeds the auto-size
+    // aggregate, the bucket-total aggregate, AND the per-doc join —
+    // without the cut the regex tokenization scans the corpus text
+    // once per consumer (measured ~2× at sf1); checkpointed it is two
+    // 8-byte columns read three times.
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
         TextOps.bpeishTokenCount(col("text")).cast("long").as("nt"))
       .filter(col("nt") > 0)
-      .withColumn("bucket", expr(s"doc_id div ${bucketSize}L"))
       .localCheckpoint()
+    val bs =
+      if (bucketSize > 0) bucketSize
+      else {
+        val m = base.agg(max("doc_id")).head()
+        autoBucketSize(if (m.isNullAt(0)) 1L else m.getLong(0) + 1L)
+      }
+    val toks = base.withColumn("bucket", expr(s"doc_id div ${bs}L"))
     // level 1: |buckets|-row totals; strict-prefix cumsum so a bucket's
     // own tokens are not included in its offset
     val bucketPrefix = toks.groupBy("bucket").agg(sum("nt").as("bt"))
@@ -68,7 +84,7 @@ object SeqPack {
   }
 
   def corpusSeqPack(spark: SparkSession, sfDir: String,
-                    capacity: Int = 64, bucketSize: Long = 100L): DataFrame =
+                    capacity: Int = 64, bucketSize: Long = 0L): DataFrame =
     perDocStarts(spark, sfDir, bucketSize)
       .withColumn("n_spans",
         expr(s"(start + nt - 1) div ${capacity}L") - expr(s"start div ${capacity}L") + 1)
@@ -89,7 +105,7 @@ object SeqPack {
     * the doc's own span RANGE only (≤ ⌈nt/cap⌉ + 1 rows).
     */
   def seqPackManifest(spark: SparkSession, sfDir: String,
-                      capacity: Int = 64, bucketSize: Long = 100L): DataFrame = {
+                      capacity: Int = 64, bucketSize: Long = 0L): DataFrame = {
     val cap = capacity.toLong
     perDocStarts(spark, sfDir, bucketSize)
       .withColumn("seq_id",

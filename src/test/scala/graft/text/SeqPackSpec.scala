@@ -80,4 +80,25 @@ class SeqPackSpec extends SparkSpec {
     assert(nBuckets * 50 <= nDocs * 1 + 100,
       s"bucketing must compress the single-partition window input ($nDocs docs -> $nBuckets buckets)")
   }
+
+  test("auto bucketSize keeps BOTH levels ~ sqrt(n) at every id-space size") {
+    // the default (bucketSize <= 0) must size from the corpus, so the
+    // level-1 window input AND each bucket's cumsum are ~sqrt(n) rows
+    // by construction — no fixed knob to outgrow
+    for (n <- Seq(100L, 10000L, 25000000L, 4000000000000L)) {
+      val bs = SeqPack.autoBucketSize(n)
+      val buckets = (n + bs - 1) / bs
+      val root = math.sqrt(n.toDouble)
+      assert(bs >= root && bs <= root + 1, s"n=$n: bucketSize $bs !~ sqrt = $root")
+      assert(buckets <= root + 1, s"n=$n: $buckets buckets exceeds sqrt+1")
+    }
+    // and the operator actually uses it: with dense ids 0..maxId, the
+    // realized bucket count at sf0.01 must be ~sqrt(maxId+1), not n/100
+    val maxId = spark.read.parquet(s"$sf001/documents.parquet")
+      .agg(max("doc_id")).head().getLong(0)
+    val bs = SeqPack.autoBucketSize(maxId + 1)
+    val nBuckets = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(expr(s"doc_id div ${bs}L").as("b")).distinct().count()
+    assert(nBuckets <= math.sqrt((maxId + 1).toDouble) + 1)
+  }
 }
