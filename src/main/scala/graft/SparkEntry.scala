@@ -275,6 +275,7 @@ object SparkEntry {
     // free exact ranking), top-3 per doc via WindowGroupLimit.
     "text_tfidf" -> ((s: SparkSession, d: String) => graft.text.Tfidf.tfidfTopK(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.textBpeTrain(s, d)),
+    "text_bpe_encode" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.textBpeEncode(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -1053,6 +1054,8 @@ object SparkEntry {
     // and `replace`'s left-to-right non-overlapping scan give one
     // deterministic merge sequence in both engines.
     "text_bpe_train" -> graft.text.BpeTrain.oracleSql(),
+    // Same chain, final vocabulary re-joined to (doc, word) counts.
+    "text_bpe_encode" -> graft.text.BpeTrain.oracleSqlEncode(),
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),

@@ -45,14 +45,13 @@ object BpeTrain {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace(col("w"), "(.)", "_$1_").as("enc"), col("cnt"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", "_$1_").as("enc"), col("cnt"))
 
   /** K BPE merge rounds over a (enc, cnt) word table → the ordered
-    * merges table (merge_rank, lhs, rhs, n).
+    * merge list (rank, lhs, rhs, pairCount) on the driver — K values,
+    * bounded by construction (the vocabulary itself stays distributed).
     */
-  private[text] def train(words: DataFrame, k: Int): DataFrame = {
-    val spark = words.sparkSession
-    import spark.implicits._
+  private[text] def trainMerges(words: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     var cur = words.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
@@ -81,20 +80,67 @@ object BpeTrain {
         r += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n").orderBy("merge_rank")
+    merges.toSeq
+  }
+
+  /** [[trainMerges]] as the `text_bpe_train` result frame. */
+  private[text] def train(words: DataFrame, k: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    trainMerges(words, k).toDF("merge_rank", "lhs", "rhs", "n").orderBy("merge_rank")
+  }
+
+  /** Apply an ordered merge list to an encoded-word column: K stacked
+    * literal `replace`s in ONE narrow projection — encoding with a
+    * trained vocabulary is embarrassingly parallel (no shuffle, no
+    * loop jobs; the sequential part of BPE is training, not encoding).
+    */
+  private[text] def applyMerges(words: DataFrame,
+                                merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val enc = merges.foldLeft(col("enc")) { case (c, (_, l, r, _)) =>
+      call_function("replace", c, lit(s"_${l}__${r}_"), lit(s"_$l$r" + "_"))
+    }
+    words.withColumn("enc", enc)
   }
 
   /** `text_bpe_train`: the first K=10 merges learned from the
     * documents corpus.
     */
   def textBpeTrain(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
-    train(wordTable(spark, sfDir), k)
+    train(wordTable(spark, sfDir).select("enc", "cnt"), k)
 
-  /** The matching DuckDB oracle: K unrolled merge-round CTEs over the
-    * identical encoding (same pair explode, same argmax tie order,
-    * same `replace` application).
+  /** `text_bpe_encode` — the CONSUMING half of the tokenizer path:
+    * train the K merges, apply them to the distinct-word vocabulary
+    * (one shuffle-free projection, [[applyMerges]]), and re-join the
+    * per-(doc, word) occurrence table to report each document's BPE
+    * token count next to its word count — the compression a data
+    * engineer checks before committing a vocabulary. Corpus shape at
+    * scale: the vocab-side work is O(distinct words); the per-doc side
+    * is one extract-explode + two map-side-combined aggregations and a
+    * word-keyed join where the vocab side is the small one
+    * (broadcastable far past any natural-language vocabulary).
     */
-  def oracleSql(k: Int = 10): String = {
+  def textBpeEncode(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val vocab = wordTable(spark, sfDir).localCheckpoint()
+    val merges = trainMerges(vocab.select("enc", "cnt"), k)
+    val wordTokens = applyMerges(vocab, merges)
+      .select(col("w"),
+        size(split(expr("btrim(enc, '_')"), "__")).cast("long").as("nt"))
+    val docWords = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    docWords.join(wordTokens, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), sum(col("c") * col("nt")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared K-round CTE chain (w0..wK, p/b per round), carrying
+    * the original word `w` alongside its evolving encoding so both the
+    * train and encode oracles read off one chain.
+    */
+  private def oracleChain(k: Int): String = {
     val rounds = (1 to k).map { r =>
       val prev = if (r == 1) "w0" else s"w${r - 1}"
       s"""p$r AS (
@@ -103,19 +149,42 @@ object BpeTrain {
          |       LATERAL (SELECT unnest(generate_series(1, len(s)-1)) AS i) t
          |  GROUP BY 1, 2),
          |b$r AS (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1),
-         |w$r AS (SELECT replace(enc, '_'||lhs||'__'||rhs||'_', '_'||lhs||rhs||'_') AS enc, cnt
+         |w$r AS (SELECT w, replace(enc, '_'||lhs||'__'||rhs||'_', '_'||lhs||rhs||'_') AS enc, cnt
          |  FROM $prev, b$r)""".stripMargin
     }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT w, regexp_replace(w, '(.)', '_\\1_', 'g') AS enc, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
+  /** The matching DuckDB `text_bpe_train` oracle: K unrolled
+    * merge-round CTEs over the identical encoding (same pair explode,
+    * same argmax tie order, same `replace` application).
+    */
+  def oracleSql(k: Int = 10): String = {
     val union = (1 to k)
       .map(r => s"SELECT $r AS merge_rank, lhs, rhs, n FROM b$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT regexp_replace(w, '(.)', '_\\1_', 'g') AS enc, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
-       |  GROUP BY 1),
-       |$rounds
+    s"""WITH ${oracleChain(k)}
        |SELECT * FROM (
        |  $union
        |) ORDER BY merge_rank""".stripMargin
   }
+
+  /** The `text_bpe_encode` oracle: the same chain's final vocabulary
+    * (wK) re-joined to the per-(doc, word) occurrence table.
+    */
+  def oracleSqlEncode(k: Int = 10): String =
+    s"""WITH ${oracleChain(k)},
+       |wt AS (SELECT w, CAST(len(string_split(trim(enc, '_'), '__')) AS BIGINT) AS nt FROM w$k),
+       |dw AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * nt) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN wt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -54,6 +54,32 @@ class BpeTrainSpec extends SparkSpec {
       s"expected [(a,b), (ab,c)], got $got — (b,c) firing means the boundary leaked")
   }
 
+  test("applyMerges equals the training loop's own final vocabulary (encode = replay)") {
+    val words = Seq(("abab", enc("abab"), 10L), ("abc", enc("abc"), 5L), ("ab", enc("ab"), 3L))
+      .toDF("w", "enc", "cnt")
+    val merges = BpeTrain.trainMerges(words.select("enc", "cnt"), 10)
+    val got = BpeTrain.applyMerges(words, merges)
+      .select("w", "enc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // after (a,b), (ab,ab), (ab,c): abab→[abab], abc→[abc], ab→[ab]
+    assert(got == Map("abab" -> "_abab_", "abc" -> "_abc_", "ab" -> "_ab_"))
+  }
+
+  test("text_bpe_encode: per-doc counts bounded by words below and chars above, and merges bite") {
+    val rows = BpeTrain.textBpeEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, nw, nb) =>
+      assert(nb >= nw, s"doc $doc: a word is at least one token")
+    }
+    // corpus-wide the 10 merges must compress: strictly fewer BPE
+    // tokens than characters (every merge round had a positive count)
+    val chars = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .agg(sum(length(col("w")))).head().getLong(0)
+    val bpe = rows.map(_._3).sum
+    assert(bpe < chars, s"10 merges must compress ($bpe tokens vs $chars chars)")
+  }
+
   test("sf0.001 corpus: 10 merges, counts monotone within rank ties impossible, all from [a-z]") {
     val got = BpeTrain.textBpeTrain(spark, sf0001).collect()
     assert(got.length == 10)
