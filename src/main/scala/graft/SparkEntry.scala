@@ -141,6 +141,7 @@ object SparkEntry {
     // across micro-batches (hours straddle files — carried state is
     // load-bearing), trailing-24h sweep over the |hours|-row state.
     "stream_rate_spike" -> ((s: SparkSession, d: String) => graft.streaming.RateSpikeStream.runRateSpikeBounded(s, d)),
+    "stream_topk" -> ((s: SparkSession, d: String) => graft.streaming.TopKStream.runTopKBounded(s, d)),
     // Incremental EXACT distinct: running per-type bitmap state ORs
     // each micro-batch's bitmaps — counts can't merge, sets can.
     "stream_bitmap_distinct" -> ((s: SparkSession, d: String) => graft.streaming.BitmapStream.runBitmapBounded(s, d)),
@@ -1149,6 +1150,13 @@ object SparkEntry {
         |SELECT o_orderkey, o_totalprice, CAST(version AS BIGINT) AS version
         |FROM ranked WHERE rn = 1 AND NOT is_delete
         |ORDER BY o_orderkey""".stripMargin,
+    // The batch q_topk_per_group oracle verbatim: mergeable per-group
+    // top-k state folded across micro-batches must converge to the
+    // all-at-once leaderboard.
+    "stream_topk" ->
+      """SELECT p_brand, p_partkey, rk FROM (
+        |  SELECT p_brand, p_partkey, CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk FROM part
+        |) t WHERE rk <= 3 ORDER BY p_brand, rk, p_partkey""".stripMargin,
     // The batch q_rate_spike oracle verbatim: chunked additive hourly
     // counting must converge to the all-at-once hourly series.
     "stream_rate_spike" ->
