@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -148,6 +148,8 @@ object SparkEntry {
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
     "q_hierarchy" -> Hierarchy.qHierarchy _,
     "q_recursive_cte" -> RecursiveCte.qRecursiveCte _,
+    "q_market_basket" -> MarketBasket.qMarketBasket _,
+    "q_rfm" -> Rfm.qRfm _,
     "q_sample_stratified" -> Sample.qSampleStratified _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
@@ -1097,6 +1099,35 @@ object SparkEntry {
     // independent WITH RECURSIVE implementations must agree on the
     // fixpoint. Spark runs it via spark.sql over temp views.
     "q_recursive_cte" -> graft.queries.RecursiveCte.sql("orders"),
+    // Distinct (order, brand) first, canonical b1 < b2 pairs, integer
+    // support + per-brand reach; top-20 under a total order.
+    "q_market_basket" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |reach AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_orders FROM ob GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.brand AS b1, b.brand AS b2, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT b1, b2, n_both, r1.n_orders AS n_b1, r2.n_orders AS n_b2
+        |FROM pairs JOIN reach r1 ON b1 = r1.brand JOIN reach r2 ON b2 = r2.brand
+        |ORDER BY n_both DESC, b1, b2 LIMIT 20""".stripMargin,
+    // ntile over TOTAL orders (custkey tiebreaker) is a pure function
+    // of the data — quartile boundaries land identically cross-engine.
+    "q_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT r_bucket, f_bucket, m_bucket, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (
+        |  SELECT CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INTEGER) AS r_bucket,
+        |         CAST(ntile(4) OVER (ORDER BY n_orders, o_custkey) AS INTEGER) AS f_bucket,
+        |         CAST(ntile(4) OVER (ORDER BY cents, o_custkey) AS INTEGER) AS m_bucket
+        |  FROM pc)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // The oracle is the EXACT Levenshtein join over the same planted
     // keys — the engine's prefix-filtered pipeline must be both
     // complete and FP-free to hash-match it. Candidate generation uses
