@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -150,6 +150,7 @@ object SparkEntry {
     "q_recursive_cte" -> RecursiveCte.qRecursiveCte _,
     "q_market_basket" -> MarketBasket.qMarketBasket _,
     "q_rfm" -> Rfm.qRfm _,
+    "q_cohort" -> Cohort.qCohort _,
     "q_sample_stratified" -> Sample.qSampleStratified _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
@@ -1113,6 +1114,16 @@ object SparkEntry {
         |SELECT b1, b2, n_both, r1.n_orders AS n_b1, r2.n_orders AS n_b2
         |FROM pairs JOIN reach r1 ON b1 = r1.brand JOIN reach r2 ON b2 = r2.brand
         |ORDER BY n_both DESC, b1, b2 LIMIT 20""".stripMargin,
+    // Month arithmetic as exact year*12+month integers; revenue in
+    // BIGINT cents — the cohort matrix hashes exactly.
+    "q_cohort" ->
+      """WITH f AS (SELECT o_custkey, min(o_orderdate) AS fd FROM orders GROUP BY 1)
+        |SELECT CAST(year(fd)*12 + month(fd) AS INTEGER) AS cohort_m,
+        |  CAST((year(o_orderdate)*12 + month(o_orderdate)) - (year(fd)*12 + month(fd)) AS INTEGER) AS months_since,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+        |  sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // ntile over TOTAL orders (custkey tiebreaker) is a pure function
     // of the data — quartile boundaries land identically cross-engine.
     "q_rfm" ->
