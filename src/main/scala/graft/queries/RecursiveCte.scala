@@ -44,9 +44,34 @@ object RecursiveCte {
        |SELECT node, root, CAST(depth AS BIGINT) AS depth
        |FROM r ORDER BY node""".stripMargin
 
-  def qRecursiveCte(spark: SparkSession, sfDir: String): DataFrame =
-    SqlViews.withTempViews(spark, Seq(
-      "orders" -> spark.read.parquet(s"$sfDir/orders.parquet"))) { v =>
+  def qRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // Spark guards runaway recursion with a CUMULATIVE row cap
+    // (spark.sql.cteRecursionRowLimit, default 1e6) — this closure
+    // emits each order exactly once, so the exact budget is n rows:
+    // size the cap to n (one metadata-cheap parquet count) rather than
+    // disabling the guard, and restore the session default after. At
+    // sf1 (1.5M orders) the default cap aborts the fixpoint; a blind
+    // huge cap would also "work" but forfeits the runaway protection.
+    val key  = "spark.sql.cteRecursionRowLimit"
+    val prev = spark.conf.get(key)
+    val n    = orders.count()
+    spark.conf.set(key, math.max(prev.toLong, n + 10L).toString)
+    try
+      // Force execution inside the raised-cap scope: the DataFrame
+      // handed back is a materialized checkpoint, so a caller
+      // collecting AFTER this method returns (Verify, Bench) does not
+      // re-run the fixpoint under the restored cap.
+      resolved(spark, orders).localCheckpoint()
+    finally spark.conf.set(key, prev)
+  }
+
+  /** The analyzed recursion frame, un-checkpointed — the spec pins
+    * UnionLoop / pruning / pushdown on THIS plan (the public method's
+    * checkpoint replaces the executed plan with a checkpoint scan).
+    */
+  private[queries] def resolved(spark: SparkSession, orders: DataFrame): DataFrame =
+    SqlViews.withTempViews(spark, Seq("orders" -> orders)) { v =>
       spark.sql(sql(v("orders")))
     }
 }

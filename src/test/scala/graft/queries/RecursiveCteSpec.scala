@@ -15,7 +15,8 @@ class RecursiveCteSpec extends SparkSpec {
   }
 
   test("plan: UnionLoop recursion with a pruned, filter-pushed edge scan") {
-    val df = RecursiveCte.qRecursiveCte(spark, sf0001)
+    val df = RecursiveCte.resolved(spark,
+      spark.read.parquet(s"$sf0001/orders.parquet"))
     val plan = df.queryExecution.executedPlan.toString
     // native recursion, not an expanded union or an error
     assert(plan.contains("UnionLoop"), s"expected UnionLoop in:\n$plan")
