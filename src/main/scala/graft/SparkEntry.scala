@@ -280,6 +280,10 @@ object SparkEntry {
     "text_tfidf" -> ((s: SparkSession, d: String) => graft.text.Tfidf.tfidfTopK(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.textBpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.textBpeEncode(s, d)),
+    // Bigram-LM surprise (perplexity-gate quality filter): exact
+    // integer floor(log2 1/p) scores — bit-identical cross-engine,
+    // no libm — top-20 most surprising docs.
+    "text_lm_surprise" -> ((s: SparkSession, d: String) => graft.text.LmSurprise.textLmSurprise(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -1060,6 +1064,9 @@ object SparkEntry {
     "text_bpe_train" -> graft.text.BpeTrain.oracleSql(),
     // Same chain, final vocabulary re-joined to (doc, word) counts.
     "text_bpe_encode" -> graft.text.BpeTrain.oracleSqlEncode(),
+    // Exact-integer bigram surprise: bitlen((c_a+V) div (c_ab+1))−1
+    // via printf('%b') — no floating log anywhere.
+    "text_lm_surprise" -> graft.text.LmSurprise.oracleSql(),
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),
