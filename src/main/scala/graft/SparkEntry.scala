@@ -154,6 +154,9 @@ object SparkEntry {
     "q_sample_stratified" -> Sample.qSampleStratified _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
+    // Grouped correlation/regression from EXACT decimal sufficient
+    // stats: integral slope, correctly-rounded sqrt for corr only.
+    "q_corr" -> graft.queries.Corr.qCorr _,
     "q_ntile" -> Stats.qNtile _,
     "q_heavy_hitters" -> HeavyHitters.qHeavyHitters _,
     // §2c — LLM-data-pipeline operators
@@ -875,6 +878,9 @@ object SparkEntry {
         |FROM (SELECT CAST(length(bin((event_id % 65536) + 1)) AS BIGINT) AS hk FROM events)
         |GROUP BY 1 HAVING count(*) * 8 > (SELECT count(*) FROM events)
         |ORDER BY 1""".stripMargin,
+    // Exact HUGEINT sufficient stats; only sqrt/divide in doubles
+    // (correctly-rounded IEEE ops over bit-identical operands).
+    "q_corr" -> graft.queries.Corr.oracleSql,
     // Sample (n-1) forms on both engines; per-column rounding sized
     // so merge-order float noise cannot flip a digit.
     "q_stats_moments" ->
