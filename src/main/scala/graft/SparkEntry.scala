@@ -157,6 +157,9 @@ object SparkEntry {
     // Grouped correlation/regression from EXACT decimal sufficient
     // stats: integral slope, correctly-rounded sqrt for corr only.
     "q_corr" -> graft.queries.Corr.qCorr _,
+    // Multi-source frontier BFS on a cyclic planted grid: min-hop
+    // distances within an 8-round radius, anti-join settlement.
+    "q_shortest_path" -> graft.queries.ShortestPath.qShortestPath _,
     "q_ntile" -> Stats.qNtile _,
     "q_heavy_hitters" -> HeavyHitters.qHeavyHitters _,
     // §2c — LLM-data-pipeline operators
@@ -881,6 +884,8 @@ object SparkEntry {
     // Exact HUGEINT sufficient stats; only sqrt/divide in doubles
     // (correctly-rounded IEEE ops over bit-identical operands).
     "q_corr" -> graft.queries.Corr.oracleSql,
+    // Independent capped WITH RECURSIVE fixpoint over the same grid.
+    "q_shortest_path" -> graft.queries.ShortestPath.oracleSql,
     // Sample (n-1) forms on both engines; per-column rounding sized
     // so merge-order float noise cannot flip a digit.
     "q_stats_moments" ->
