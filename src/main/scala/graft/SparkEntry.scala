@@ -145,6 +145,9 @@ object SparkEntry {
     // Incremental EXACT distinct: running per-type bitmap state ORs
     // each micro-batch's bitmaps — counts can't merge, sets can.
     "stream_bitmap_distinct" -> ((s: SparkSession, d: String) => graft.streaming.BitmapStream.runBitmapBounded(s, d)),
+    // The sketch twin: kilobyte HLL union states — the carry an
+    // unbounded-domain stream can afford; 2%-band census contract.
+    "stream_hll_distinct" -> ((s: SparkSession, d: String) => graft.streaming.HllStream.runHllBounded(s, d)),
     "dedup_editdist" -> ((s: SparkSession, d: String) => graft.dedup.EditDist.editDistPairs(s, d)),
     "q_hierarchy" -> Hierarchy.qHierarchy _,
     "q_recursive_cte" -> RecursiveCte.qRecursiveCte _,
@@ -753,6 +756,14 @@ object SparkEntry {
         |FROM events GROUP BY 1
         |UNION ALL
         |SELECT '__union', count(DISTINCT user_id) FROM events
+        |ORDER BY scope""".stripMargin,
+    // Chunked HLL-union maintenance: estimates stay inside the same
+    // 2% band as the all-at-once sketch (approx_ok hash-pinned).
+    "stream_hll_distinct" ->
+      """SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__union', count(DISTINCT user_id), TRUE FROM events
         |ORDER BY scope""".stripMargin,
     // Every extracted value recomputed from BASE columns: the
     // construct→parse→traverse→cast round-trip must be exact.
