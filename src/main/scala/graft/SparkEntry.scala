@@ -104,6 +104,9 @@ object SparkEntry {
     // Correlated EXISTS/NOT EXISTS — the predicate-subquery SQL text,
     // decorrelated into left-semi + left-anti hash joins (plan-pinned).
     "q_exists_subquery" -> ExistsSubquery.qExistsSubquery _,
+    // NOT IN three-valued NULL semantics: one planted NULL collapses
+    // the predicate to empty; NOT EXISTS is the NULL-proof twin.
+    "q_not_in_null" -> graft.queries.NotInNull.qNotInNull _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -786,6 +789,9 @@ object SparkEntry {
     "q_scalar_subquery" -> graft.queries.ScalarSubquery.sql("lineitem", "part"),
     // Same-SQL-text contract for the predicate-subquery class.
     "q_exists_subquery" -> graft.queries.ExistsSubquery.sql("customer", "orders"),
+    // IDENTICAL text: two ANSI engines must agree that one NULL in
+    // the list empties NOT IN while NOT EXISTS is unaffected.
+    "q_not_in_null" -> graft.queries.NotInNull.sql("customer", "orders"),
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
