@@ -326,6 +326,9 @@ object SparkEntry {
     // text_quality ratio signals, held-out per-class accuracy pinned
     // at 1.0 with n_eval from the plant arithmetic.
     "corpus_quality_svm" -> ((s: SparkSession, d: String) => graft.text.QualitySvm.qualitySvm(s, d)),
+    // Gains table for the quality filter: total-order decile cut,
+    // per-decile junk capture in exact integer basis points.
+    "q_decile_lift" -> ((s: SparkSession, d: String) => graft.text.DecileLift.qDecileLift(s, d)),
     // Benchmark decontamination: 8-gram collision scan of the corpus
     // against a probe set; planted contaminated docs must show
     // n_hit_docs >= 2 / leaked=true per the arithmetic planting rule.
@@ -1553,6 +1556,9 @@ object SparkEntry {
         |SELECT 'junk', count(*), true FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
         |ORDER BY quality_class""".stripMargin,
+    // Planted corpus rebuilt in SQL; total-order ntile; all rates in
+    // exact integer basis points.
+    "q_decile_lift" -> graft.text.DecileLift.oracleSql(),
     "ann_near_top1" ->
       """SELECT * FROM (VALUES
         |  ('ivf', true),
