@@ -91,6 +91,9 @@ object SparkEntry {
     // TypedImperativeAggregate) — the bitmap cardinality must EQUAL
     // the oracle's count(DISTINCT), no tolerance band.
     "q_bitmap_distinct" -> ((s: SparkSession, d: String) => Sketches.qBitmapDistinct(s, d)),
+    // Rolling 7-day active users: per-day mergeable bitmaps fanned to
+    // the ≤7 windows they serve — events scanned once, not per frame.
+    "q_rolling_distinct" -> ((s: SparkSession, d: String) => graft.queries.RollingDistinct.qRollingDistinct(s, d)),
     // Spark 4 VARIANT shredding: parse once, typed-path traversals
     // (incl. a nested re-parse), round-trip exactness vs base columns.
     "q_variant_extract" -> VariantOps.qVariantExtract _,
@@ -763,6 +766,8 @@ object SparkEntry {
         |UNION ALL
         |SELECT '__union', count(DISTINCT user_id) FROM events
         |ORDER BY scope""".stripMargin,
+    // The rescan formulation: semantics, not the plan.
+    "q_rolling_distinct" -> graft.queries.RollingDistinct.oracleSql,
     // Chunked HLL-union maintenance: estimates stay inside the same
     // 2% band as the all-at-once sketch (approx_ok hash-pinned).
     "stream_hll_distinct" ->
