@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, SkewAqe, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -79,6 +79,9 @@ object SparkEntry {
     "q_moving_avg" -> Analytics.qMovingAvg _,
     "q_setops" -> Analytics.qSetOps _,
     "q_salted_join" -> Analytics.qSaltedJoin _,
+    // The automatic twin of q_salted_join: AQE splits the planted hot
+    // partition at runtime; re-plan must be invisible in the result.
+    "q_skew_aqe" -> SkewAqe.qSkewAqe _,
     "q_sql_vec" -> Analytics.qSqlVec _,
     "q_skew_histogram" -> Analytics.qSkewHistogram _,
     "q_skyline" -> Skyline.qSkyline _,
@@ -1348,6 +1351,8 @@ object SparkEntry {
         |FROM w JOIN (SELECT epoch_us(ts) AS t, value FROM events) e
         |  ON e.t >= w.ws AND e.t < w.we
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The runtime skew split must be invisible: plain remapped join.
+    "q_skew_aqe" -> graft.queries.SkewAqe.oracleSql,
     // Salting must be invisible: the oracle is the PLAIN join.
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
