@@ -113,6 +113,9 @@ object SparkEntry {
     // NOT IN three-valued NULL semantics: one planted NULL collapses
     // the predicate to empty; NOT EXISTS is the NULL-proof twin.
     "q_not_in_null" -> graft.queries.NotInNull.qNotInNull _,
+    // TPC-H Q18 shape: IN over a grouped+HAVING subquery — the semi
+    // key set is itself an aggregate; pruned before the wide join.
+    "q_group_having_in" -> graft.queries.GroupHavingIn.qGroupHavingIn _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -803,6 +806,8 @@ object SparkEntry {
     // IDENTICAL text: two ANSI engines must agree that one NULL in
     // the list empties NOT IN while NOT EXISTS is unaffected.
     "q_not_in_null" -> graft.queries.NotInNull.sql("customer", "orders"),
+    "q_group_having_in" ->
+      graft.queries.GroupHavingIn.sql("customer", "orders", "lineitem"),
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
