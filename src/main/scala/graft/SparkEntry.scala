@@ -136,6 +136,9 @@ object SparkEntry {
     "q_mode" -> Stats.qMode _,
     "q_integrity" -> Integrity.qIntegrity _,
     "q_scd2" -> Timeline.qScd2 _,
+    // The time-travel consumer of that history: AS-OF snapshot census
+    // by interval containment vs a ranked-log oracle.
+    "q_time_travel" -> graft.queries.TimeTravel.qTimeTravel _,
     "q_gapfill" -> Timeline.qGapfill _,
     "q_transition" -> Timeline.qTransition _,
     "q_interval_overlap" -> IntervalOverlap.qIntervalOverlap _,
@@ -977,6 +980,9 @@ object SparkEntry {
         |) t ORDER BY check_name""".stripMargin,
     // SCD2 run compression: lag-boundary + running version sum +
     // run collapse + lead chaining, all in exact integer µs.
+    // Latest-event-before-t ranked formulation: two independent
+    // definitions of "state at t" must agree.
+    "q_time_travel" -> graft.queries.TimeTravel.oracleSql,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS te FROM events
