@@ -70,6 +70,9 @@ object SparkEntry {
     // via time negation; DuckDB's native forward ASOF is the oracle.
     "q_asof_forward" -> ((s: SparkSession, d: String) => Analytics.qAsofForward(s, d)),
     "q_distinct_agg" -> Analytics.qDistinctAgg _,
+    // N distinct aggregates in ONE Expand-rewritten pass (no N-way
+    // self-join of sub-aggregations; plan-pinned).
+    "q_multi_distinct" -> graft.queries.MultiDistinct.qMultiDistinct _,
     "q_outer_join" -> Analytics.qOuterJoin _,
     "q_percentiles" -> Analytics.qPercentiles _,
     "q_pivot" -> Analytics.qPivot _,
@@ -626,6 +629,7 @@ object SparkEntry {
         |SELECT k, count(*) AS n_events, count(okey) AS n_matched, max(okey) AS max_okey
         |FROM e ASOF LEFT JOIN o ON e.k = o.k2 AND e.t >= o.t2
         |GROUP BY k ORDER BY k""".stripMargin,
+    "q_multi_distinct" -> graft.queries.MultiDistinct.oracleSql,
     "q_distinct_agg" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
