@@ -261,6 +261,10 @@ object SparkEntry {
     // vectors assigned against the FROZEN quantizer and appended —
     // per-add work proportional to the batch; fresh index must reach
     // the inserts, the stale index must see nothing near the probes.
+    // The delete half of day-2 maintenance: ids-only tombstone
+    // anti-join; before/after reachability + census literal-pinned.
+    "ann_ivf_delete" -> ((s: SparkSession, d: String) =>
+      graft.similarity.IvfDelete.deleteContract(s, d)),
     "ann_ivf_incremental" -> ((s: SparkSession, d: String) =>
       graft.similarity.IvfIncremental.incrementalContract(s, d)),
     // Product quantization: compressed-domain ADC scan + exact re-rank;
@@ -1654,6 +1658,12 @@ object SparkEntry {
     "ann_ivf" ->
       """SELECT vec_id AS probe_id, vec_id + 1000000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+    "ann_ivf_delete" ->
+      """SELECT * FROM (VALUES
+        |  ('after', true, true),
+        |  ('before', true, true),
+        |  ('census', true, true)) AS t(phase, planted_ok, ok)
+        |ORDER BY phase""".stripMargin,
     "ann_ivf_incremental" ->
       """SELECT * FROM (VALUES
         |  ('fresh', true, true),
