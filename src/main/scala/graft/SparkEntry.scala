@@ -62,6 +62,9 @@ object SparkEntry {
     "q_cube" -> Analytics.qCube _,
     "q_grouping_sets" -> Analytics.qGroupingSets _,
     "q_events_sessionize" -> Analytics.qSessionize _,
+    // Gaps-and-islands: day_idx − row_number() is constant within a
+    // consecutive run — maximal streaks via one groupBy, no self-join.
+    "q_islands" -> graft.queries.Islands.qIslands _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
     "q_asof_join" -> ((s: SparkSession, d: String) => Analytics.qAsofJoin(s, d)),
@@ -1076,6 +1079,7 @@ object SparkEntry {
     // Gap rows are generated FROM the observations (sequence to the
     // next observed bucket), so LOCF needs no spine join; the filled
     // value is a bare max of observed doubles — no arithmetic.
+    "q_islands" -> graft.queries.Islands.oracleSql,
     "q_gapfill" ->
       """WITH e AS (
         |  SELECT user_id, (epoch_us(ts) - 1704067200000000) // 3600000000 AS h, value FROM events
