@@ -65,6 +65,9 @@ object SparkEntry {
     // Gaps-and-islands: day_idx − row_number() is constant within a
     // consecutive run — maximal streaks via one groupBy, no self-join.
     "q_islands" -> graft.queries.Islands.qIslands _,
+    // rank/dense_rank/percent_rank/cume_dist in ONE Window pass; the
+    // relative members are single exact-int divisions, round(6)-safe.
+    "q_percent_rank_cume" -> graft.queries.RankFamily.qPercentRankCume _,
     "q_semi_anti" -> Analytics.qSemiAnti _,
     "q_topk_per_group" -> Analytics.qTopKPerGroup _,
     "q_asof_join" -> ((s: SparkSession, d: String) => Analytics.qAsofJoin(s, d)),
@@ -1080,6 +1083,7 @@ object SparkEntry {
     // next observed bucket), so LOCF needs no spine join; the filled
     // value is a bare max of observed doubles — no arithmetic.
     "q_islands" -> graft.queries.Islands.oracleSql,
+    "q_percent_rank_cume" -> graft.queries.RankFamily.oracleSql,
     "q_gapfill" ->
       """WITH e AS (
         |  SELECT user_id, (epoch_us(ts) - 1704067200000000) // 3600000000 AS h, value FROM events
