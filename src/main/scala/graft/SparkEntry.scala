@@ -267,12 +267,12 @@ object SparkEntry {
     // vectors assigned against the FROZEN quantizer and appended —
     // per-add work proportional to the batch; fresh index must reach
     // the inserts, the stale index must see nothing near the probes.
+    "ann_ivf_incremental" -> ((s: SparkSession, d: String) =>
+      graft.similarity.IvfIncremental.incrementalContract(s, d)),
     // The delete half of day-2 maintenance: ids-only tombstone
     // anti-join; before/after reachability + census literal-pinned.
     "ann_ivf_delete" -> ((s: SparkSession, d: String) =>
       graft.similarity.IvfDelete.deleteContract(s, d)),
-    "ann_ivf_incremental" -> ((s: SparkSession, d: String) =>
-      graft.similarity.IvfIncremental.incrementalContract(s, d)),
     // Product quantization: compressed-domain ADC scan + exact re-rank;
     // recall@10 over the same dense clustered corpus as ann_recall_atk,
     // pinned >= 0.90 (measured via RecallProbe; detuned m/ksub/rerank
@@ -994,9 +994,6 @@ object SparkEntry {
         |) t ORDER BY check_name""".stripMargin,
     // SCD2 run compression: lag-boundary + running version sum +
     // run collapse + lead chaining, all in exact integer µs.
-    // Latest-event-before-t ranked formulation: two independent
-    // definitions of "state at t" must agree.
-    "q_time_travel" -> graft.queries.TimeTravel.oracleSql,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS te FROM events
@@ -1018,6 +1015,9 @@ object SparkEntry {
         |  n_events
         |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    // Latest-event-before-t ranked formulation: two independent
+    // definitions of "state at t" must agree.
+    "q_time_travel" -> graft.queries.TimeTravel.oracleSql,
     // Deterministic mode: ties to the smaller value in both engines.
     "q_mode" ->
       """SELECT l_returnflag, mode_qty, cnt FROM (

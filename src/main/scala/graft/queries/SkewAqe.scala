@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** AQE runtime skew-join splitting (SURVEY.md §2b) — the AUTOMATIC
   * counterpart to [[SaltedJoin]]'s manual salting: plant a hot key
-  * (30% of the fact table remapped onto one supplier), shuffle-join
+  * (80% of the fact table remapped onto one supplier), shuffle-join
   * it, and let OptimizeSkewedJoin split the oversized partition into
   * parallel sub-reads at runtime. The contract is that the re-plan is
   * INVISIBLE in the result: the oracle is the plain join over the

@@ -43,8 +43,9 @@ object IvfDelete {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     NearDup.guardIds(base, "vec_id")
-    val tombstones = base.filter(pmod(col("vec_id"), lit(DeleteEvery)) === 0)
-      .select("vec_id").localCheckpoint()
+    val doomed = base.filter(pmod(col("vec_id"), lit(DeleteEvery)) === 0)
+      .localCheckpoint()
+    val tombstones = doomed.select("vec_id")
     val nDel = tombstones.count()
 
     // rotatedTo outputs UNIT vectors, but the corpus and the Euclidean
@@ -53,7 +54,6 @@ object IvfDelete {
     // (measured: 0/20 reachability with cos(probe,target)=0.97).
     // Rescale each probe to its target's norm; cosine is unaffected.
     import graft.functions.VectorOps
-    val doomed = base.filter(pmod(col("vec_id"), lit(DeleteEvery)) === 0)
     val probes = NearDup.rotatedTo(doomed, 0.97)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv_unit"))
       .join(doomed.select(col("vec_id").as("probe_id"),

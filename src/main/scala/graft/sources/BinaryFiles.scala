@@ -41,14 +41,22 @@ object BinaryFiles {
     }
   }
 
-  /** Read blobs matching `glob` back as (doc_id, content, length) —
-    * id parsed from the file name, glob applied at listing.
+  /** Read `<prefix><id>.<ext>` blobs back as (doc_id, content,
+    * length) — the listing glob AND the id regex are both anchored on
+    * the exact prefix/ext pair [[writeBlobs]] takes, so digit-bearing
+    * extensions ("mp4") and digit-ending prefixes ("v2_") parse
+    * correctly instead of shifting digits into the id (a bare
+    * `(\d+)\.[a-z]+$` corrupts both cases).
     */
-  def readBlobs(spark: SparkSession, dir: String, glob: String): DataFrame =
+  def readBlobs(spark: SparkSession, dir: String,
+                prefix: String, ext: String): DataFrame = {
+    val q = java.util.regex.Pattern.quote _
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
+      .option("pathGlobFilter", s"$prefix*.$ext")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), s"${q(prefix)}(\\d+)\\.${q(ext)}$$", 1)
+          .cast("long").as("doc_id"),
         col("content"), col("length"))
+  }
 }

@@ -22,10 +22,10 @@ class SkewAqeSpec extends SparkSpec {
       plain = SkewAqe.resolved(spark, sf0001).collect().toSeq
     }
     assert(withSplit == plain, "skew splitting may change the plan, never the rows")
-    // and the hot nation actually is hot: 30% of the fact lands on
+    // and the hot nation actually is hot: 80% of the fact lands on
     // supplier 1's nation, dwarfing its unskewed share
     val hot = withSplit.map(r => r.getLong(1)).max.toDouble /
       withSplit.map(r => r.getLong(1)).sum
-    assert(hot > 0.25, s"planted hot key must dominate its partition (got $hot)")
+    assert(hot > 0.6, s"planted hot key must dominate its partition (got $hot)")
   }
 }

@@ -12,7 +12,7 @@ class BinaryFilesSpec extends SparkSpec {
       .select(col("media_id"), col("payload")).filter(col("media_id") < 40)
     BinaryFiles.writeBlobs(ppm, "media_id", "payload", dir, "img_", "ppm")
 
-    val back = BinaryFiles.readBlobs(spark, dir, "*.ppm")
+    val back = BinaryFiles.readBlobs(spark, dir, "img_", "ppm")
     val got = back.collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     val expect = ppm.collect()
@@ -31,8 +31,14 @@ class BinaryFilesSpec extends SparkSpec {
     BinaryFiles.writeBlobs(ppm, "media_id", "payload", dir, "img_", "ppm")
     BinaryFiles.writeBlobs(ppm, "media_id", "payload", dir, "junk_", "tmp")
 
-    val df = BinaryFiles.readBlobs(spark, dir, "*.ppm")
+    val df = BinaryFiles.readBlobs(spark, dir, "img_", "ppm")
     assert(df.count() == 20, "only the matching extension is listed")
+    // digit-bearing extensions and digit-ending prefixes must parse:
+    // the id regex anchors on the exact prefix/ext pair
+    BinaryFiles.writeBlobs(ppm, "media_id", "payload", dir, "v2_", "mp4")
+    val tricky = BinaryFiles.readBlobs(spark, dir, "v2_", "mp4")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(tricky.toSeq == (0L until 20L), s"ids must survive v2_/mp4 naming: ${tricky.take(5).mkString(",")}")
     // pruning is structural: the file index never surfaces .tmp paths
     val files = df.inputFiles
     assert(files.nonEmpty && files.forall(_.endsWith(".ppm")),
@@ -48,7 +54,7 @@ class BinaryFilesSpec extends SparkSpec {
       .filter(col("media_id") < 40 && pmod(col("media_id"), lit(13)) =!= 0)
     BinaryFiles.writeBlobs(ppm, "media_id", "payload", dir, "img_", "ppm")
     import spark.implicits._
-    val decodedOk = BinaryFiles.readBlobs(spark, dir, "*.ppm")
+    val decodedOk = BinaryFiles.readBlobs(spark, dir, "img_", "ppm")
       .select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
