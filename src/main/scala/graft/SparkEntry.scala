@@ -376,6 +376,9 @@ object SparkEntry {
     // (limiting stratum kept whole) via the split LCG — achievable
     // total, rates, kept counts and realized shares all reproduced by
     // the oracle's integer arithmetic.
+    // Token-weighted rebalance: uniform TOKEN mixture (budget = the
+    // smallest source), deterministic doc_id-ordered prefixes.
+    "corpus_mix_tokens" -> ((s: SparkSession, d: String) => graft.text.TokenMix.corpusMixTokens(s, d)),
     "corpus_mix" -> ((s: SparkSession, d: String) => graft.text.CorpusMix.mix(s, d)),
     // Upsampling mixture: T = max(n/w) anchors the most over-represented
     // stratum at exactly 1 epoch and repeats every other one r>=1 times
@@ -2073,6 +2076,7 @@ object SparkEntry {
         |FROM c ORDER BY 1, 2""".stripMargin,
     // Achievable total T = min(n_l / w_l); limiting stratum kept whole,
     // others thinned to w_l*T/n_l via the same LCG as corpus_split.
+    "corpus_mix_tokens" -> graft.text.TokenMix.oracleSql,
     "corpus_mix" ->
       """WITH w(lang, w) AS (VALUES
         |  ('de', CAST(0.10 AS DOUBLE)), ('en', CAST(0.50 AS DOUBLE)), ('es', CAST(0.20 AS DOUBLE)),
