@@ -379,6 +379,9 @@ object SparkEntry {
     // Token-weighted rebalance: uniform TOKEN mixture (budget = the
     // smallest source), deterministic doc_id-ordered prefixes.
     "corpus_mix_tokens" -> ((s: SparkSession, d: String) => graft.text.TokenMix.corpusMixTokens(s, d)),
+    // Weighted token targets: integer parts w_s, T = min(total*P div w),
+    // per-source budget w*T div P — realized share_bp tracks w/P.
+    "corpus_mix_tokens_weighted" -> ((s: SparkSession, d: String) => graft.text.TokenMix.corpusMixTokensWeighted(s, d)),
     "corpus_mix" -> ((s: SparkSession, d: String) => graft.text.CorpusMix.mix(s, d)),
     // Upsampling mixture: T = max(n/w) anchors the most over-represented
     // stratum at exactly 1 epoch and repeats every other one r>=1 times
@@ -2077,6 +2080,7 @@ object SparkEntry {
     // Achievable total T = min(n_l / w_l); limiting stratum kept whole,
     // others thinned to w_l*T/n_l via the same LCG as corpus_split.
     "corpus_mix_tokens" -> graft.text.TokenMix.oracleSql,
+    "corpus_mix_tokens_weighted" -> graft.text.TokenMix.oracleSqlWeighted,
     "corpus_mix" ->
       """WITH w(lang, w) AS (VALUES
         |  ('de', CAST(0.10 AS DOUBLE)), ('en', CAST(0.50 AS DOUBLE)), ('es', CAST(0.20 AS DOUBLE)),
