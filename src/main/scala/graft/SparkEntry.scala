@@ -125,6 +125,10 @@ object SparkEntry {
     // TPC-H Q18 shape: IN over a grouped+HAVING subquery — the semi
     // key set is itself an aggregate; pruned before the wide join.
     "q_group_having_in" -> graft.queries.GroupHavingIn.qGroupHavingIn _,
+    // TPC-H Q13 shape: order filter inside the preserved outer join so
+    // zero-order customers keep their bucket; per-customer count rides
+    // the join exchange.
+    "q_custdist" -> graft.queries.CustDist.qCustdist _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -157,6 +161,9 @@ object SparkEntry {
     // rebuilt into full files via ONE range shuffle; census invisible.
     "q_compact" -> ((s: SparkSession, d: String) => Compact.qCompact(s, d)),
     "q_merge_upsert" -> Merge.qMergeUpsert _,
+    // Snapshot diff / CDF census: one co-partitioned full outer join,
+    // per-class counts + key-sum + exact cents delta certificates.
+    "q_snapshot_diff" -> graft.queries.SnapshotDiff.qSnapshotDiff _,
     // Streaming CDC apply: file-per-micro-batch change feed reconciled
     // into keyed state via foreachBatch; census equals the batch merge
     // with the extra version-2 wave folded in.
@@ -831,6 +838,7 @@ object SparkEntry {
     "q_not_in_null" -> graft.queries.NotInNull.sql("customer", "orders"),
     "q_group_having_in" ->
       graft.queries.GroupHavingIn.sql("customer", "orders", "lineitem"),
+    "q_custdist" -> graft.queries.CustDist.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
@@ -1252,6 +1260,9 @@ object SparkEntry {
         |FROM cand
         |WHERE levenshtein(ka, kb) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // v2 replanted identically; per-class census + key-sum + exact
+    // cents-delta certificates from one full outer join.
+    "q_snapshot_diff" -> graft.queries.SnapshotDiff.oracleSql,
     // The change batch is replanted identically; latest version wins,
     // tombstones drop the key.
     "q_merge_upsert" ->
