@@ -148,6 +148,9 @@ object SparkEntry {
     "q_listagg" -> Nested.qListagg _,
     "q_mode" -> Stats.qMode _,
     "q_integrity" -> Integrity.qIntegrity _,
+    // One-pass table profiling: per-column null/distinct/min/max in a
+    // single scan; the N exact distincts ride one Expand rewrite.
+    "q_profile" -> graft.queries.Profile.qProfile _,
     "q_scd2" -> Timeline.qScd2 _,
     // The time-travel consumer of that history: AS-OF snapshot census
     // by interval containment vs a ranked-log oracle.
@@ -974,6 +977,9 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mixed-type columns normalized to exact BIGINTs (cents / ascii /
+    // epoch-µs); planted nulls replanted identically.
+    "q_profile" -> graft.queries.Profile.oracleSql,
     // Violations are PLANTED (id-derived corrupt twins/dups, replanted
     // identically in SQL) so every check has a known nonzero count.
     "q_integrity" ->
