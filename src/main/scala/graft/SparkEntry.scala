@@ -167,6 +167,10 @@ object SparkEntry {
     // Snapshot diff / CDF census: one co-partitioned full outer join,
     // per-class counts + key-sum + exact cents delta certificates.
     "q_snapshot_diff" -> graft.queries.SnapshotDiff.qSnapshotDiff _,
+    // Incremental MV refresh: mergeable states (count/sum/min/max),
+    // refresh cost ∝ the drop — zero raw-corpus rescans (spec-pinned);
+    // oracle is the full recompute, so refresh == recompute.
+    "q_incremental_agg" -> graft.queries.IncrementalAgg.qIncrementalAgg _,
     // Streaming CDC apply: file-per-micro-batch change feed reconciled
     // into keyed state via foreachBatch; census equals the batch merge
     // with the extra version-2 wave folded in.
@@ -1269,6 +1273,8 @@ object SparkEntry {
     // v2 replanted identically; per-class census + key-sum + exact
     // cents-delta certificates from one full outer join.
     "q_snapshot_diff" -> graft.queries.SnapshotDiff.oracleSql,
+    // Full recompute from raw events — the refresh must equal it.
+    "q_incremental_agg" -> graft.queries.IncrementalAgg.oracleSql,
     // The change batch is replanted identically; latest version wins,
     // tombstones drop the key.
     "q_merge_upsert" ->
