@@ -129,6 +129,9 @@ object SparkEntry {
     // zero-order customers keep their bucket; per-customer count rides
     // the join exchange.
     "q_custdist" -> graft.queries.CustDist.qCustdist _,
+    // TPC-H Q19 shape: OR-of-ANDs across both join sides — per-side
+    // disjunctions extracted and pushed into both scans (plan-pinned).
+    "q_or_pushdown" -> graft.queries.OrPushdown.qOrPushdown _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -846,6 +849,7 @@ object SparkEntry {
     "q_group_having_in" ->
       graft.queries.GroupHavingIn.sql("customer", "orders", "lineitem"),
     "q_custdist" -> graft.queries.CustDist.oracleSql,
+    "q_or_pushdown" -> graft.queries.OrPushdown.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
