@@ -154,6 +154,9 @@ object SparkEntry {
     // One-pass table profiling: per-column null/distinct/min/max in a
     // single scan; the N exact distincts ride one Expand rewrite.
     "q_profile" -> graft.queries.Profile.qProfile _,
+    // Herfindahl concentration in basis points: the RATIONAL diversity
+    // metric (no transcendental log) — exact decimal squares, one div.
+    "q_hhi" -> graft.queries.Hhi.qHhi _,
     "q_scd2" -> Timeline.qScd2 _,
     // The time-travel consumer of that history: AS-OF snapshot census
     // by interval containment vs a ranked-log oracle.
@@ -988,6 +991,7 @@ object SparkEntry {
     // Mixed-type columns normalized to exact BIGINTs (cents / ascii /
     // epoch-µs); planted nulls replanted identically.
     "q_profile" -> graft.queries.Profile.oracleSql,
+    "q_hhi" -> graft.queries.Hhi.oracleSql,
     // Violations are PLANTED (id-derived corrupt twins/dups, replanted
     // identically in SQL) so every check has a known nonzero count.
     "q_integrity" ->
