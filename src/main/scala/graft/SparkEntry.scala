@@ -132,6 +132,9 @@ object SparkEntry {
     // TPC-H Q19 shape: OR-of-ANDs across both join sides — per-side
     // disjunctions extracted and pushed into both scans (plan-pinned).
     "q_or_pushdown" -> graft.queries.OrPushdown.qOrPushdown _,
+    // EXCEPT ALL / INTERSECT ALL: multiset semantics via Catalyst's
+    // count-tag + Generate rewrite — one value-keyed shuffle, no join.
+    "q_except_all" -> graft.queries.BagSetOps.qExceptAll _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -853,6 +856,7 @@ object SparkEntry {
       graft.queries.GroupHavingIn.sql("customer", "orders", "lineitem"),
     "q_custdist" -> graft.queries.CustDist.oracleSql,
     "q_or_pushdown" -> graft.queries.OrPushdown.oracleSql,
+    "q_except_all" -> graft.queries.BagSetOps.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
