@@ -405,6 +405,10 @@ object SparkEntry {
     // Weighted token targets: integer parts w_s, T = min(total*P div w),
     // per-source budget w*T div P — realized share_bp tracks w/P.
     "corpus_mix_tokens_weighted" -> ((s: SparkSession, d: String) => graft.text.TokenMix.corpusMixTokensWeighted(s, d)),
+    // Deterministic systematic ∝-token sampling: pick ⟺ the doc's
+    // cumulative-weight interval crosses a multiple of W/K — exact
+    // integers, inclusion probability ∝ tokens, ≤ K picks per source.
+    "corpus_sample_tokens" -> ((s: SparkSession, d: String) => graft.text.TokenSample.corpusSampleTokens(s, d)),
     "corpus_mix" -> ((s: SparkSession, d: String) => graft.text.CorpusMix.mix(s, d)),
     // Upsampling mixture: T = max(n/w) anchors the most over-represented
     // stratum at exactly 1 epoch and repeats every other one r>=1 times
@@ -2116,6 +2120,7 @@ object SparkEntry {
     // others thinned to w_l*T/n_l via the same LCG as corpus_split.
     "corpus_mix_tokens" -> graft.text.TokenMix.oracleSql,
     "corpus_mix_tokens_weighted" -> graft.text.TokenMix.oracleSqlWeighted,
+    "corpus_sample_tokens" -> graft.text.TokenSample.oracleSql,
     "corpus_mix" ->
       """WITH w(lang, w) AS (VALUES
         |  ('de', CAST(0.10 AS DOUBLE)), ('en', CAST(0.50 AS DOUBLE)), ('es', CAST(0.20 AS DOUBLE)),
