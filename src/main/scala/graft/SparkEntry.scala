@@ -135,6 +135,9 @@ object SparkEntry {
     // EXCEPT ALL / INTERSECT ALL: multiset semantics via Catalyst's
     // count-tag + Generate rewrite — one value-keyed shuffle, no join.
     "q_except_all" -> graft.queries.BagSetOps.qExceptAll _,
+    // Interval coalesce: merge overlapping per-user intervals via the
+    // running-max break rule; exact µs union lengths, one exchange.
+    "q_interval_merge" -> graft.queries.IntervalMerge.qIntervalMerge _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -861,6 +864,7 @@ object SparkEntry {
     "q_custdist" -> graft.queries.CustDist.oracleSql,
     "q_or_pushdown" -> graft.queries.OrPushdown.oracleSql,
     "q_except_all" -> graft.queries.BagSetOps.oracleSql,
+    "q_interval_merge" -> graft.queries.IntervalMerge.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
