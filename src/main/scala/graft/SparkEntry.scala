@@ -138,6 +138,9 @@ object SparkEntry {
     // Interval coalesce: merge overlapping per-user intervals via the
     // running-max break rule; exact µs union lengths, one exchange.
     "q_interval_merge" -> graft.queries.IntervalMerge.qIntervalMerge _,
+    // first/last/nth_value + IGNORE NULLS under the full ROWS frame
+    // and a total order — the positional window family, one exchange.
+    "q_first_last" -> graft.queries.FirstLast.qFirstLast _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -865,6 +868,7 @@ object SparkEntry {
     "q_or_pushdown" -> graft.queries.OrPushdown.oracleSql,
     "q_except_all" -> graft.queries.BagSetOps.oracleSql,
     "q_interval_merge" -> graft.queries.IntervalMerge.oracleSql,
+    "q_first_last" -> graft.queries.FirstLast.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
