@@ -141,6 +141,9 @@ object SparkEntry {
     // first/last/nth_value + IGNORE NULLS under the full ROWS frame
     // and a total order — the positional window family, one exchange.
     "q_first_last" -> graft.queries.FirstLast.qFirstLast _,
+    // grouping()/grouping_id under rollup with PLANTED real NULLs —
+    // subtotal-NULL vs data-NULL disambiguation, one Expand pass.
+    "q_grouping_id" -> graft.queries.GroupingId.qGroupingId _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -869,6 +872,7 @@ object SparkEntry {
     "q_except_all" -> graft.queries.BagSetOps.oracleSql,
     "q_interval_merge" -> graft.queries.IntervalMerge.oracleSql,
     "q_first_last" -> graft.queries.FirstLast.oracleSql,
+    "q_grouping_id" -> graft.queries.GroupingId.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
