@@ -144,6 +144,9 @@ object SparkEntry {
     // grouping()/grouping_id under rollup with PLANTED real NULLs —
     // subtotal-NULL vs data-NULL disambiguation, one Expand pass.
     "q_grouping_id" -> graft.queries.GroupingId.qGroupingId _,
+    // Calendar surface: date_trunc/year/quarter/month cross-engine
+    // agreement (the semantics the integer-µs rows deliberately dodge).
+    "q_calendar" -> graft.queries.Calendar.qCalendar _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -873,6 +876,7 @@ object SparkEntry {
     "q_interval_merge" -> graft.queries.IntervalMerge.oracleSql,
     "q_first_last" -> graft.queries.FirstLast.oracleSql,
     "q_grouping_id" -> graft.queries.GroupingId.oracleSql,
+    "q_calendar" -> graft.queries.Calendar.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
