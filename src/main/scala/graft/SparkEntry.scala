@@ -147,6 +147,9 @@ object SparkEntry {
     // Calendar surface: date_trunc/year/quarter/month cross-engine
     // agreement (the semantics the integer-µs rows deliberately dodge).
     "q_calendar" -> graft.queries.Calendar.qCalendar _,
+    // <=> vs = on planted NULL keys: equality silently drops NULL-key
+    // rows, null-safe routes them — both censuses in one output.
+    "q_null_safe_join" -> graft.queries.NullSafeJoin.qNullSafeJoin _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -877,6 +880,7 @@ object SparkEntry {
     "q_first_last" -> graft.queries.FirstLast.oracleSql,
     "q_grouping_id" -> graft.queries.GroupingId.oracleSql,
     "q_calendar" -> graft.queries.Calendar.oracleSql,
+    "q_null_safe_join" -> graft.queries.NullSafeJoin.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
