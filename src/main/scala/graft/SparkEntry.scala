@@ -150,6 +150,9 @@ object SparkEntry {
     // <=> vs = on planted NULL keys: equality silently drops NULL-key
     // rows, null-safe routes them — both censuses in one output.
     "q_null_safe_join" -> graft.queries.NullSafeJoin.qNullSafeJoin _,
+    // explode vs explode_outer on an empty-heavy collection: inner
+    // unnest loses entities, outer keeps them with a NULL element.
+    "q_explode_outer" -> graft.queries.ExplodeOuter.qExplodeOuter _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -881,6 +884,7 @@ object SparkEntry {
     "q_grouping_id" -> graft.queries.GroupingId.oracleSql,
     "q_calendar" -> graft.queries.Calendar.oracleSql,
     "q_null_safe_join" -> graft.queries.NullSafeJoin.oracleSql,
+    "q_explode_outer" -> graft.queries.ExplodeOuter.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
