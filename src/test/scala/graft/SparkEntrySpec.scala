@@ -25,6 +25,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
     SparkEntry.oracleSql.foreach { case (name, rawSql) =>
       val sql = rawSql.replaceAll("--[^\n]*", "") // prose in comments is not a reference
+        .replaceAll("(?i)IS\\s+NOT\\s+DISTINCT\\s+FROM", "<=>") // the FROM in the null-safe operator is not a table ref
       // CTE with optional column list: `name AS (` or `name(c1, c2) AS (`
       val cteNames = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
