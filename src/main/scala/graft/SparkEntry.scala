@@ -153,6 +153,9 @@ object SparkEntry {
     // explode vs explode_outer on an empty-heavy collection: inner
     // unnest loses entities, outer keeps them with a NULL element.
     "q_explode_outer" -> graft.queries.ExplodeOuter.qExplodeOuter _,
+    // CEP / MATCH_RECOGNIZE class: per-user ordered event strings,
+    // behavioral patterns counted as non-overlapping regex matches.
+    "q_sequence_match" -> graft.queries.SequenceMatch.qSequenceMatch _,
     // Multi-touch attribution: last-touch + linear in exact integer
     // cents (remainder to the earliest touch — allocations sum to the
     // purchase, no float drift).
@@ -885,6 +888,7 @@ object SparkEntry {
     "q_calendar" -> graft.queries.Calendar.oracleSql,
     "q_null_safe_join" -> graft.queries.NullSafeJoin.oracleSql,
     "q_explode_outer" -> graft.queries.ExplodeOuter.oracleSql,
+    "q_sequence_match" -> graft.queries.SequenceMatch.oracleSql,
     // The oracle computes the identical token stream with DuckDB's
     // naive single global window cumsum — different plan (the engine
     // runs the two-level distributed prefix sum), same offsets.
