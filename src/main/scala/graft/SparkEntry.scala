@@ -168,6 +168,9 @@ object SparkEntry {
     "q_json_extract" -> Analytics.qJsonExtract _,
     "q_approx_percentile" -> Analytics.qApproxPercentile _,
     "q_funnel" -> Funnel.qFunnel _,
+    // Time-constrained funnel: every step within W of the FIRST step
+    // (the ClickHouse windowFunnel class) — greedy earliest-step chain.
+    "q_window_funnel" -> ((s: SparkSession, d: String) => graft.queries.WindowFunnel.qWindowFunnel(s, d)),
     "q_retention" -> Funnel.qRetention _,
     "q_range_frame" -> Funnel.qRangeFrame _,
     "q_dpp" -> Dpp.qDpp _,
@@ -987,6 +990,7 @@ object SparkEntry {
     // state machine must converge to the same chain, so it shares
     // the oracle verbatim.
     "q_funnel" -> FunnelOracle,
+    "q_window_funnel" -> graft.queries.WindowFunnel.oracleSql,
     "stream_funnel" -> FunnelOracle,
     // The MG sketch must be invisible: the oracle is the full
     // GROUP BY ... HAVING the sketch path avoids shuffling.
