@@ -184,6 +184,9 @@ object SparkEntry {
     // Herfindahl concentration in basis points: the RATIONAL diversity
     // metric (no transcendental log) — exact decimal squares, one div.
     "q_hhi" -> graft.queries.Hhi.qHhi _,
+    // Exact chi-square uniformity test: N·k·χ² = Σ(O·k−N)² — integer
+    // test statistic, densified cell grid, broadcast dims.
+    "q_chisq" -> graft.queries.ChiSq.qChiSq _,
     "q_scd2" -> Timeline.qScd2 _,
     // The time-travel consumer of that history: AS-OF snapshot census
     // by interval containment vs a ranked-log oracle.
@@ -1032,6 +1035,7 @@ object SparkEntry {
     // epoch-µs); planted nulls replanted identically.
     "q_profile" -> graft.queries.Profile.oracleSql,
     "q_hhi" -> graft.queries.Hhi.oracleSql,
+    "q_chisq" -> graft.queries.ChiSq.oracleSql,
     // Violations are PLANTED (id-derived corrupt twins/dups, replanted
     // identically in SQL) so every check has a known nonzero count.
     "q_integrity" ->
