@@ -103,6 +103,9 @@ object SparkEntry {
     // TypedImperativeAggregate) — the bitmap cardinality must EQUAL
     // the oracle's count(DISTINCT), no tolerance band.
     "q_bitmap_distinct" -> ((s: SparkSession, d: String) => Sketches.qBitmapDistinct(s, d)),
+    // Segment-intersection matrix: one corpus scan into per-type
+    // bitmaps, pairwise AND+popcount on k rows (ReusedExchange-pinned).
+    "q_segment_overlap" -> ((s: SparkSession, d: String) => graft.queries.SegmentOverlap.qSegmentOverlap(s, d)),
     // Rolling 7-day active users: per-day mergeable bitmaps fanned to
     // the ≤7 windows they serve — events scanned once, not per frame.
     "q_rolling_distinct" -> ((s: SparkSession, d: String) => graft.queries.RollingDistinct.qRollingDistinct(s, d)),
@@ -841,6 +844,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT '__union', count(DISTINCT user_id) FROM events
         |ORDER BY scope""".stripMargin,
+    "q_segment_overlap" -> graft.queries.SegmentOverlap.oracleSql,
     // Chunked OR-maintenance must converge to the batch census — the
     // same strict oracle as q_bitmap_distinct.
     "stream_bitmap_distinct" ->

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -44,6 +44,16 @@ object BitmapOps {
     var i = 0
     while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
     a
+  }
+
+  /** popcount of the word-wise AND — no intermediate bitmap. */
+  def andCardinality(a: Array[Byte], b: Array[Byte]): Long = {
+    require(a.length == b.length,
+      s"bitmap_and_card: mismatched bitmap widths ${a.length} vs ${b.length}")
+    var n = 0L
+    var i = 0
+    while (i < a.length) { n += java.lang.Integer.bitCount(a(i) & b(i) & 0xFF); i += 1 }
+    n
   }
 }
 
@@ -179,4 +189,23 @@ case class BitmapCardExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.BitmapOps.cardinality($c)")
   override protected def withNewChildInternal(newChild: Expression): BitmapCardExpr =
     copy(child = newChild)
+}
+
+/** Exact intersection cardinality of two bitmaps — word-wise AND +
+  * popcount in one pass, no materialized intermediate bitmap (the
+  * audience-overlap primitive: |A∩B| directly, not via
+  * inclusion–exclusion over an OR aggregate). Width mismatch is a
+  * loud contract failure, same as [[BitmapOps.orInto]].
+  */
+case class BitmapAndCardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_and_card"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitmapOps.andCardinality(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitmapOps.andCardinality($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCardExpr =
+    copy(left = newLeft, right = newRight)
 }

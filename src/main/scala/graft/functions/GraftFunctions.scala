@@ -84,6 +84,13 @@ object GraftFunctions {
   def bitmap_card(bits: Column): Column =
     ColumnBridge.column(BitmapCardExpr(ColumnBridge.expression(bits)))
 
+  /** Exact |A∩B| of two bitmaps — AND + popcount in one pass (see
+    * [[BitmapAndCardExpr]]).
+    */
+  def bitmap_and_card(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitmapAndCardExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Bounded top-k by (score desc, id asc) — array<struct<id,score>>
     * best-first, computed with map-side k-entry heaps instead of a
     * full-sort window (see [[TopKByAgg]]).
