@@ -234,6 +234,9 @@ object SparkEntry {
     "q_sample_stratified" -> Sample.qSampleStratified _,
     "q_bloom_join" -> BloomJoin.qBloomJoin _,
     "q_stats_moments" -> Stats.qStatsMoments _,
+    // Robust median/MAD outlier census: exact order statistics via the
+    // domain-bounded frequency-table route — no per-group global sort.
+    "q_anomaly_mad" -> graft.queries.AnomalyMad.qAnomalyMad _,
     // Grouped correlation/regression from EXACT decimal sufficient
     // stats: integral slope, correctly-rounded sqrt for corr only.
     "q_corr" -> graft.queries.Corr.qCorr _,
@@ -1011,6 +1014,7 @@ object SparkEntry {
     "q_corr" -> graft.queries.Corr.oracleSql,
     // Independent capped WITH RECURSIVE fixpoint over the same grid.
     "q_shortest_path" -> graft.queries.ShortestPath.oracleSql,
+    "q_anomaly_mad" -> graft.queries.AnomalyMad.oracleSql,
     // Sample (n-1) forms on both engines; per-column rounding sized
     // so merge-order float noise cannot flip a digit.
     "q_stats_moments" ->
