@@ -122,6 +122,11 @@ object SparkEntry {
     // Correlated EXISTS/NOT EXISTS — the predicate-subquery SQL text,
     // decorrelated into left-semi + left-anti hash joins (plan-pinned).
     "q_exists_subquery" -> ExistsSubquery.qExistsSubquery _,
+    // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against
+    // the SAME fact with an inequality correlation (other-supplier
+    // lines on the same order) — left-semi + left-anti, both equi on
+    // l_orderkey, nation dim broadcast-filtered first.
+    "q_multi_exists" -> ((s: SparkSession, d: String) => graft.queries.MultiExists.qMultiExists(s, d)),
     // NOT IN three-valued NULL semantics: one planted NULL collapses
     // the predicate to empty; NOT EXISTS is the NULL-proof twin.
     "q_not_in_null" -> graft.queries.NotInNull.qNotInNull _,
@@ -377,6 +382,10 @@ object SparkEntry {
     // integer floor(log2 1/p) scores — bit-identical cross-engine,
     // no libm — top-20 most surprising docs.
     "text_lm_surprise" -> ((s: SparkSession, d: String) => graft.text.LmSurprise.textLmSurprise(s, d)),
+    // URL canonicalization census: planted variant spellings (case,
+    // scheme-gated default port, fragment, utm params, param order)
+    // collapse onto one canonical key; http://host:443 survives.
+    "text_url_normalize" -> ((s: SparkSession, d: String) => graft.text.UrlNormalize.textUrlNormalize(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -887,6 +896,9 @@ object SparkEntry {
     "q_scalar_subquery" -> graft.queries.ScalarSubquery.sql("lineitem", "part"),
     // Same-SQL-text contract for the predicate-subquery class.
     "q_exists_subquery" -> graft.queries.ExistsSubquery.sql("customer", "orders"),
+    // Q21 class: DuckDB decorrelates the double EXISTS/NOT EXISTS
+    // itself — agreement pins the semi/anti rewrite cross-engine.
+    "q_multi_exists" -> graft.queries.MultiExists.oracleSql,
     // IDENTICAL text: two ANSI engines must agree that one NULL in
     // the list empties NOT IN while NOT EXISTS is unaffected.
     "q_not_in_null" -> graft.queries.NotInNull.sql("customer", "orders"),
@@ -1217,6 +1229,8 @@ object SparkEntry {
     // Exact-integer bigram surprise: bitlen((c_a+V) div (c_ab+1))−1
     // via printf('%b') — no floating log anywhere.
     "text_lm_surprise" -> graft.text.LmSurprise.oracleSql(),
+    // Same anchored lookahead-free regexes + list ops in DuckDB.
+    "text_url_normalize" -> graft.text.UrlNormalize.oracleSql,
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   * densification, totals join, and final reduce all run on that tiny
   * rollup. One fact scan, one shuffle of k·|nations| partial counts.
   * Overflow: cells are cast DECIMAL(38,0) before squaring (the q_hhi
-  * rule) — BIGINT squares would ANSI-throw around N ~ 3·10⁹.
+  * rule) — BIGINT squares would ANSI-throw around N ~ 3·10⁹ — and the
+  * scaled statistic STAYS exact to the output boundary: it can reach
+  * N²·k·(k−1) (past int64 near N ≈ 6.8·10⁸ orders/nation, i.e. well
+  * inside 100 TB territory), so it is emitted as the DECIMAL's exact
+  * digit string, never narrowed through a silent long cast. The
+  * decision-grade value (`chisq_milli`, ~1000·χ²) is small and stays
+  * BIGINT.
   */
 object ChiSq {
 
@@ -58,7 +64,7 @@ object ChiSq {
         sum(col("d") * col("d")).as("sc"),
         first(col("n").cast(d38) * col("k").cast(d38)).as("nk"))
       .select(col("n_name"), col("n_orders"),
-        col("sc").cast("long").as("chisq_scaled"),
+        col("sc").cast(d38).cast("string").as("chisq_scaled"),
         call_function("div", lit(1000L).cast(d38) * col("sc"), col("nk"))
           .as("chisq_milli"))
       .withColumn("uniform_rejected", col("chisq_milli") > 18467L)
@@ -82,7 +88,7 @@ object ChiSq {
       |  SELECT n_name, sum(o) AS n, count(*) AS k FROM fullg GROUP BY 1
       |)
       |SELECT f.n_name, CAST(t.n AS BIGINT) AS n_orders,
-      |  CAST(sum((f.o * t.k - t.n) * (f.o * t.k - t.n)) AS BIGINT) AS chisq_scaled,
+      |  CAST(sum((f.o * t.k - t.n) * (f.o * t.k - t.n)) AS VARCHAR) AS chisq_scaled,
       |  CAST((1000 * sum((f.o * t.k - t.n) * (f.o * t.k - t.n))) // (t.n * t.k) AS BIGINT)
       |    AS chisq_milli,
       |  CAST((1000 * sum((f.o * t.k - t.n) * (f.o * t.k - t.n))) // (t.n * t.k) > 18467

@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * tracking params, fragments, shuffled query order) and URL-level
   * dedup/domain stats are only as good as the canonical form. Rules
   * (the standard canonicalization set): lowercase scheme+host, strip
-  * the https default port, drop the fragment, drop `utm_*` tracking
-  * params, sort surviving params, reassemble.
+  * the scheme's OWN default port (:443 only when https, :80 only when
+  * http — http://host:443/ is a different resource than http://host/),
+  * drop the fragment, drop `utm_*` tracking params, sort surviving
+  * params, reassemble.
   *
   * The corpus has no URL column, so the operator PLANTS deterministic
   * raw URLs from doc_id/source (the q_rate_spike plant discipline:
-  * variant spellings — upper-cased host every 7th doc, explicit :443
-  * every 3rd, a fragment every 5th — so normalization provably
-  * COLLAPSES variants, spec-pinned). Parsing is anchored regex
+  * variant spellings — upper-cased scheme+host every 7th doc, explicit
+  * :443 every 3rd, a fragment every 5th, and an http:// scheme every
+  * 11th — so normalization provably COLLAPSES the redundant variants
+  * while http://host:443 provably SURVIVES as its own resource, both
+  * spec-pinned). Parsing is anchored regex
   * extraction + higher-order array ops (split → filter → sort →
   * join), all codegen'd builtins, no UDF; the SAME regexes run in
   * DuckDB (kept lookahead-free so Java and RE2 semantics coincide).
@@ -35,7 +39,10 @@ object UrlNormalize {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
         concat(
-          when(col("doc_id") % 7 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(col("doc_id") % 11 === 0,
+            when(col("doc_id") % 7 === 0, lit("HTTP://")).otherwise(lit("http://")))
+            .otherwise(
+              when(col("doc_id") % 7 === 0, lit("HTTPS://")).otherwise(lit("https://"))),
           when(col("doc_id") % 7 === 0, upper(col("source"))).otherwise(col("source")),
           lit(".Example.COM"),
           when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
@@ -49,7 +56,12 @@ object UrlNormalize {
   private[text] def normalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val auth = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1))
-    val host = regexp_replace(auth, ":443$", "")
+    // default-port strip is scheme-gated: :443 is only redundant under
+    // https (and :80 under http) — stripping it cross-scheme would
+    // collapse distinct resources.
+    val host = when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .otherwise(auth)
     val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
     val query = regexp_extract(url, "\\?([^#]*)", 1)
     val kept = array_join(
@@ -70,7 +82,10 @@ object UrlNormalize {
   val oracleSql: String =
     """WITH planted AS (
       |  SELECT doc_id,
-      |    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+      |    (CASE WHEN doc_id % 11 = 0
+      |          THEN (CASE WHEN doc_id % 7 = 0 THEN 'HTTP://' ELSE 'http://' END)
+      |          ELSE (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+      |     END)
       |    || (CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END)
       |    || '.Example.COM'
       |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
@@ -81,13 +96,16 @@ object UrlNormalize {
       |  FROM documents
       |), norm AS (
       |  SELECT url,
-      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
-      |    || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
-      |         ':443$', '')
+      |    scheme || '://'
+      |    || (CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |             WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+      |             ELSE auth END)
       |    || regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1)
       |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS norm_url
       |  FROM (
       |    SELECT url,
+      |      lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS auth,
       |      array_to_string(list_sort(list_filter(
       |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
       |        p -> NOT (starts_with(p, 'utm_') OR p = ''))), '&') AS kept

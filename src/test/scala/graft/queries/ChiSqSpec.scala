@@ -28,7 +28,7 @@ class ChiSqSpec extends SparkSpec {
   test("scaled statistic equals the exact BigInt replay, zero cells included") {
     val out = ChiSq.qChiSq(spark, sf0001).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), BigInt(r.getLong(2)), BigInt(r.getLong(3))))
+        (r.getLong(1), BigInt(r.getString(2)), BigInt(r.getLong(3))))
       .toMap
     val expected = brute()
     assert(out == expected, "chi-square must equal the densified-grid BigInt replay")
@@ -50,8 +50,8 @@ class ChiSqSpec extends SparkSpec {
     val k = 5L
     out.foreach { r =>
       val n = r.getLong(1)
-      val scaled = r.getLong(2)
-      val maxScaled = n * n * k * (k - 1)
+      val scaled = BigInt(r.getString(2))
+      val maxScaled = BigInt(n) * n * k * (k - 1)
       assert(scaled <= maxScaled,
         s"${r.getString(0)}: scaled=$scaled exceeds the one-cell bound $maxScaled")
     }

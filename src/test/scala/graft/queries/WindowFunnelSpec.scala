@@ -11,15 +11,19 @@ class WindowFunnelSpec extends SparkSpec {
     val ev = Analytics.loadEvents(spark, sf0001)
       .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    ev.groupBy(_._1).map { case (u, rows) =>
+    ev.groupBy(_._1).flatMap { case (u, rows) =>
       val views = rows.filter(_._3 == "view").map(_._2).sorted
       val buys = rows.filter(_._3 == "purchase").map(_._2).sorted
-      val depths = rows.filter(_._3 == "signup").map(_._2).map { ts1 =>
+      // engine + oracle collapse duplicate (user, ts1) starts via the
+      // groupBy(user_id, ts1) reduce — replay on DISTINCT signup ts;
+      // users with zero signups never enter s1, so emit no row
+      val depths = rows.filter(_._3 == "signup").map(_._2).distinct.map { ts1 =>
         val ts2 = views.find(t => t > ts1 && t <= ts1 + W)
         val ts3 = ts2.flatMap(t2 => buys.find(t => t > t2 && t <= ts1 + W))
         1 + (if (ts2.isDefined) 1 else 0) + (if (ts3.isDefined) 1 else 0)
       }
-      u -> (depths.size.toLong, depths.max.toLong, depths.count(_ == 3).toLong)
+      if (depths.isEmpty) None
+      else Some(u -> (depths.size.toLong, depths.max.toLong, depths.count(_ == 3).toLong))
     }
   }
 
