@@ -460,6 +460,11 @@ object SparkEntry {
     "stream_agg" -> ((s: SparkSession, d: String) => EventStream.runBounded(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => EventStream.sessionizeBatch(s, d)),
     "stream_dedup" -> ((s: SparkSession, d: String) => graft.streaming.DocStream.runDedupBounded(s, d)),
+    // Bounded-state dedup under late arrivals: dropDuplicatesWithinWatermark
+    // over a 3-batch planted feed — in-batch dups dropped, below-watermark
+    // replays dropped, past-eviction re-emissions re-admitted (the
+    // eviction witness). State ∝ keys-per-lateness-window, not history.
+    "stream_dedup_watermark" -> ((s: SparkSession, d: String) => graft.streaming.WatermarkDedup.runDedupWatermarkBounded(s, d)),
     // Scrub on the ingest path: stateless per-doc audit inside the
     // micro-batch, rollup over the sink; bounded input == batch scrub,
     // so the oracle is the SAME SQL as text_pii_scrub.
@@ -2242,6 +2247,8 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Closed-form replay of the three watermark-dedup rules.
+    "stream_dedup_watermark" -> graft.streaming.WatermarkDedup.oracleSql,
     // Bounded streaming scrub == the batch scrub: identical audit SQL.
     "stream_pii_scrub" -> PiiScrubOracle,
     // Stream-static join on a bounded input == the batch join.

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+/** Bounded-state streaming dedup under late arrivals (SURVEY.md §2d) —
+  * `dropDuplicatesWithinWatermark`: the day-2 fix for
+  * [[DocStream.dedupedDocs]]'s forever-growing keyed state. Plain
+  * `dropDuplicates` keeps one state row per DISTINCT key for the
+  * lifetime of the query; with event time + a watermark the store
+  * evicts a key once the watermark passes (event time + delay), so
+  * state is bounded by the key arrival rate × the lateness budget —
+  * the only shape a 24/7 deployment can run.
+  *
+  * The trade is explicit and DETERMINISTIC under a controlled feed,
+  * so the operator drives one (micro-batch boundaries pinned by
+  * one-file-per-trigger over two mtime-ordered planted files):
+  *
+  *   batch 1: first half of events (ts < Jan 16) + an exact copy of
+  *            every 3rd event — in-batch duplicates, DROPPED;
+  *   batch 2: second half + a same-ts replay of every 5th early event
+  *            (now below the watermark → dropped, late or duplicate —
+  *            both rules agree);
+  *   batch 3: a re-emission of every 7th early event (ts < Jan 10 —
+  *            state EVICTED by the end-of-batch-2 cleanup, whose
+  *            eviction watermark is batch 1's maxTs − delay) shifted
+  *            +35 days above the final watermark → RE-ADMITTED as new;
+  *            plus a same-ts replay of every 13th early event — state
+  *            also evicted, but the ORIGINAL event time is now far
+  *            below the watermark → dropped by the LATE filter (the
+  *            numRowsDroppedByWatermark witness: not a duplicate hit,
+  *            state is gone — the watermark itself rejects it).
+  *            (Three batches because state cleanup lags one batch:
+  *            the watermark used to evict during batch N is computed
+  *            from batch N−1's event times.)
+  *
+  * The re-admissions are the eviction WITNESS: had state survived,
+  * those keys would have been dropped as duplicates — bounded state
+  * is observable in the row census, not just in metrics (the spec
+  * additionally pins the state-store row count below the distinct-key
+  * count and the late replays in numRowsDroppedByWatermark).
+  *
+  * Scale shape: dedup state is hash-partitioned by key across
+  * executors like any stateful operator; eviction keeps each
+  * partition's store ∝ keys-per-lateness-window. The census oracle is
+  * the closed-form replay of the three rules over the same plant.
+  */
+object WatermarkDedup {
+
+  private val splitTs = "2024-01-16"
+  private val evictSafeTs = "2024-01-10" // clear of the 2h live-state fringe
+  private val delay = "1 hour"
+
+  /** The streaming transform under test — exposed for plan/metric specs. */
+  def dedupWithinWatermark(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Plant the two batch files (mtime-ordered so the file source
+    * replays them as two distinct micro-batches) and return the input
+    * directory. Pure function of (sfDir) — re-runs overwrite.
+    */
+  def plantBatches(spark: SparkSession, sfDir: String): String = {
+    // normalizeTs: the raw column can be TIMESTAMP_NTZ / int64-nanos —
+    // the watermark needs a true TIMESTAMP, and the planted files are
+    // written post-normalization so the stream read sees one too
+    val base = graft.queries.Analytics.loadEvents(spark, sfDir)
+    val a = base.filter(col("ts") < lit(splitTs).cast("timestamp"))
+    val b = base.filter(col("ts") >= lit(splitTs).cast("timestamp"))
+    val inBatchDup = a.filter(col("event_id") % 3 === 0)
+    val lateReplay = a.filter(col("event_id") % 5 === 0)
+    // +35d puts every re-emission above the FINAL watermark (second
+    // half's maxTs − delay ≈ Jan 30), so none is late-dropped
+    val evictedReplay = a
+      .filter(col("event_id") % 7 === 0 &&
+        col("ts") < lit(evictSafeTs).cast("timestamp"))
+      .withColumn("ts", col("ts") + expr("INTERVAL 35 DAYS"))
+    // original-ts replay of ALSO-evicted keys: below the final
+    // watermark, so the late filter (not the dedup state) drops it
+    val lateAfterEviction = a.filter(col("event_id") % 13 === 0 &&
+      col("ts") < lit(evictSafeTs).cast("timestamp"))
+
+    val dir = Files.createTempDirectory("graft-wmdedup-")
+    def writeOne(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
+      val stage = dir.resolve(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = dir.resolve(name)
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetSec * 1000))
+    }
+    writeOne(a.unionByName(inBatchDup), "batch-0.parquet", -240)
+    writeOne(b.unionByName(lateReplay), "batch-1.parquet", -120)
+    writeOne(evictedReplay.unionByName(lateAfterEviction), "batch-2.parquet", 0)
+    dir.toString
+  }
+
+  /** Start the bounded query over the planted feed; one file per
+    * trigger pins the batch boundaries the semantics depend on.
+    */
+  def startQuery(spark: SparkSession, sfDir: String,
+                 queryName: String): StreamingQuery = {
+    val inputDir = plantBatches(spark, sfDir)
+    val schema = graft.queries.Analytics.loadEvents(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+    dedupWithinWatermark(stream)
+      .select("event_id", "ts", "event_type")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Bounded run → per-type admitted-row census (the oracle row). */
+  def runDedupWatermarkBounded(spark: SparkSession, sfDir: String,
+                               queryName: String = "graft_stream_wmdedup"): DataFrame = {
+    val q = startQuery(spark, sfDir, queryName)
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+  }
+
+  /** Closed-form replay of the three rules: admitted = first half +
+    * second half + the past-eviction re-emissions.
+    */
+  val oracleSql: String =
+    s"""WITH a AS (SELECT * FROM events WHERE ts < TIMESTAMP '$splitTs'),
+       |b AS (SELECT * FROM events WHERE ts >= TIMESTAMP '$splitTs'),
+       |readmitted AS (
+       |  SELECT event_type FROM a
+       |  WHERE event_id % 7 = 0 AND ts < TIMESTAMP '$evictSafeTs'
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows FROM (
+       |  SELECT event_type FROM a
+       |  UNION ALL SELECT event_type FROM b
+       |  UNION ALL SELECT event_type FROM readmitted
+       |) GROUP BY 1 ORDER BY 1""".stripMargin
+}
