@@ -478,6 +478,10 @@ object SparkEntry {
     // when the global watermark passes their match horizon; parity is
     // over the watermark-decided region only (see attributionJoinOuter).
     "stream_stream_outer" -> ((s: SparkSession, d: String) => EventStream.runAttributionOuterBounded(s, d)),
+    // FULL outer stream-stream join: null-padded rows from BOTH sides
+    // on watermark expiry; decided-region rollup counts pairs,
+    // view-only and purchase-only padding per user.
+    "stream_stream_full" -> ((s: SparkSession, d: String) => EventStream.runAttributionFullBounded(s, d)),
     "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d)),
     // Streaming ordered funnel (custom state machine); must converge
     // to the batch chain, so it shares q_funnel's oracle.
@@ -2286,6 +2290,30 @@ object SparkEntry {
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |WHERE v.event_type = 'view'
         |  AND v.ts < (SELECT m - INTERVAL 3 HOUR FROM mx)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // FULL JOIN under the same per-row decided filter: rows carrying a
+    // view decided at ts_v < m−3h, purchase-only rows at ts_p < m−3h.
+    "stream_stream_full" ->
+      """WITH mx AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 3 HOUR AS cut
+        |), j AS (
+        |  SELECT v.user_id AS v_user, v.ts AS ts_v,
+        |         p.user_id AS p_user, p.ts AS ts_p
+        |  FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |  FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON v.user_id = p.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |)
+        |SELECT coalesce(v_user, p_user) AS user_id,
+        |  CAST(sum(CASE WHEN ts_v IS NOT NULL AND ts_p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN ts_v IS NOT NULL AND ts_p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only,
+        |  CAST(sum(CASE WHEN ts_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only
+        |FROM j
+        |WHERE (ts_v IS NOT NULL AND ts_v < (SELECT cut FROM mx))
+        |   OR (ts_v IS NULL AND ts_p < (SELECT cut FROM mx))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // flatMapGroupsWithState running stats must converge to the plain
     // batch aggregate — the custom state store is an implementation

@@ -380,6 +380,72 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Stream-stream FULL outer join (`stream_stream_full`) — BOTH sides
+    * null-padded on watermark expiry: views that never converted emit
+    * (view, null) once the watermark passes their 1 h match horizon
+    * (as in [[attributionJoinOuter]]), and purchases no view ever
+    * claimed emit (null, purchase) once the watermark passes their
+    * event time — the second padding direction the left-outer row
+    * cannot produce. Same two-sided watermark + interval condition, so
+    * state on each side is bounded by its lateness window.
+    */
+  def attributionJoinFull(views: DataFrame, purchases: DataFrame): DataFrame =
+    views
+      .select(col("user_id").as("v_user"), col("ts").as("ts_v"))
+      .withWatermark("ts_v", "2 hours")
+      .join(
+        purchases
+          .select(col("user_id").as("p_user"), col("ts").as("ts_p"),
+            col("value").as("p_value"))
+          .withWatermark("ts_p", "2 hours"),
+        expr("v_user = p_user AND ts_p >= ts_v AND ts_p <= ts_v + interval 1 hour"),
+        "full_outer")
+
+  /** Bounded run of [[attributionJoinFull]]: Append emissions (pairs +
+    * null-padded rows from BOTH sides) land in a checkpointed parquet
+    * sink; the batch rollup keeps the watermark-DECIDED region — rows
+    * whose outcome a longer replay could never change: a row carrying
+    * a view is decided once the view's whole match horizon clears the
+    * final watermark (ts_v < m − 3 h, delay 2 h + horizon 1 h), a
+    * purchase-only row once the purchase itself does (ts_p < m − 3 h,
+    * stricter than needed on purpose — one shared cutoff literal in
+    * both engines). The batch FULL JOIN under the same per-row filter
+    * is the SQL oracle; per user it counts pairs, view-only padding,
+    * purchase-only padding.
+    */
+  def runAttributionFullBounded(spark: SparkSession, sfDir: String,
+                                queryName: String = "graft_stream_ss_full"): DataFrame = {
+    def side(tpe: String): DataFrame =
+      tsAsTimestamp(rawEventStream(spark, sfDir))
+        .filter(col("event_type") === tpe)
+        .select("user_id", "ts", "value")
+    val (outDir, ckptDir) = FileStreams.freshSinkDirs(queryName)
+    val q = attributionJoinFull(side("view"), side("purchase"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val mx = graft.queries.Analytics.loadEvents(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(max(unix_micros(col("ts"))).as("m"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .agg(min("m")).head().getLong(0)
+    val cutoff = timestamp_micros(lit(mx - 3L * 3600L * 1000000L))
+    spark.read.parquet(outDir)
+      .filter((col("ts_v").isNotNull && col("ts_v") < cutoff) ||
+        (col("ts_v").isNull && col("ts_p") < cutoff))
+      .groupBy(coalesce(col("v_user"), col("p_user")).as("user_id"))
+      .agg(
+        sum((col("ts_v").isNotNull && col("ts_p").isNotNull).cast("long")).as("n_pairs"),
+        sum((col("ts_v").isNotNull && col("ts_p").isNull).cast("long")).as("n_view_only"),
+        sum(col("ts_v").isNull.cast("long")).as("n_purchase_only"))
+      .orderBy("user_id")
+  }
+
   /** Run the streaming pipeline over the bounded events parquet via a
     * file stream, write to an in-memory sink, and return the final
     * result — used by the spec to assert batch/stream parity.

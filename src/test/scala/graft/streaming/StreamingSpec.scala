@@ -77,6 +77,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("full-outer stream-stream join: watermark null-pads BOTH sides, " +
+    "and the decided region equals the batch full join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runAttributionFullBounded(spark, sf0001, "spec_ss_full")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed.nonEmpty, "the decided region must be non-empty")
+    // BOTH padding directions must be witnessed: a view no purchase
+    // matched AND a purchase no view claimed — each null-padded row can
+    // only come from watermark-driven state expiry on its own side
+    assert(streamed.exists(_._2._2 > 0),
+      "at least one decided view must be UNMATCHED (view-side null padding)")
+    assert(streamed.exists(_._2._3 > 0),
+      "at least one decided purchase must be UNCLAIMED (purchase-side null padding)")
+    // batch full join under the same per-row decided filter
+    val ev = Analytics.loadEvents(spark, sf0001)
+    val mx = ev.filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min("m")).head().getLong(0)
+    val cutoff = timestamp_micros(lit(mx - 3L * 3600L * 1000000L))
+    val batch = EventStream.attributionJoinFull(
+        ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"))
+      .filter((col("ts_v").isNotNull && col("ts_v") < cutoff) ||
+        (col("ts_v").isNull && col("ts_p") < cutoff))
+      .groupBy(coalesce(col("v_user"), col("p_user")).as("user_id"))
+      .agg(
+        sum((col("ts_v").isNotNull && col("ts_p").isNotNull).cast("long")).as("n_pairs"),
+        sum((col("ts_v").isNotNull && col("ts_p").isNull).cast("long")).as("n_view_only"),
+        sum(col("ts_v").isNull.cast("long")).as("n_purchase_only"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("stream-stream rollups aggregate from the file sink, not a driver memory sink") {
     // Production shape: Append-mode pair emissions go to a checkpointed
     // parquet file sink (distributed write); the rollup is a batch
