@@ -103,6 +103,10 @@ object SparkEntry {
     // TypedImperativeAggregate) — the bitmap cardinality must EQUAL
     // the oracle's count(DISTINCT), no tolerance band.
     "q_bitmap_distinct" -> ((s: SparkSession, d: String) => Sketches.qBitmapDistinct(s, d)),
+    // Sparse-domain fallback: ids planted at ~2^40 offsets trip the
+    // dense guard; dictionary re-densification (bucket-ranked, no
+    // global sort) feeds the same exact bitmap machinery.
+    "q_bitmap_sparse" -> ((s: SparkSession, d: String) => Sketches.qBitmapSparse(s, d)),
     // Segment-intersection matrix: one corpus scan into per-type
     // bitmaps, pairwise AND+popcount on k rows (ReusedExchange-pinned).
     "q_segment_overlap" -> ((s: SparkSession, d: String) => graft.queries.SegmentOverlap.qSegmentOverlap(s, d)),
@@ -866,6 +870,18 @@ object SparkEntry {
         |SELECT '__union', count(DISTINCT user_id) FROM events
         |ORDER BY scope""".stripMargin,
     "q_segment_overlap" -> graft.queries.SegmentOverlap.oracleSql,
+    // Same strict equality oracle over the sparse-id plant.
+    "q_bitmap_sparse" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    user_id * 1099511627776 + user_id % 7 AS sid
+        |  FROM events
+        |)
+        |SELECT event_type AS scope, count(DISTINCT sid) AS n_distinct
+        |FROM e GROUP BY 1
+        |UNION ALL
+        |SELECT '__union', count(DISTINCT sid) FROM e
+        |ORDER BY scope""".stripMargin,
     // Chunked OR-maintenance must converge to the batch census — the
     // same strict oracle as q_bitmap_distinct.
     "stream_bitmap_distinct" ->
