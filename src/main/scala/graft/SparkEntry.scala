@@ -423,6 +423,10 @@ object SparkEntry {
     // Gains table for the quality filter: total-order decile cut,
     // per-decile junk capture in exact integer basis points.
     "q_decile_lift" -> ((s: SparkSession, d: String) => graft.text.DecileLift.qDecileLift(s, d)),
+    // The 100 TB gains table: sketch cut points at ntile's own
+    // boundary ranks + a broadcast bucket join — no global sort;
+    // sized so the cut is EXACT at verify SF (same oracle as exact).
+    "q_decile_lift_approx" -> ((s: SparkSession, d: String) => graft.text.DecileLift.qDecileLiftApprox(s, d)),
     // Benchmark decontamination: 8-gram collision scan of the corpus
     // against a probe set; planted contaminated docs must show
     // n_hit_docs >= 2 / leaked=true per the arithmetic planting rule.
@@ -1724,6 +1728,9 @@ object SparkEntry {
     // Planted corpus rebuilt in SQL; total-order ntile; all rates in
     // exact integer basis points.
     "q_decile_lift" -> graft.text.DecileLift.oracleSql(),
+    // The approx path must reproduce the EXACT gains table at this SF
+    // (rank error < 1/2 by accuracy sizing) — identical oracle.
+    "q_decile_lift_approx" -> graft.text.DecileLift.oracleSql(),
     "ann_near_top1" ->
       """SELECT * FROM (VALUES
         |  ('ivf', true),

@@ -23,6 +23,30 @@ class DecileLiftSpec extends SparkSpec {
     assert(rows(9)._4 == 0L, "bottom decile must be junk-free")
   }
 
+  test("approx cut == exact ntile census at sf0.001 AND sf0.01 — the scale " +
+    "path loses nothing at verify SF") {
+    Seq(sf0001, sf001).foreach { sf =>
+      val exact = DecileLift.qDecileLift(spark, sf).collect().toSeq
+      val approx = DecileLift.qDecileLiftApprox(spark, sf).collect().toSeq
+      assert(approx == exact,
+        s"$sf: sketch-cut gains table must equal the exact ntile one\n" +
+          s"exact=$exact\napprox=$approx")
+    }
+  }
+
+  test("approx path plans with NO global sort on the corpus — cut points + " +
+    "broadcast bucket join only") {
+    val p = DecileLift.qDecileLiftApprox(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the exact path's pinch is `Window.orderBy` = one rangepartitioning
+    // exchange over every scored doc; the approx path must not have it
+    // (the 10-row census orderBy(decile) is the only sort allowed)
+    assert(!p.contains("rangepartitioning(k") && !p.contains("rangepartitioning(score_bp"),
+      s"no total-order exchange over the scored corpus:\n$p")
+    assert(!p.contains("ntile"),
+      s"no windowed rank over the corpus — buckets come from broadcast cuts:\n$p")
+  }
+
   test("total-order ntile makes the table partitioning-invariant") {
     val a = DecileLift.qDecileLift(spark, sf0001).collect().toSeq
     var b: Seq[org.apache.spark.sql.Row] = Nil
