@@ -37,4 +37,30 @@ class RegistryAuditSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql without queries: ${orphans.mkString(", ")}")
   }
+
+  test("the newest §7 headline counts == registry counts (narrative can't go stale)") {
+    // round-8 verdict #7: the §7 "Status after round N" headline lagged
+    // the registry by 19 operators. Parse the HIGHEST-round §7 section's
+    // bold headline and pin its three counts to the live registry.
+    val text = {
+      val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val Section = """(?s)## §7 Status after round (\d+)\n(.*?)(?=\n## |\z)""".r
+    val sections = Section.findAllMatchIn(text)
+      .map(m => m.group(1).toInt -> m.group(2)).toSeq
+    assert(sections.nonEmpty, "no §7 status section found")
+    val (round, body) = sections.maxBy(_._1)
+    val Headline =
+      """(?s)\*\*(\d+) queries — (\d+) DuckDB-oracle-verified, (\d+) rows-only""".r
+    val h = Headline.findFirstMatchIn(body)
+    assert(h.isDefined, s"round-$round §7 section has no parseable headline")
+    val (q, o, r) = (h.get.group(1).toInt, h.get.group(2).toInt, h.get.group(3).toInt)
+    assert(q == SparkEntry.queries.size && o == SparkEntry.oracleSql.size &&
+      r == SparkEntry.queries.size - SparkEntry.oracleSql.size,
+      s"§7 round-$round headline says $q/$o/$r but the registry has " +
+        s"${SparkEntry.queries.size}/${SparkEntry.oracleSql.size}/" +
+        s"${SparkEntry.queries.size - SparkEntry.oracleSql.size} — " +
+        "update the SURVEY §7 headline to match")
+  }
 }
