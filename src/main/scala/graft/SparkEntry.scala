@@ -131,6 +131,10 @@ object SparkEntry {
     // lines on the same order) — left-semi + left-anti, both equi on
     // l_orderkey, nation dim broadcast-filtered first.
     "q_multi_exists" -> ((s: SparkSession, d: String) => graft.queries.MultiExists.qMultiExists(s, d)),
+    // Latest-record-per-key as a max_by AGGREGATE (one partial-agg
+    // shuffle of |keys| rows) — no window sort over the fact; ties
+    // total-ordered by the (ts, event_id) struct.
+    "q_latest_by_key" -> ((s: SparkSession, d: String) => graft.queries.LatestByKey.qLatestByKey(s, d)),
     // NOT IN three-valued NULL semantics: one planted NULL collapses
     // the predicate to empty; NOT EXISTS is the NULL-proof twin.
     "q_not_in_null" -> graft.queries.NotInNull.qNotInNull _,
@@ -390,6 +394,12 @@ object SparkEntry {
     // scheme-gated default port, fragment, utm params, param order)
     // collapse onto one canonical key; http://host:443 survives.
     "text_url_normalize" -> ((s: SparkSession, d: String) => graft.text.UrlNormalize.textUrlNormalize(s, d)),
+    // Crawl-stage URL dedup: canonical key, min-doc_id keeper,
+    // per-host survivor economics.
+    "dedup_url" -> ((s: SparkSession, d: String) => graft.text.UrlNormalize.dedupUrl(s, d)),
+    // Exact-integer entropy floor (bitlen identity — no libm): the
+    // low-entropy boilerplate gate next to repetition/rare-token.
+    "text_entropy" -> ((s: SparkSession, d: String) => graft.text.Entropy.textEntropy(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -928,6 +938,9 @@ object SparkEntry {
     // Q21 class: DuckDB decorrelates the double EXISTS/NOT EXISTS
     // itself — agreement pins the semi/anti rewrite cross-engine.
     "q_multi_exists" -> graft.queries.MultiExists.oracleSql,
+    // Window spelling in DuckDB — mechanisms differ BY DESIGN; the
+    // snapshot rows are the contract.
+    "q_latest_by_key" -> graft.queries.LatestByKey.oracleSql,
     // IDENTICAL text: two ANSI engines must agree that one NULL in
     // the list empties NOT IN while NOT EXISTS is unaffected.
     "q_not_in_null" -> graft.queries.NotInNull.sql("customer", "orders"),
@@ -1260,6 +1273,10 @@ object SparkEntry {
     "text_lm_surprise" -> graft.text.LmSurprise.oracleSql(),
     // Same anchored lookahead-free regexes + list ops in DuckDB.
     "text_url_normalize" -> graft.text.UrlNormalize.oracleSql,
+    // Same plant + normalization + min-doc keeper, host rollup.
+    "dedup_url" -> graft.text.UrlNormalize.dedupOracleSql,
+    // Same bitlen integer identity via printf('%b').
+    "text_entropy" -> graft.text.Entropy.oracleSql(),
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),

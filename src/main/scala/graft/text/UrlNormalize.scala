@@ -79,6 +79,74 @@ object UrlNormalize {
         countDistinct(col("url")).as("n_raw_forms"))
       .orderBy("norm_url")
 
+  /** URL-level dedup (`dedup_url`) — the crawl-dedup stage the census
+    * above exists FOR: canonicalize, then keep ONE doc per canonical
+    * URL (deterministic keeper = min doc_id, the dedup_exact rule) and
+    * report the survivor economics per canonical HOST — the number a
+    * crawl operator actually reads ("how much of this host's fetch
+    * volume was re-spellings"). Same one-projection + one
+    * map-side-combined groupBy shape as the census; the host rollup
+    * runs on |canonical keys|, not docs.
+    */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val canon = plantedUrls(spark, sfDir)
+      .select(col("doc_id"), normalize(col("url")).as("norm_url"))
+    val perUrl = canon.groupBy("norm_url")
+      .agg(min("doc_id").as("survivor_doc"), count(lit(1)).as("n_docs"))
+    perUrl
+      .groupBy(regexp_extract(col("norm_url"), "^[a-z]+://([^/]+)", 1).as("host"))
+      .agg(
+        count(lit(1)).as("n_canonical_urls"),
+        sum("n_docs").as("n_docs"),
+        (sum("n_docs") - count(lit(1))).as("n_dropped"),
+        min("survivor_doc").as("min_survivor_doc"))
+      .orderBy("host")
+  }
+
+  /** Same plant + normalization + min-doc keeper in DuckDB. */
+  val dedupOracleSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 11 = 0
+      |          THEN (CASE WHEN doc_id % 7 = 0 THEN 'HTTP://' ELSE 'http://' END)
+      |          ELSE (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+      |     END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END)
+      |    || '.Example.COM'
+      |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+      |    || '/articles/' || CAST(doc_id % 100 AS VARCHAR)
+      |    || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '&ref=home' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+      |  FROM documents
+      |), norm AS (
+      |  SELECT doc_id,
+      |    scheme || '://'
+      |    || (CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |             WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+      |             ELSE auth END)
+      |    || regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1)
+      |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS norm_url
+      |  FROM (
+      |    SELECT doc_id, url,
+      |      lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS auth,
+      |      array_to_string(list_sort(list_filter(
+      |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |        p -> NOT (starts_with(p, 'utm_') OR p = ''))), '&') AS kept
+      |    FROM planted
+      |  )
+      |), per_url AS (
+      |  SELECT norm_url, min(doc_id) AS survivor_doc, count(*) AS n_docs
+      |  FROM norm GROUP BY 1
+      |)
+      |SELECT regexp_extract(norm_url, '^[a-z]+://([^/]+)', 1) AS host,
+      |  CAST(count(*) AS BIGINT) AS n_canonical_urls,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_docs) - count(*) AS BIGINT) AS n_dropped,
+      |  CAST(min(survivor_doc) AS BIGINT) AS min_survivor_doc
+      |FROM per_url GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracleSql: String =
     """WITH planted AS (
       |  SELECT doc_id,

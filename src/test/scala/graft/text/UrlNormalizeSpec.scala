@@ -66,6 +66,27 @@ class UrlNormalizeSpec extends SparkSpec {
       "Scala plant and SQL plant must be row-identical")
   }
 
+  test("dedup_url: survivor economics conserve docs, keepers are min doc_id, " +
+    "and dropped = docs - canonical keys per host") {
+    val out = UrlNormalize.dedupUrl(spark, sf0001).collect()
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.map(_.getLong(2)).sum == total, "every doc lands under exactly one host")
+    out.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1),
+        s"${r.getString(0)}: dropped must equal docs - canonical urls")
+    }
+    assert(out.map(_.getLong(3)).sum > 0, "the plant guarantees real duplicates")
+    // keeper rule: the min surviving doc per host is the min doc over
+    // that host's canonical groups — replay one host
+    val canon = UrlNormalize.plantedUrls(spark, sf0001)
+      .select(col("doc_id"), UrlNormalize.normalize(col("url")).as("nu"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val host = out.head.getString(0)
+    val expectMin = canon.filter(_._2.contains(s"://$host/")).map(_._1).min
+    assert(out.head.getLong(4) == expectMin,
+      s"$host: min_survivor_doc must be the min doc_id of the host's groups")
+  }
+
   test("census is exact: n_docs sums to corpus size; http :443 keys exist " +
     "and stay separate from their portless siblings") {
     val out = UrlNormalize.textUrlNormalize(spark, sf0001).collect()
