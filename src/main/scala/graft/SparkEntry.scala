@@ -400,6 +400,10 @@ object SparkEntry {
     // Exact-integer entropy floor (bitlen identity — no libm): the
     // low-entropy boilerplate gate next to repetition/rare-token.
     "text_entropy" -> ((s: SparkSession, d: String) => graft.text.Entropy.textEntropy(s, d)),
+    // Deterministic training-order shuffle: md5(seed, doc_id) order
+    // key, shard = key bit-slice — coordinator-free, cross-engine
+    // pinned permutation, per-shard manifest.
+    "corpus_shuffle" -> ((s: SparkSession, d: String) => graft.text.CorpusShuffle.corpusShuffle(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -1277,6 +1281,9 @@ object SparkEntry {
     "dedup_url" -> graft.text.UrlNormalize.dedupOracleSql,
     // Same bitlen integer identity via printf('%b').
     "text_entropy" -> graft.text.Entropy.oracleSql(),
+    // Identical md5 permutation — the manifest pins the permutation
+    // itself (first/last key AND doc per shard), not just statistics.
+    "corpus_shuffle" -> graft.text.CorpusShuffle.oracleSql(),
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),
