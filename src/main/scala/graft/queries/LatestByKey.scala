@@ -36,9 +36,8 @@ object LatestByKey {
       .select(
         col("user_id"),
         col("last.event_type").as("last_type"),
-        // cents-exact money (the q1_agg discipline — no double sums,
-        // and a single value round-trips exactly anyway)
-        floor(col("last.value") * 100 + 0.5).cast("long").as("last_value_cents"),
+        // cents-exact money — the shared q1_agg rule, not a re-derivation
+        Analytics.cents(col("last.value")).cast("long").as("last_value_cents"),
         unix_micros(col("last.ts")).as("last_ts_us"),
         col("n_events"))
       .orderBy("user_id")

@@ -106,8 +106,14 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val sparse = sparseIdEvents(spark, sfDir)
 
+    // localCheckpoint: the distinct-id set feeds BOTH the bucket-count
+    // collect and the dictionary build — without the cut the events
+    // scan + distinct exchange would run twice (the qDecileLiftApprox
+    // multi-scan discipline; makes the "one distinct shuffle" claim
+    // physically true).
     val ids = sparse.select("sid").distinct()
       .withColumn("b", pmod(hash(col("sid")), lit(buckets)))
+      .localCheckpoint()
     val counts = ids.groupBy("b").agg(count(lit(1)).as("c"))
       .orderBy("b").collect().map(r => r.getInt(0) -> r.getLong(1))
     val n = counts.map(_._2).sum
@@ -128,7 +134,12 @@ object Sketches {
       .agg(GraftFunctions.bitmap_build(col("idx"), n.toInt).as("bm")))
   }
 
-  /** The sparse plant: user ids spread to ~2^40 offsets, injectively. */
+  /** The sparse plant: user ids spread to ~2^40 offsets, injectively.
+    * TEST FIXTURE bound: user_id·2^40 stays long-safe only below
+    * user_id < 2^23 (every test SF is ≤ ~10^5, three orders inside) —
+    * the OPERATOR itself takes arbitrary long ids; the dictionary
+    * path has no domain constraint at all, only the plant does.
+    */
   private[graft] def sparseIdEvents(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.loadEvents(spark, sfDir)
       .select(col("event_type"),

@@ -59,9 +59,11 @@ object WatermarkDedup {
     stream.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Plant the two batch files (mtime-ordered so the file source
-    * replays them as two distinct micro-batches) and return the input
-    * directory. Pure function of (sfDir) — re-runs overwrite.
+  /** Plant the three batch files (mtime-ordered so the file source
+    * replays them as distinct micro-batches) and return the input
+    * directory — a fresh per-run temp dir (each run's checkpoint is
+    * also fresh, so input-path stability across runs is not needed;
+    * [[runDedupWatermarkBounded]] deletes it after the query drains).
     */
   def plantBatches(spark: SparkSession, sfDir: String): String = {
     // normalizeTs: the raw column can be TIMESTAMP_NTZ / int64-nanos —
@@ -85,14 +87,20 @@ object WatermarkDedup {
 
     val dir = Files.createTempDirectory("graft-wmdedup-")
     def writeOne(df: DataFrame, name: String, mtimeOffsetSec: Long): Unit = {
-      val stage = dir.resolve(s"stage-$name")
+      // stage OUTSIDE the streamed dir (its leftover _SUCCESS/.crc are
+      // hidden-file-filtered by the source, but junk in a listing-time
+      // path is junk), move the single part in, then delete the stage
+      val stage = Files.createTempDirectory("graft-wmdedup-stage-")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+      val listing = Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()
+      finally listing.close()
       val dest = dir.resolve(name)
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dest,
         FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetSec * 1000))
+      deleteRecursively(stage)
     }
     writeOne(a.unionByName(inBatchDup), "batch-0.parquet", -240)
     writeOne(b.unionByName(lateReplay), "batch-1.parquet", -120)
@@ -100,35 +108,54 @@ object WatermarkDedup {
     dir.toString
   }
 
-  /** Start the bounded query over the planted feed; one file per
-    * trigger pins the batch boundaries the semantics depend on.
+  /** Start the bounded query over the planted feed into a CHECKPOINTED
+    * parquet file sink (the production shape the repo's streaming
+    * rollups pin: admitted-event volume never touches the driver —
+    * a memory sink would collect essentially the whole corpus); one
+    * file per trigger pins the batch boundaries the semantics depend
+    * on. Returns (query, inputDir, sinkDir).
     */
   def startQuery(spark: SparkSession, sfDir: String,
-                 queryName: String): StreamingQuery = {
+                 queryName: String): (StreamingQuery, String, String) = {
     val inputDir = plantBatches(spark, sfDir)
+    val (outDir, ckptDir) = FileStreams.freshSinkDirs(queryName)
     val schema = graft.queries.Analytics.loadEvents(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputDir)
-    dedupWithinWatermark(stream)
+    val q = dedupWithinWatermark(stream)
       .select("event_id", "ts", "event_type")
       .writeStream
       .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
+    (q, inputDir, outDir)
   }
 
-  /** Bounded run → per-type admitted-row census (the oracle row). */
+  /** Bounded run → per-type admitted-row census (the oracle row) —
+    * a batch aggregate whose only input is the file sink.
+    */
   def runDedupWatermarkBounded(spark: SparkSession, sfDir: String,
                                queryName: String = "graft_stream_wmdedup"): DataFrame = {
-    val q = startQuery(spark, sfDir, queryName)
+    val (q, inputDir, outDir) = startQuery(spark, sfDir, queryName)
     q.awaitTermination()
-    spark.table(queryName)
+    deleteRecursively(java.nio.file.Paths.get(inputDir))
+    spark.read.parquet(outDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"))
       .orderBy("event_type")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try listing.forEach(deleteRecursively) finally listing.close()
+    }
+    Files.deleteIfExists(p)
+    ()
   }
 
   /** Closed-form replay of the three rules: admitted = first half +

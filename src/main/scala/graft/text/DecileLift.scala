@@ -94,7 +94,15 @@ object DecileLift {
     val rem = (n % 10).toInt
     val bounds = (1 to 9).map(i => i * base + math.min(i, rem))
     val probs = bounds.map(b => (b - 0.5) / n)
-    val acc = math.min(n * 10, Int.MaxValue.toLong).toInt.max(10000)
+    // FIXED accuracy, deliberately NOT scaled with n: the sketch only
+    // has to land within Δ ≈ n/acc ranks of each boundary — the
+    // refine step below restores exactness for ANY Δ — so a constant
+    // keeps per-partition summary memory bounded at 100 TB (scaling
+    // acc with n would degenerate the sketch into an all-keys
+    // single-task merge, the exact failure the operator exists to
+    // avoid). At n = 10^10, Δ ≈ 10^5 rows per boundary: the repair's
+    // TakeOrdered(Δ) stays a per-partition top-Δ + Δ-row driver merge.
+    val acc = 100000
     val candidates = keyed.select(percentile_approx(col("k"),
         array(probs.map(lit(_)): _*), lit(acc)).as("c"))
       .head().getSeq[Long](0)

@@ -19,6 +19,8 @@ class WatermarkDedupSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == expected,
       s"admitted census must equal the closed-form replay: $out vs $expected")
+    assert(!spark.catalog.tableExists("wmdedup_census"),
+      "admitted events must go to the file sink, not a driver memory sink")
     // the re-admissions are the eviction witness — they must be non-zero,
     // else the test proves nothing about bounded state
     assert(readmitted.count() > 0, "plant must produce past-eviction re-emissions")
@@ -26,9 +28,9 @@ class WatermarkDedupSpec extends SparkSpec {
 
   test("state is bounded: end-of-run state rows ≪ admitted keys, and the " +
     "below-watermark replays are counted dropped") {
-    val q = WatermarkDedup.startQuery(spark, sf0001, "wmdedup_metrics")
+    val (q, _, outDir) = WatermarkDedup.startQuery(spark, sf0001, "wmdedup_metrics")
     q.awaitTermination()
-    val admitted = spark.table("wmdedup_metrics").count()
+    val admitted = spark.read.parquet(outDir).count()
     val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
     assert(progresses.nonEmpty, "stateful progress metrics must exist")
     val lastState = progresses.last.stateOperators.head
@@ -42,7 +44,7 @@ class WatermarkDedupSpec extends SparkSpec {
 
   test("batch boundaries are what the semantics assume: exactly three " +
     "micro-batches, watermark advances between them") {
-    val q = WatermarkDedup.startQuery(spark, sf0001, "wmdedup_batches")
+    val (q, _, _) = WatermarkDedup.startQuery(spark, sf0001, "wmdedup_batches")
     q.awaitTermination()
     val withRows = q.recentProgress.filter(_.numInputRows > 0)
     assert(withRows.length == 3,
