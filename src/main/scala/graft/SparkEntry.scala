@@ -404,6 +404,10 @@ object SparkEntry {
     // key, shard = key bit-slice — coordinator-free, cross-engine
     // pinned permutation, per-shard manifest.
     "corpus_shuffle" -> ((s: SparkSession, d: String) => graft.text.CorpusShuffle.corpusShuffle(s, d)),
+    // The physical sorted-shard writer: repartition(shard) +
+    // sortWithinPartitions (parallel local sorts, no global exchange),
+    // audit re-derived from the written files proves in-file order.
+    "corpus_shuffle_write" -> ((s: SparkSession, d: String) => graft.text.CorpusShuffle.corpusShuffleWrite(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -1284,6 +1288,8 @@ object SparkEntry {
     // Identical md5 permutation — the manifest pins the permutation
     // itself (first/last key AND doc per shard), not just statistics.
     "corpus_shuffle" -> graft.text.CorpusShuffle.oracleSql(),
+    // Manifest + in_order pinned TRUE — earned from the physical files.
+    "corpus_shuffle_write" -> graft.text.CorpusShuffle.writeOracleSql(),
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),

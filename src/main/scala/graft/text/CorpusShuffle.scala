@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object CorpusShuffle {
 
-  def corpusShuffle(spark: SparkSession, sfDir: String,
-                    seed: String = "graft-r9", shards: Int = 16): DataFrame = {
+  /** (doc_id, n_tokens, okey, shard) — the keyed/sharded projection
+    * both the manifest and the physical writer run on.
+    */
+  private def sharded(spark: SparkSession, sfDir: String,
+                      seed: String, shards: Int): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val keyed = docs.select(
@@ -39,9 +42,13 @@ object CorpusShuffle {
       size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_tokens"),
       md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("okey"))
     // shard = first byte of the key — a bit-slice, not a shuffle
-    val sharded = keyed.withColumn("shard",
+    keyed.withColumn("shard",
       (conv(substring(col("okey"), 1, 2), 16, 10).cast("long") % shards).cast("long"))
-    sharded.groupBy("shard")
+  }
+
+  def corpusShuffle(spark: SparkSession, sfDir: String,
+                    seed: String = "graft-r9", shards: Int = 16): DataFrame = {
+    sharded(spark, sfDir, seed, shards).groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
@@ -49,6 +56,47 @@ object CorpusShuffle {
         max("okey").as("last_key"),
         min_by(col("doc_id"), col("okey")).as("first_doc"),
         max_by(col("doc_id"), col("okey")).as("last_doc"))
+      .orderBy("shard")
+  }
+
+  /** The PHYSICAL writer (`corpus_shuffle_write`) — what a dataloader
+    * actually consumes: one hash exchange on `shard`, a PARALLEL
+    * per-partition local sort on (shard, okey) — `sortWithinPartitions`,
+    * never a global total-order exchange — and a shard-partitioned
+    * parquet layout whose files are each internally in training order.
+    * The returned audit RE-DERIVES the manifest from the WRITTEN FILES
+    * and proves in-file order (per-file lag sweep over the read-back —
+    * rows of a parquet file arrive in file order within each split, and
+    * a file's rows are contiguous per read partition, so the
+    * (file, row-position) lag is the file's true order). The DuckDB
+    * oracle is the same permutation manifest with `in_order` pinned
+    * TRUE — the engine must EARN that literal from the physical files.
+    */
+  def corpusShuffleWrite(spark: SparkSession, sfDir: String,
+                         seed: String = "graft-r9", shards: Int = 16): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-shuffle-out-").toString
+    sharded(spark, sfDir, seed, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("okey"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+    val back = spark.read.parquet(outDir)
+      .select(col("shard").cast("long").as("shard"), col("doc_id"),
+        col("n_tokens"), col("okey"),
+        input_file_name().as("f"), monotonically_increasing_id().as("pos"))
+    import org.apache.spark.sql.expressions.Window
+    val ordered = back.withColumn("prev",
+      lag(col("okey"), 1).over(Window.partitionBy("f").orderBy("pos")))
+    ordered.groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("okey").as("first_key"),
+        max("okey").as("last_key"),
+        min_by(col("doc_id"), col("okey")).as("first_doc"),
+        max_by(col("doc_id"), col("okey")).as("last_doc"),
+        (sum(when(col("prev").isNull || col("prev") < col("okey"), 0L)
+          .otherwise(1L)) === 0L).as("in_order"))
       .orderBy("shard")
   }
 
@@ -70,5 +118,26 @@ object CorpusShuffle {
        |  min(okey) AS first_key, max(okey) AS last_key,
        |  CAST(arg_min(doc_id, okey) AS BIGINT) AS first_doc,
        |  CAST(arg_max(doc_id, okey) AS BIGINT) AS last_doc
+       |FROM sharded GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The write audit's oracle: the same manifest, with `in_order`
+    * pinned TRUE as a literal the engine must earn from the files.
+    */
+  def writeOracleSql(seed: String = "graft-r9", shards: Int = 16): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    length(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens,
+       |    md5('$seed:' || CAST(doc_id AS VARCHAR)) AS okey
+       |  FROM documents
+       |), sharded AS (
+       |  SELECT *, CAST(('0x' || substring(okey, 1, 2)) AS BIGINT) % $shards AS shard
+       |  FROM keyed
+       |)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(okey) AS first_key, max(okey) AS last_key,
+       |  CAST(arg_min(doc_id, okey) AS BIGINT) AS first_doc,
+       |  CAST(arg_max(doc_id, okey) AS BIGINT) AS last_doc,
+       |  TRUE AS in_order
        |FROM sharded GROUP BY 1 ORDER BY 1""".stripMargin
 }

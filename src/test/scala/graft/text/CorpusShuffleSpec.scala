@@ -25,6 +25,37 @@ class CorpusShuffleSpec extends SparkSpec {
       a != c, "a different seed keeps the doc mass but permutes differently")
   }
 
+  test("physical writer: per-shard files are internally in training order, " +
+    "audit manifest equals the logical manifest, no global sort in the write") {
+    val audit = CorpusShuffle.corpusShuffleWrite(spark, sf0001).collect()
+    assert(audit.nonEmpty && audit.forall(_.getBoolean(7)),
+      "every shard's files must be internally okey-ordered")
+    val manifest = CorpusShuffle.corpusShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))
+    val auditCore = audit.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))
+    assert(auditCore.toSeq == manifest.toSeq,
+      "the file-derived manifest must equal the logical one value-for-value")
+    // the WRITE plan itself: hash exchange + local sort only — a global
+    // total-order exchange would show as rangepartitioning
+    val p = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"),
+          md5(concat(lit("graft-r9:"), col("doc_id").cast("string"))).as("okey"),
+          (conv(substring(md5(concat(lit("graft-r9:"), col("doc_id").cast("string"))), 1, 2), 16, 10)
+            .cast("long") % 16).as("shard"))
+        .repartition(16, col("shard"))
+        .sortWithinPartitions(col("shard"), col("okey"))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!p.contains("rangepartitioning"),
+      s"the shard write must never globally sort:\n$p")
+    assert(p.contains("Sort") && p.contains("hashpartitioning"),
+      s"expected local sorts over one hash exchange:\n$p")
+  }
+
   test("the shuffle breaks source runs: shard membership is independent of " +
     "doc_id order (adjacent ids scatter)") {
     val manifest = CorpusShuffle.corpusShuffle(spark, sf0001, shards = 16).collect()
