@@ -408,6 +408,9 @@ object SparkEntry {
     // sortWithinPartitions (parallel local sorts, no global exchange),
     // audit re-derived from the written files proves in-file order.
     "corpus_shuffle_write" -> ((s: SparkSession, d: String) => graft.text.CorpusShuffle.corpusShuffleWrite(s, d)),
+    // Sequence packing OVER the shuffled order (pipeline composed
+    // end-to-end): the okey-keyed two-level distributed prefix sum.
+    "corpus_shuffle_pack" -> ((s: SparkSession, d: String) => graft.text.CorpusShuffle.corpusShufflePack(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -1290,6 +1293,9 @@ object SparkEntry {
     "corpus_shuffle" -> graft.text.CorpusShuffle.oracleSql(),
     // Manifest + in_order pinned TRUE — earned from the physical files.
     "corpus_shuffle_write" -> graft.text.CorpusShuffle.writeOracleSql(),
+    // Naive single-global-window pack over the identical md5-permuted
+    // stream — different plan (two-level prefix sum), same spans.
+    "corpus_shuffle_pack" -> graft.text.CorpusShuffle.packOracleSql(),
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),

@@ -54,6 +54,48 @@ object WatermarkDedup {
   private val evictSafeTs = "2024-01-10" // clear of the 2h live-state fringe
   private val delay = "1 hour"
 
+  /** Fail-fast validation of the planted three-batch geometry (round-9
+    * ADVICE): the batch semantics are welded to the split/evict-safe
+    * cutoffs, and a corpus whose event times do not straddle them would
+    * DEGENERATE the plant at runtime (empty batches, no eviction
+    * witness) instead of failing loudly. One single-row aggregate pins
+    * the four facts the three-batch derivation needs BEFORE the query
+    * runs:
+    *   1. events exist below `evictSafeTs` (the re-emission pool);
+    *   2. batch 1's eviction watermark clears the evict-safe fringe —
+    *      max(first half) ≥ evictSafeTs + delay + 1h margin, so every
+    *      %7/%13 key below evictSafeTs is provably OUT of state when
+    *      batch 3 runs;
+    *   3. the second half (batch 2) is non-empty — its maxTs drives
+    *      the FINAL watermark batch 3's re-admissions must clear;
+    *   4. the +35-day shift clears that final watermark:
+    *      min(ts) + 35d > max(ts) − delay, i.e. the corpus spans
+    *      strictly less than 35 days + 1h.
+    */
+  private def validateGeometry(base: DataFrame): Unit = {
+    val split = lit(splitTs).cast("timestamp")
+    val evictSafe = lit(evictSafeTs).cast("timestamp")
+    // comparisons stay engine-side (timestamp arithmetic in Spark, not
+    // the JVM) so the guard is immune to session/JVM timezone skew
+    val g = base.agg(
+      sum(when(col("ts") < evictSafe, 1L).otherwise(0L)).as("n_early"),
+      (max(when(col("ts") < split, col("ts"))) >=
+        evictSafe + expr("INTERVAL 2 HOURS")).as("evict_clears"),
+      sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_b"),
+      (max(col("ts")) < min(col("ts")) + expr("INTERVAL 35 DAYS")).as("shift_clears")
+    ).head()
+    require(g.getLong(0) > 0,
+      s"watermark-dedup plant degenerate: no events before $evictSafeTs — no eviction pool")
+    require(!g.isNullAt(1) && g.getBoolean(1),
+      s"watermark-dedup plant degenerate: batch 1's eviction watermark " +
+        s"(max first-half ts − $delay) does not clear $evictSafeTs + 1h margin")
+    require(g.getLong(2) > 0,
+      s"watermark-dedup plant degenerate: no events at/after $splitTs — batch 2 empty")
+    require(!g.isNullAt(3) && g.getBoolean(3),
+      "watermark-dedup plant degenerate: corpus spans ≥ 35 days — the +35d " +
+        "re-emission shift would not clear the final watermark")
+  }
+
   /** The streaming transform under test — exposed for plan/metric specs. */
   def dedupWithinWatermark(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", delay)
@@ -70,6 +112,7 @@ object WatermarkDedup {
     // the watermark needs a true TIMESTAMP, and the planted files are
     // written post-normalization so the stream read sees one too
     val base = graft.queries.Analytics.loadEvents(spark, sfDir)
+    validateGeometry(base)
     val a = base.filter(col("ts") < lit(splitTs).cast("timestamp"))
     val b = base.filter(col("ts") >= lit(splitTs).cast("timestamp"))
     val inBatchDup = a.filter(col("event_id") % 3 === 0)

@@ -41,9 +41,12 @@ object CorpusShuffle {
       // whitespace token mass — the packing budget the shards balance
       size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_tokens"),
       md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("okey"))
-    // shard = first byte of the key — a bit-slice, not a shuffle
+    // shard = first 32 bits of the key — a bit-slice, not a shuffle.
+    // 32 bits (not one byte): a single byte % shards is modulo-biased
+    // whenever shards ∤ 256 (shards=10 → ~4% extra mass on buckets
+    // 0–5); 2^32 % shards leaves a bias ≤ shards/2^32 — immaterial.
     keyed.withColumn("shard",
-      (conv(substring(col("okey"), 1, 2), 16, 10).cast("long") % shards).cast("long"))
+      (conv(substring(col("okey"), 1, 8), 16, 10).cast("long") % shards).cast("long"))
   }
 
   def corpusShuffle(spark: SparkSession, sfDir: String,
@@ -65,39 +68,151 @@ object CorpusShuffle {
     * never a global total-order exchange — and a shard-partitioned
     * parquet layout whose files are each internally in training order.
     * The returned audit RE-DERIVES the manifest from the WRITTEN FILES
-    * and proves in-file order (per-file lag sweep over the read-back —
-    * rows of a parquet file arrive in file order within each split, and
-    * a file's rows are contiguous per read partition, so the
-    * (file, row-position) lag is the file's true order). The DuckDB
-    * oracle is the same permutation manifest with `in_order` pinned
-    * TRUE — the engine must EARN that literal from the physical files.
+    * and proves training order with NO Spark-internals assumption:
+    * per-row file position comes from `_metadata.row_index` (pinned
+    * file-offset semantics, not `monotonically_increasing_id`'s
+    * unpinned split-packing order), and the okey lag sweep runs across
+    * a shard's WHOLE file sequence in (file, row_index) order — each
+    * shard is written by exactly ONE task (hash partitioning on the
+    * shard value), so its files (split only by maxRecordsPerFile) carry
+    * an ascending in-name counter and lexicographic path order IS write
+    * order. The small (|shards|-row) audit is materialized on the
+    * driver and the written tree deleted before returning — a bench /
+    * correctness run leaves no /tmp residue. The DuckDB oracle is the
+    * same permutation manifest with `in_order` pinned TRUE — the
+    * engine must EARN that literal from the physical files.
     */
   def corpusShuffleWrite(spark: SparkSession, sfDir: String,
                          seed: String = "graft-r9", shards: Int = 16): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft-shuffle-out-").toString
-    sharded(spark, sfDir, seed, shards)
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("okey"))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-shuffle-out-")
+    try {
+      sharded(spark, sfDir, seed, shards)
+        .repartition(shards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("okey"))
+        .write.mode("overwrite").partitionBy("shard").parquet(outDir.toString)
 
-    val back = spark.read.parquet(outDir)
-      .select(col("shard").cast("long").as("shard"), col("doc_id"),
-        col("n_tokens"), col("okey"),
-        input_file_name().as("f"), monotonically_increasing_id().as("pos"))
+      val back = spark.read.parquet(outDir.toString)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          col("n_tokens"), col("okey"),
+          col("_metadata.file_path").as("f"),
+          col("_metadata.row_index").as("pos"))
+      import org.apache.spark.sql.expressions.Window
+      val ordered = back.withColumn("prev",
+        lag(col("okey"), 1).over(Window.partitionBy("shard").orderBy("f", "pos")))
+      val audit = ordered.groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          min("okey").as("first_key"),
+          max("okey").as("last_key"),
+          min_by(col("doc_id"), col("okey")).as("first_doc"),
+          max_by(col("doc_id"), col("okey")).as("last_doc"),
+          (sum(when(col("prev").isNull || col("prev") < col("okey"), 0L)
+            .otherwise(1L)) === 0L).as("in_order"))
+        .orderBy("shard")
+      // |shards| rows by construction — safe to land on the driver so
+      // the corpus-sized written tree can be deleted before returning
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(audit.collect().toSeq.asJava, audit.schema)
+    } finally deleteRecursively(outDir)
+  }
+
+  /** `corpus_shuffle_pack` — the pipeline composed END-TO-END: sequence
+    * packing ([[SeqPack]] semantics, same BPE-ish token count, same
+    * fixed `capacity`) over the SHUFFLED training order, which is what
+    * a real pretraining run packs (packing the raw doc_id order and
+    * then shuffling sequences would shuffle at the wrong granularity —
+    * document halves would stay glued to their split siblings).
+    *
+    * The token stream is the md5 permutation ([[sharded]]'s `okey`
+    * order); the global running offset is the same TWO-LEVEL
+    * DISTRIBUTED PREFIX SUM as [[SeqPack.perDocStarts]], keyed by okey
+    * instead of doc_id: level-1 buckets are the first 3 hex chars of
+    * the key — 4096 CONTIGUOUS key ranges (fixed-width lowercase hex:
+    * lexicographic order IS numeric order), so bucket totals cumsum in
+    * bucket order = stream order; level-2 is the intra-bucket strict
+    * cumsum windowed per bucket (fully parallel, ≈ n/4096 rows each —
+    * an md5 prefix is uniform BY CONSTRUCTION, no skew caveat). The
+    * single-partition level-1 window sees exactly 4096 rows at ANY
+    * corpus size (the rate-spike discipline: bounded by construction).
+    *
+    * Output = the dataloader ASSIGNMENT MANIFEST of SeqPack (32d4):
+    * one row per (document, sequence) span. The DuckDB oracle computes
+    * the same spans with its naive single global window over the same
+    * permuted stream — different plan, same offsets; the spec pins
+    * two-level == naive-window and the three reassembly invariants.
+    */
+  def corpusShufflePack(spark: SparkSession, sfDir: String,
+                        seed: String = "graft-r9", capacity: Int = 64): DataFrame = {
+    val cap = capacity.toLong
+    shuffledStarts(spark, sfDir, seed)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start div ${cap}L"), expr(s"(start + nt - 1) div ${cap}L"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("seq_id") * cap - col("start"), lit(0L)).as("off_in_doc"),
+        (least((col("seq_id") + 1) * cap, col("start") + col("nt")) -
+          greatest(col("seq_id") * cap, col("start"))).as("span_len"))
+      .orderBy("doc_id", "seq_id")
+  }
+
+  /** Per-doc offsets into the PERMUTED token stream: (doc_id, nt, okey,
+    * start) via the okey-keyed two-level prefix sum.
+    */
+  private[text] def shuffledStarts(spark: SparkSession, sfDir: String,
+                                   seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordered = back.withColumn("prev",
-      lag(col("okey"), 1).over(Window.partitionBy("f").orderBy("pos")))
-    ordered.groupBy("shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        min("okey").as("first_key"),
-        max("okey").as("last_key"),
-        min_by(col("doc_id"), col("okey")).as("first_doc"),
-        max_by(col("doc_id"), col("okey")).as("last_doc"),
-        (sum(when(col("prev").isNull || col("prev") < col("okey"), 0L)
-          .otherwise(1L)) === 0L).as("in_order"))
-      .orderBy("shard")
+    // localCheckpoint: the keyed 3-column frame feeds both prefix-sum
+    // levels — without the cut the regex tokenization runs twice
+    val keyed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("nt"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("okey"))
+      .filter(col("nt") > 0)
+      .localCheckpoint()
+    val bucketed = keyed.withColumn("bucket", substring(col("okey"), 1, 3))
+    val bucketPrefix = bucketed.groupBy("bucket").agg(sum("nt").as("bt"))
+      .withColumn("bpre", coalesce(
+        sum("bt").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bpre")
+    val intra = Window.partitionBy("bucket").orderBy("okey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(bucketPrefix, "bucket")
+      .withColumn("start", col("bpre") + coalesce(sum("nt").over(intra), lit(0L)))
+      .select("doc_id", "nt", "okey", "start")
+  }
+
+  /** The pack oracle: DuckDB's naive single global window over the
+    * identical permuted stream (same md5 keys, same BPE-ish token
+    * count, same exact-integer span arithmetic).
+    */
+  def packOracleSql(seed: String = "graft-r9", capacity: Int = 64): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(length(regexp_extract_all(text, '[A-Za-z]+')) + length(regexp_extract_all(text, '[0-9]+')) + length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS nt,
+       |    md5('$seed:' || CAST(doc_id AS VARCHAR)) AS okey
+       |  FROM documents),
+       |pre AS (
+       |  SELECT doc_id, nt,
+       |    CAST(coalesce(sum(nt) OVER (ORDER BY okey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+       |  FROM toks WHERE nt > 0),
+       |m AS (
+       |  SELECT doc_id, nt, p,
+       |    unnest(generate_series(p // $capacity, (p + nt - 1) // $capacity)) AS seq_id
+       |  FROM pre)
+       |SELECT doc_id, seq_id,
+       |  greatest(seq_id * $capacity - p, 0) AS off_in_doc,
+       |  least((seq_id + 1) * $capacity, p + nt) - greatest(seq_id * $capacity, p) AS span_len
+       |FROM m ORDER BY doc_id, seq_id""".stripMargin
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val listing = java.nio.file.Files.list(p)
+      try listing.forEach(deleteRecursively) finally listing.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
   }
 
   /** Identical md5 permutation in DuckDB — the manifest must match
@@ -110,7 +225,7 @@ object CorpusShuffle {
        |    md5('$seed:' || CAST(doc_id AS VARCHAR)) AS okey
        |  FROM documents
        |), sharded AS (
-       |  SELECT *, CAST(('0x' || substring(okey, 1, 2)) AS BIGINT) % $shards AS shard
+       |  SELECT *, CAST(('0x' || substring(okey, 1, 8)) AS BIGINT) % $shards AS shard
        |  FROM keyed
        |)
        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
@@ -130,7 +245,7 @@ object CorpusShuffle {
        |    md5('$seed:' || CAST(doc_id AS VARCHAR)) AS okey
        |  FROM documents
        |), sharded AS (
-       |  SELECT *, CAST(('0x' || substring(okey, 1, 2)) AS BIGINT) % $shards AS shard
+       |  SELECT *, CAST(('0x' || substring(okey, 1, 8)) AS BIGINT) % $shards AS shard
        |  FROM keyed
        |)
        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
