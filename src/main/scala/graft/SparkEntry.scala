@@ -386,6 +386,11 @@ object SparkEntry {
     "text_tfidf" -> ((s: SparkSession, d: String) => graft.text.Tfidf.tfidfTopK(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.textBpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.textBpeEncode(s, d)),
+    // Unigram-LM (SentencePiece-class) tokenizer: Viterbi hard-EM over
+    // the distinct-word table with integer-quantized log2 scores.
+    "text_unigram_train" -> ((s: SparkSession, d: String) => graft.text.UnigramLm.textUnigramTrain(s, d)),
+    // The consuming half: per-doc piece counts under the trained vocab.
+    "text_unigram_encode" -> ((s: SparkSession, d: String) => graft.text.UnigramLm.textUnigramEncode(s, d)),
     // Bigram-LM surprise (perplexity-gate quality filter): exact
     // integer floor(log2 1/p) scores — bit-identical cross-engine,
     // no libm — top-20 most surprising docs.
@@ -1279,6 +1284,12 @@ object SparkEntry {
     "text_bpe_train" -> graft.text.BpeTrain.oracleSql(),
     // Same chain, final vocabulary re-joined to (doc, word) counts.
     "text_bpe_encode" -> graft.text.BpeTrain.oracleSqlEncode(),
+    // The identical hard-EM alternation unrolled: seed substring
+    // explode, M-position DP chain, backtrack fold, prune/floor/
+    // re-score — K rounds deep, exact integers end to end.
+    "text_unigram_train" -> graft.text.UnigramLm.oracleSql(),
+    // One more Viterbi pass under vocab_K, re-joined to (doc, word).
+    "text_unigram_encode" -> graft.text.UnigramLm.oracleSqlEncode(),
     // Exact-integer bigram surprise: bitlen((c_a+V) div (c_ab+1))−1
     // via printf('%b') — no floating log anywhere.
     "text_lm_surprise" -> graft.text.LmSurprise.oracleSql(),
