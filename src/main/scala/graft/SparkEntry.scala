@@ -416,6 +416,9 @@ object SparkEntry {
     // Sequence packing OVER the shuffled order (pipeline composed
     // end-to-end): the okey-keyed two-level distributed prefix sum.
     "corpus_shuffle_pack" -> ((s: SparkSession, d: String) => graft.text.CorpusShuffle.corpusShufflePack(s, d)),
+    // Avro DSv2 source/sink round-trip: census from the read-back vs
+    // the oracle's census of the original parquet.
+    "src_avro_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.AvroQueries.srcAvroRoundtrip(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -1307,6 +1310,9 @@ object SparkEntry {
     // Naive single-global-window pack over the identical md5-permuted
     // stream — different plan (two-level prefix sum), same spans.
     "corpus_shuffle_pack" -> graft.text.CorpusShuffle.packOracleSql(),
+    // Census of the ORIGINAL lineitem — the engine's census comes from
+    // the Avro read-back, so a match proves content preservation.
+    "src_avro_roundtrip" -> graft.sources.AvroQueries.oracleSql,
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),

@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class AvroSpec extends SparkSpec {
+
+  private def sample = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_returnflag"), col("l_shipdate"),
+      to_date(col("l_shipdate")).as("l_shipday"),
+      (col("l_returnflag") === "R").as("l_returned"),
+      encode(col("l_returnflag"), "UTF-8").as("l_flagbin"))
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-avro-spec-").toString
+
+  private def rm(dir: String): Unit = {
+    def go(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val l = java.nio.file.Files.list(p); try l.forEach(go) finally l.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    go(java.nio.file.Paths.get(dir))
+  }
+
+  test("round-trip is content-identical across the whole type surface " +
+    "(long/int/double/string/timestamp/date/boolean/binary + nulls)") {
+    val dir = freshDir()
+    try {
+      val df = sample
+      df.write.format("graft-avro").mode("append").save(dir)
+      val back = spark.read.format("graft-avro").load(dir)
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)),
+        s"schema drift: ${back.schema} vs ${df.schema}")
+      assert(back.count() == df.count())
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+        "round-trip must preserve every row value-identically")
+    } finally rm(dir)
+  }
+
+  test("column pruning reaches the scan: readSchema is the projection, " +
+    "not the file schema") {
+    val dir = freshDir()
+    try {
+      sample.write.format("graft-avro").mode("append").save(dir)
+      val q = spark.read.format("graft-avro").load(dir)
+        .select("l_orderkey", "l_returnflag")
+      val scans = q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(scans.nonEmpty, "expected a BatchScan")
+      assert(scans.head.scan.readSchema().fieldNames.toSet ==
+        Set("l_orderkey", "l_returnflag"),
+        s"pruning must reach the Avro decoder: ${scans.head.scan.readSchema()}")
+      // and the pruned read still returns correct values
+      val expect = sample.select("l_orderkey", "l_returnflag")
+      assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty)
+    } finally rm(dir)
+  }
+
+  test("reads split within one file on sync boundaries: many partitions, " +
+    "no row lost or doubled") {
+    val dir = freshDir()
+    try {
+      sample.coalesce(1).write.format("graft-avro").mode("append").save(dir)
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        val back = spark.read.format("graft-avro").load(dir)
+        assert(back.rdd.getNumPartitions > 4,
+          s"a single file must fan out across byte-range splits, " +
+            s"got ${back.rdd.getNumPartitions}")
+        assert(back.count() == sample.count(),
+          "split reads must cover every block exactly once")
+        assert(back.exceptAll(sample).isEmpty)
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    } finally rm(dir)
+  }
+
+  test("overwrite truncates exactly the previous queries' files") {
+    val dir = freshDir()
+    try {
+      sample.write.format("graft-avro").mode("append").save(dir)
+      val subset = sample.filter(col("l_returnflag") === "R")
+      subset.write.format("graft-avro").mode("overwrite").save(dir)
+      val back = spark.read.format("graft-avro").load(dir)
+      assert(back.count() == subset.count(),
+        "after overwrite only the new query's rows remain")
+    } finally rm(dir)
+  }
+
+  test("schema inference reads one file header, never the data") {
+    val dir = freshDir()
+    try {
+      sample.write.format("graft-avro").mode("append").save(dir)
+      val inferred = spark.read.format("graft-avro").load(dir).schema
+      assert(inferred.fieldNames.toSeq == sample.schema.fieldNames.toSeq)
+    } finally rm(dir)
+  }
+}
