@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
