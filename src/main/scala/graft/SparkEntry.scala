@@ -419,6 +419,9 @@ object SparkEntry {
     // Avro DSv2 source/sink round-trip: census from the read-back vs
     // the oracle's census of the original parquet.
     "src_avro_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.AvroQueries.srcAvroRoundtrip(s, d)),
+    // The dataset release card: per-language volumes, exact-dup mass,
+    // densities — one scan, two map-side aggregations, a |langs| join.
+    "corpus_datacard" -> ((s: SparkSession, d: String) => graft.text.Datacard.corpusDatacard(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -1313,6 +1316,10 @@ object SparkEntry {
     // Census of the ORIGINAL lineitem — the engine's census comes from
     // the Avro read-back, so a match proves content preservation.
     "src_avro_roundtrip" -> graft.sources.AvroQueries.oracleSql,
+    // Every sub-formula copied verbatim from the oracle row that
+    // already pins it (langid scores, token counts, punct class,
+    // dedup_exact hash key) — composition, not new semantics.
+    "corpus_datacard" -> graft.text.Datacard.oracleSql,
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),
