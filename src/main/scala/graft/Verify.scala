@@ -22,8 +22,14 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None        => SparkEntry.queries
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[verify] GRAFT_VERIFY_ONLY names not in the registry (typo?): " +
+              unknown.toSeq.sorted.mkString(", "))
+        SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
