@@ -70,6 +70,32 @@ class UnigramLmSpec extends SparkSpec {
     assert(vocab == again, "training must be deterministic")
   }
 
+  test("words longer than M are excluded from training — the documented " +
+    "pathological-string cap, enforced at the word table") {
+    import spark.implicits._
+    // wordTable is the single gate: a >16-char token must never reach
+    // the seed (its chars would otherwise enter the alphabet)
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram-cap-")
+    try {
+      Seq((1L, "ab " + ("q" * 20))).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val words = UnigramLm.wordTable(spark, dir.toString)
+        .collect().map(_.getString(0)).toSet
+      assert(words == Set("ab"), s"the 20-char word must be filtered: $words")
+      val vocab = UnigramLm.trainRounds(UnigramLm.wordTable(spark, dir.toString)).last
+      assert(!vocab.exists(_._1.contains("q")),
+        "no piece of the excluded word may enter the vocabulary")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val l = java.nio.file.Files.list(p); try l.forEach(rm) finally l.close()
+        }
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("corpus train: singles always survive, multis only with usage, " +
     "vocab bounded by alphabet + V") {
     val out = UnigramLm.textUnigramTrain(spark, sf0001).collect()
