@@ -141,6 +141,31 @@ object AvroConversions {
     }
 }
 
+/** Hadoop configuration plumbing: the SESSION's conf (credentials,
+  * fs.defaultFS, s3a settings …) must reach every FS access — a bare
+  * `new Configuration()` only works on local file:// paths. Driver
+  * sides call [[sessionConf]]; factories ship the flattened entries to
+  * executors as a plain Map (Hadoop's Configuration isn't
+  * Java-serializable and Spark's SerializableConfiguration is
+  * private[spark]).
+  */
+private[sources] object AvroHadoop {
+  def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  def toMap(conf: Configuration): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    conf.iterator().forEachRemaining(e => b += e.getKey -> e.getValue)
+    b.result()
+  }
+
+  def fromMap(m: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
 /** The correctness-gate query over the source: round-trip a typed
   * lineitem slice (long/int/double/string/timestamp/date/boolean/
   * binary) through graft-avro and report a content census computed
@@ -181,15 +206,7 @@ object AvroQueries {
         max(col("l_shipday")).cast("string").as("max_day"))
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(census.collect().toSeq.asJava, census.schema)
-    } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val l = java.nio.file.Files.list(p); try l.forEach(rm) finally l.close()
-        }
-        java.nio.file.Files.deleteIfExists(p); ()
-      }
-      rm(dir)
-    }
+    } finally graft.util.Fs.deleteRecursively(dir)
   }
 
   /** The identical census over the ORIGINAL table. */
@@ -222,12 +239,13 @@ class GraftAvro extends TableProvider with DataSourceRegister {
     * writer schema) — never a data scan.
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = AvroHadoop.sessionConf()
     val dir = new Path(pathOf(options))
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf)
     val first = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".avro"))
       .sortBy(_.getPath.getName).headOption
       .getOrElse(throw new IllegalArgumentException(s"no .avro files under $dir"))
-    val in = new FsInput(first.getPath, new Configuration())
+    val in = new FsInput(first.getPath, conf)
     val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
     try AvroConversions.toSpark(r.getSchema) finally r.close()
   }
@@ -272,7 +290,7 @@ class AvroScan(full: StructType, required: StructType, path: String)
   override def description(): String = s"graft-avro $path ReadSchema: ${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = AvroHadoop.sessionConf()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val splitBytes = org.apache.spark.sql.SparkSession.active.sessionState.conf
@@ -285,23 +303,24 @@ class AvroScan(full: StructType, required: StructType, path: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.json)
+    new AvroReaderFactory(required.json, AvroHadoop.toMap(AvroHadoop.sessionConf()))
 }
 
-class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactory {
+class AvroReaderFactory(requiredJson: String, confMap: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroInputPartition]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    new AvroPartitionReader(p, required)
+    new AvroPartitionReader(p, required, AvroHadoop.fromMap(confMap))
   }
 }
 
-class AvroPartitionReader(p: AvroInputPartition, required: StructType)
-    extends PartitionReader[InternalRow] {
-  private val in = new FsInput(new Path(p.file), new Configuration())
+class AvroPartitionReader(p: AvroInputPartition, required: StructType,
+                          conf: Configuration) extends PartitionReader[InternalRow] {
+  private val in = new FsInput(new Path(p.file), conf)
   // the READER schema is the pruned one — Avro schema resolution skips
   // the deserialization of every non-projected writer field
-  private val reader = {
+  private val (reader, prunedSchema) = {
     val datum = new GenericDatumReader[GenericRecord]()
     val r = DataFileReader.openReader(in, datum)
     val pruned = AvroConversions.toAvro(
@@ -310,9 +329,11 @@ class AvroPartitionReader(p: AvroInputPartition, required: StructType)
         .foldLeft(new StructType())(_ add _), "graft_avro_read")
     datum.setExpected(pruned)
     r.sync(p.start)
-    r
+    (r, pruned)
   }
-  private val order = required.fieldNames // emit in Spark's requested order
+  // field positions resolved ONCE — a per-row by-name get() would be a
+  // string-keyed schema lookup per (row × column) in the decode loop
+  private val positions = required.fieldNames.map(n => prunedSchema.getField(n).pos())
   private val types = required.fields.map(_.dataType)
   private var current: GenericRecord = _
 
@@ -322,9 +343,15 @@ class AvroPartitionReader(p: AvroInputPartition, required: StructType)
     } else false
   }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(order.indices.map(i =>
-      AvroConversions.toCatalyst(current.get(order(i)), types(i))).toArray)
+  override def get(): InternalRow = {
+    val arr = new Array[Any](positions.length)
+    var i = 0
+    while (i < positions.length) {
+      arr(i) = AvroConversions.toCatalyst(current.get(positions(i)), types(i))
+      i += 1
+    }
+    new GenericInternalRow(arr)
+  }
 
   override def close(): Unit = { reader.close() }
 }
@@ -338,22 +365,39 @@ class AvroWriteBuilder(schema: StructType, path: String, queryId: String,
   }
 }
 
+/** Task output protocol: every attempt streams into a STAGED name
+  * (`….avro.inprogress` — invisible to readers, which match only the
+  * `.avro` suffix) and RENAMES to the final name inside
+  * `DataWriter.commit()`, which Spark's commit coordinator grants to
+  * exactly one attempt per task. A zombie or speculatively-killed
+  * attempt therefore never contributes a visible file: its staging
+  * residue is swept by the driver-side job commit/abort. Without the
+  * stage-and-rename, a task that died mid-write would leave a partial
+  * `.avro` that a retry cannot distinguish from its own output —
+  * duplicate/garbage rows on every subsequent read.
+  */
 class AvroBatchWrite(schema: StructType, path: String, queryId: String,
                      truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    new AvroWriterFactory(schema.json, path, queryId)
+    new AvroWriterFactory(schema.json, path, queryId,
+      AvroHadoop.toMap(AvroHadoop.sessionConf()))
   }
 
   /** Overwrite semantics: the new files carry this query's UUID; commit
-    * deletes exactly the .avro files of previous queries.
+    * deletes exactly the .avro files of previous queries, plus any
+    * staging residue this query's dead attempts left behind.
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = if (truncate) {
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
-    fs.listStatus(dir)
+    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
+    val listing = fs.listStatus(dir)
+    listing.filter(st => st.getPath.getName.endsWith(".inprogress") &&
+      st.getPath.getName.contains(queryId))
+      .foreach(st => fs.delete(st.getPath, false))
+    if (truncate) listing
       .filter(st => st.getPath.getName.endsWith(".avro") &&
         !st.getPath.getName.contains(queryId))
       .foreach(st => fs.delete(st.getPath, false))
@@ -361,7 +405,7 @@ class AvroBatchWrite(schema: StructType, path: String, queryId: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
     if (fs.exists(dir)) fs.listStatus(dir)
       .filter(_.getPath.getName.contains(queryId))
       .foreach(st => fs.delete(st.getPath, false))
@@ -370,22 +414,26 @@ class AvroBatchWrite(schema: StructType, path: String, queryId: String,
 
 case class AvroCommit(file: String, rows: Long) extends WriterCommitMessage
 
-class AvroWriterFactory(schemaJson: String, path: String, queryId: String)
-    extends DataWriterFactory {
+class AvroWriterFactory(schemaJson: String, path: String, queryId: String,
+                        confMap: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new AvroDataWriter(schema, path, queryId, partitionId, taskId)
+    new AvroDataWriter(schema, path, queryId, partitionId, taskId,
+      AvroHadoop.fromMap(confMap))
   }
 }
 
 class AvroDataWriter(schema: StructType, path: String, queryId: String,
-                     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+                     partitionId: Int, taskId: Long,
+                     conf: Configuration) extends DataWriter[InternalRow] {
   private val avroSchema = AvroConversions.toAvro(schema, "graft_avro")
-  private val file = new Path(path,
+  private val finalFile = new Path(path,
     f"part-$partitionId%05d-$queryId-$taskId.avro")
-  private val out = file.getFileSystem(new Configuration()).create(file, false)
+  private val stagedFile = new Path(path, finalFile.getName + ".inprogress")
+  private val fs = stagedFile.getFileSystem(conf)
   private val writer = new DataFileWriter[GenericRecord](
-    new GenericDatumWriter[GenericRecord](avroSchema)).create(avroSchema, out)
+    new GenericDatumWriter[GenericRecord](avroSchema))
+    .create(avroSchema, fs.create(stagedFile, false))
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -397,11 +445,21 @@ class AvroDataWriter(schema: StructType, path: String, queryId: String,
     rows += 1
   }
 
-  override def commit(): WriterCommitMessage = { writer.close(); AvroCommit(file.toString, rows) }
-  override def abort(): Unit = {
+  override def commit(): WriterCommitMessage = {
     writer.close()
-    file.getFileSystem(new Configuration()).delete(file, false)
+    if (!fs.rename(stagedFile, finalFile))
+      throw new java.io.IOException(s"graft-avro: rename $stagedFile -> $finalFile failed")
+    AvroCommit(finalFile.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    // a broken stream makes close() itself throw — the staged file must
+    // still be deleted, so the delete rides a finally
+    try writer.close()
+    catch { case _: Throwable => () }
+    finally fs.delete(stagedFile, false)
     ()
   }
+
   override def close(): Unit = ()
 }

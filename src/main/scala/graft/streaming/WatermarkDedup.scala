@@ -77,12 +77,17 @@ object WatermarkDedup {
     val evictSafe = lit(evictSafeTs).cast("timestamp")
     // comparisons stay engine-side (timestamp arithmetic in Spark, not
     // the JVM) so the guard is immune to session/JVM timezone skew
+    // coalesce the conditional sums: on an EMPTY table sum() is NULL
+    // and a bare getLong would NPE instead of reaching the diagnostic
     val g = base.agg(
-      sum(when(col("ts") < evictSafe, 1L).otherwise(0L)).as("n_early"),
+      coalesce(sum(when(col("ts") < evictSafe, 1L).otherwise(0L)), lit(0L)).as("n_early"),
       (max(when(col("ts") < split, col("ts"))) >=
         evictSafe + expr("INTERVAL 2 HOURS")).as("evict_clears"),
-      sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_b"),
-      (max(col("ts")) < min(col("ts")) + expr("INTERVAL 35 DAYS")).as("shift_clears")
+      coalesce(sum(when(col("ts") >= split, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      // the exact invariant is min+35d > max−delay, i.e. span < 35d+1h —
+      // requiring a bare 35d would reject corpora the semantics accept
+      (max(col("ts")) < min(col("ts")) + expr("INTERVAL 35 DAYS 1 HOUR"))
+        .as("shift_clears")
     ).head()
     require(g.getLong(0) > 0,
       s"watermark-dedup plant degenerate: no events before $evictSafeTs — no eviction pool")
@@ -92,7 +97,7 @@ object WatermarkDedup {
     require(g.getLong(2) > 0,
       s"watermark-dedup plant degenerate: no events at/after $splitTs — batch 2 empty")
     require(!g.isNullAt(3) && g.getBoolean(3),
-      "watermark-dedup plant degenerate: corpus spans ≥ 35 days — the +35d " +
+      "watermark-dedup plant degenerate: corpus spans ≥ 35 days + 1h — the +35d " +
         "re-emission shift would not clear the final watermark")
   }
 
@@ -143,7 +148,7 @@ object WatermarkDedup {
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dest,
         FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetSec * 1000))
-      deleteRecursively(stage)
+      graft.util.Fs.deleteRecursively(stage)
     }
     writeOne(a.unionByName(inBatchDup), "batch-0.parquet", -240)
     writeOne(b.unionByName(lateReplay), "batch-1.parquet", -120)
@@ -185,20 +190,11 @@ object WatermarkDedup {
                                queryName: String = "graft_stream_wmdedup"): DataFrame = {
     val (q, inputDir, outDir) = startQuery(spark, sfDir, queryName)
     q.awaitTermination()
-    deleteRecursively(java.nio.file.Paths.get(inputDir))
+    graft.util.Fs.deleteRecursively(inputDir)
     spark.read.parquet(outDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"))
       .orderBy("event_type")
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val listing = Files.list(p)
-      try listing.forEach(deleteRecursively) finally listing.close()
-    }
-    Files.deleteIfExists(p)
-    ()
   }
 
   /** Closed-form replay of the three rules: admitted = first half +

@@ -38,8 +38,10 @@ object CorpusShuffle {
       .select(col("doc_id"), col("text"))
     val keyed = docs.select(
       col("doc_id"),
-      // whitespace token mass — the packing budget the shards balance
-      size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_tokens"),
+      // whitespace token mass — the packing budget the shards balance;
+      // ONE codegen'd regexp_count, not the interpreted HOF
+      // size(filter(split(…))) shape (same count, TextOps scaladoc)
+      TextOps.wsTokenCount(col("text")).cast("long").as("n_tokens"),
       md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("okey"))
     // shard = first 32 bits of the key — a bit-slice, not a shuffle.
     // 32 bits (not one byte): a single byte % shards is modulo-biased
@@ -72,11 +74,13 @@ object CorpusShuffle {
     * per-row file position comes from `_metadata.row_index` (pinned
     * file-offset semantics, not `monotonically_increasing_id`'s
     * unpinned split-packing order), and the okey lag sweep runs across
-    * a shard's WHOLE file sequence in (file, row_index) order — each
-    * shard is written by exactly ONE task (hash partitioning on the
-    * shard value), so its files (split only by maxRecordsPerFile) carry
-    * an ascending in-name counter and lexicographic path order IS write
-    * order. The small (|shards|-row) audit is materialized on the
+    * a shard's WHOLE file sequence ordered by each file's OWN min okey
+    * (not by path — Spark's in-name `c%03d` counter breaks
+    * lexicographic order at the 1000th file of a task): the writer
+    * sorts within the task, so file i's min okey exceeds file i−1's
+    * max okey exactly when the files are in write order, which is the
+    * property under audit. The small (|shards|-row) audit is
+    * materialized on the
     * driver and the written tree deleted before returning — a bench /
     * correctness run leaves no /tmp residue. The DuckDB oracle is the
     * same permutation manifest with `in_order` pinned TRUE — the
@@ -97,8 +101,10 @@ object CorpusShuffle {
           col("_metadata.file_path").as("f"),
           col("_metadata.row_index").as("pos"))
       import org.apache.spark.sql.expressions.Window
-      val ordered = back.withColumn("prev",
-        lag(col("okey"), 1).over(Window.partitionBy("shard").orderBy("f", "pos")))
+      val ordered = back
+        .withColumn("fkey", min("okey").over(Window.partitionBy("f")))
+        .withColumn("prev",
+          lag(col("okey"), 1).over(Window.partitionBy("shard").orderBy("fkey", "pos")))
       val audit = ordered.groupBy("shard")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -114,7 +120,7 @@ object CorpusShuffle {
       // the corpus-sized written tree can be deleted before returning
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(audit.collect().toSeq.asJava, audit.schema)
-    } finally deleteRecursively(outDir)
+    } finally graft.util.Fs.deleteRecursively(outDir)
   }
 
   /** `corpus_shuffle_pack` — the pipeline composed END-TO-END: sequence
@@ -205,15 +211,6 @@ object CorpusShuffle {
        |  greatest(seq_id * $capacity - p, 0) AS off_in_doc,
        |  least((seq_id + 1) * $capacity, p + nt) - greatest(seq_id * $capacity, p) AS span_len
        |FROM m ORDER BY doc_id, seq_id""".stripMargin
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val listing = java.nio.file.Files.list(p)
-      try listing.forEach(deleteRecursively) finally listing.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-    ()
-  }
 
   /** Identical md5 permutation in DuckDB — the manifest must match
     * value-for-value, pinning the permutation itself cross-engine.

@@ -190,9 +190,12 @@ object UnigramLm {
 
   /** The full alternation: seed, then K hard-EM rounds; returns every
     * state (index 0 = seed) so specs can pin the whole trajectory.
+    * `checkpoint = false` when the caller already materialized the word
+    * table (avoids a redundant second block-storage copy).
     */
-  private[text] def trainRounds(words: DataFrame, k: Int = K): Seq[Vocab] = {
-    val w = words.localCheckpoint()
+  private[text] def trainRounds(words: DataFrame, k: Int = K,
+                                checkpoint: Boolean = true): Seq[Vocab] = {
+    val w = if (checkpoint) words.localCheckpoint() else words
     val states = scala.collection.mutable.ArrayBuffer(seedVocab(w))
     for (_ <- 1 to k) states += emRound(w, states.last)
     states.toSeq
@@ -214,7 +217,7 @@ object UnigramLm {
     */
   def textUnigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val words = wordTable(spark, sfDir).localCheckpoint()
-    val finalVocab = trainRounds(words).last
+    val finalVocab = trainRounds(words, checkpoint = false).last
     val wt = segmented(words, finalVocab.map(v => v._1 -> v._3).toMap)
       .select(col("w"), size(col("pieces")).cast("long").as("np"))
     val docWords = words.sparkSession.read.parquet(s"$sfDir/documents.parquet")
