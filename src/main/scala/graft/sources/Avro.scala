@@ -397,8 +397,12 @@ class AvroBatchWrite(schema: StructType, path: String, queryId: String,
     listing.filter(st => st.getPath.getName.endsWith(".inprogress") &&
       st.getPath.getName.contains(queryId))
       .foreach(st => fs.delete(st.getPath, false))
+    // truncate sweeps BOTH previous queries' committed files and any
+    // stale staging residue a crashed previous query left behind —
+    // otherwise dead .inprogress files linger forever
     if (truncate) listing
-      .filter(st => st.getPath.getName.endsWith(".avro") &&
+      .filter(st => (st.getPath.getName.endsWith(".avro") ||
+        st.getPath.getName.endsWith(".inprogress")) &&
         !st.getPath.getName.contains(queryId))
       .foreach(st => fs.delete(st.getPath, false))
   }

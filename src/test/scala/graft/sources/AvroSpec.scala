@@ -118,6 +118,26 @@ class AvroSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("staging residue is invisible to readers and swept by overwrite: " +
+    "a crashed attempt's .inprogress file never surfaces as data") {
+    val dir = freshDir()
+    try {
+      sample.write.format("graft-avro").mode("append").save(dir)
+      // plant a dead attempt's staging file (garbage bytes, stale query id)
+      val stale = java.nio.file.Paths.get(dir,
+        "part-00099-deadbeef-dead-dead-dead-deaddeadbeef-42.avro.inprogress")
+      java.nio.file.Files.write(stale, Array[Byte](1, 2, 3))
+      val back = spark.read.format("graft-avro").load(dir)
+      assert(back.count() == sample.count(),
+        "readers must skip .inprogress staging files entirely")
+      // an overwrite sweeps the stale residue along with old data files
+      sample.limit(5).write.format("graft-avro").mode("overwrite").save(dir)
+      assert(!java.nio.file.Files.exists(stale),
+        "truncate must sweep stale staging residue of previous queries")
+      assert(spark.read.format("graft-avro").load(dir).count() == 5)
+    } finally rm(dir)
+  }
+
   test("schema inference reads one file header, never the data") {
     val dir = freshDir()
     try {
