@@ -24,10 +24,17 @@ object Verify {
     val selected = only match {
       case Some(names) =>
         val unknown = names -- SparkEntry.queries.keySet
-        if (unknown.nonEmpty)
+        if (unknown.nonEmpty) {
+          // Fail FAST, not a warning: a typo'd subset run would leave the
+          // intended operator's STALE parquet from a previous build in the
+          // shared outDir, and a downstream DuckDB compare could silently
+          // pass on old results.
           System.err.println(
-            s"[verify] GRAFT_VERIFY_ONLY names not in the registry (typo?): " +
+            s"[verify] GRAFT_VERIFY_ONLY names not in the registry: " +
               unknown.toSeq.sorted.mkString(", "))
+          spark.stop()
+          sys.exit(2)
+        }
         SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }

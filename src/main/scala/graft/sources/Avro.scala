@@ -44,8 +44,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - DISTRIBUTED WRITES: each task streams its partition through a
   *     `DataFileWriter` straight to the target FS (no driver funnel);
   *     files carry the query UUID, so `overwrite` (SupportsTruncate)
-  *     commits by deleting exactly the files of PREVIOUS queries —
-  *     concurrent-job residue is never half-deleted.
+  *     commits by deleting exactly the files of PREVIOUS queries and
+  *     their STAGING residue — a crashed job's leftovers are swept
+  *     whole, never half-deleted. Concurrent COMMITTED writers racing
+  *     a truncate-overwrite are unsupported (same contract as Spark's
+  *     built-in file sources): an append that commits between the
+  *     truncate's listing and its deletes can lose its files.
   *
   * Type surface (the graft tables' columns): boolean, int, long,
   * float, double, string, binary, date (int/`date`), timestamp
@@ -323,8 +327,22 @@ class AvroPartitionReader(p: AvroInputPartition, required: StructType,
   private val (reader, prunedSchema) = {
     val datum = new GenericDatumReader[GenericRecord]()
     val r = DataFileReader.openReader(in, datum)
+    val writerStruct = AvroConversions.toSpark(r.getSchema)
+    // Validate EVERY required column against this file's writer schema
+    // before any positions are resolved: a user-supplied schema
+    // (supportsExternalMetadata) or mixed-schema appends into one
+    // directory would otherwise surface as a bare NullPointerException
+    // from getField(n).pos() naming neither the file nor the column.
+    val missing = required.fieldNames.filterNot(writerStruct.fieldNames.contains)
+    if (missing.nonEmpty) {
+      r.close()
+      throw new IllegalArgumentException(
+        s"graft-avro: file ${p.file} has no column(s) ${missing.mkString(", ")} " +
+          s"(writer schema carries: ${writerStruct.fieldNames.mkString(", ")}) — " +
+          "user-supplied schema mismatch, or mixed-schema appends in one directory")
+    }
     val pruned = AvroConversions.toAvro(
-      AvroConversions.toSpark(r.getSchema) // writer field nullability, pruned by name
+      writerStruct // writer field nullability, pruned by name
         .fields.filter(f => required.fieldNames.contains(f.name))
         .foldLeft(new StructType())(_ add _), "graft_avro_read")
     datum.setExpected(pruned)

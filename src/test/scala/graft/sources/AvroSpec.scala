@@ -138,6 +138,28 @@ class AvroSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("a required column absent from a file's writer schema fails with " +
+    "an error naming the file and the column, not an NPE") {
+    val dir = freshDir()
+    try {
+      sample.write.format("graft-avro").mode("append").save(dir)
+      import org.apache.spark.sql.types._
+      val userSchema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("no_such_column", StringType)))
+      val e = intercept[org.apache.spark.SparkException] {
+        // select the column, not count(): a bare count prunes every
+        // column and the reader legitimately never needs the absent one
+        spark.read.format("graft-avro").schema(userSchema).load(dir)
+          .select("no_such_column").collect()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+      assert(msg.contains("no_such_column"), s"error must name the missing column: $msg")
+      assert(msg.contains(".avro"), s"error must name the file: $msg")
+      assert(!msg.contains("NullPointerException"), s"must not be an NPE: $msg")
+    } finally rm(dir)
+  }
+
   test("schema inference reads one file header, never the data") {
     val dir = freshDir()
     try {
