@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, SkewAqe, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
+import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, GlobalScalar, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, SkewAqe, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
 import graft.streaming.{AnnStream, EventStream}
 import graft.svm.SvmQueries
@@ -126,6 +126,10 @@ object SparkEntry {
     // Correlated EXISTS/NOT EXISTS — the predicate-subquery SQL text,
     // decorrelated into left-semi + left-anti hash joins (plan-pinned).
     "q_exists_subquery" -> ExistsSubquery.qExistsSubquery _,
+    // TPC-H Q22 shape: UNCORRELATED scalar-aggregate subquery (global
+    // avg balance, executed ONCE — plan-pinned to one SubqueryExec) +
+    // NOT EXISTS + substring-IN, one SQL text both engines.
+    "q_global_scalar" -> GlobalScalar.qGlobalScalar _,
     // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against
     // the SAME fact with an inequality correlation (other-supplier
     // lines on the same order) — left-semi + left-anti, both equi on
@@ -957,6 +961,9 @@ object SparkEntry {
     "q_scalar_subquery" -> graft.queries.ScalarSubquery.sql("lineitem", "part"),
     // Same-SQL-text contract for the predicate-subquery class.
     "q_exists_subquery" -> graft.queries.ExistsSubquery.sql("customer", "orders"),
+    // Q22 class: the uncorrelated global-scalar + NOT EXISTS text,
+    // verbatim in both engines; money as exact integer cents.
+    "q_global_scalar" -> graft.queries.GlobalScalar.sql("customer", "orders"),
     // Q21 class: DuckDB decorrelates the double EXISTS/NOT EXISTS
     // itself — agreement pins the semi/anti rewrite cross-engine.
     "q_multi_exists" -> graft.queries.MultiExists.oracleSql,

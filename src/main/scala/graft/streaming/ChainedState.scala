@@ -12,6 +12,25 @@ import org.apache.spark.sql.streaming.Trigger
   * the load-bearing part every caller's spec pins (a chain of ≥ N
   * state dirs), and the AtomicReference makes the micro-batch-thread →
   * caller-thread hand-off of the final path explicit.
+  *
+  * Replay idempotence (the foreachBatch retry contract): Spark may
+  * re-deliver a micro-batch id after a failure — the classic case is a
+  * crash AFTER the state write committed but BEFORE the offset log
+  * advanced. [[foldBatch]] therefore gates on the batch id: when
+  * `state-$id` already exists COMMITTED (its `_SUCCESS` marker is the
+  * write's atomic commit record), the merge is skipped entirely and
+  * only the pointer advances — an ADDITIVE fold (RateSpikeStream's
+  * counts) would otherwise double-count the replayed batch. A partial
+  * dir without `_SUCCESS` (crash mid-write) is NOT treated as done;
+  * the overwrite-mode rewrite replaces it. The replayed-batch spec
+  * (ChainedStateSpec) pins both branches.
+  *
+  * Restart recovery: `run` takes an optional `resumeBase` — a prior
+  * run's root whose feed dir gained new files. The checkpoint under
+  * the root makes the file source skip already-committed batches, and
+  * the state pointer re-seeds from the highest committed `state-<id>`
+  * dir, so the fold continues from the carried state instead of
+  * re-folding from init (the restart specs pin final state == batch).
   */
 object ChainedState {
 
@@ -29,37 +48,84 @@ object ChainedState {
     ()
   }
 
+  /** True iff the state dir for this batch id was COMMITTED by a
+    * previous attempt: parquet's `_SUCCESS` marker is written last, so
+    * its presence is the commit record — a crash mid-write leaves a
+    * partial dir without it, which must be (over)written, not skipped.
+    */
+  private[streaming] def committed(stateDir: String): Boolean =
+    new java.io.File(stateDir, "_SUCCESS").isFile
+
+  /** Fold ONE micro-batch into the chained state — idempotent under
+    * batch-id replay (skips the merge when `state-$id` is already
+    * committed). Package-visible so the replay spec can drive it
+    * directly with a repeated id.
+    */
+  private[streaming] def foldBatch(spark: SparkSession, stateRoot: String,
+      statePath: java.util.concurrent.atomic.AtomicReference[String],
+      merge: (DataFrame, DataFrame) => DataFrame,
+      batch: DataFrame, id: Long): Unit = {
+    val next = s"$stateRoot/state-$id"
+    if (!committed(next)) {
+      val merged = merge(spark.read.parquet(statePath.get), batch)
+      merged.write.mode("overwrite").parquet(next)
+    }
+    statePath.set(next)
+  }
+
+  /** Highest committed `state-<id>` dir under the root, if any — the
+    * resume point after a restart. `state-init` is the fallback.
+    */
+  private def lastCommittedState(stateRoot: String): Option[String] = {
+    val re = "state-(\\d+)".r
+    Option(new java.io.File(stateRoot).listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case re(id) if committed(f.getPath) => Some((id.toLong, f.getPath))
+        case _ => None
+      })
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
   /** Runs the bounded replay; returns (final state DataFrame, state
     * root — for spec chain assertions).
+    *
+    * @param resumeBase a previous run's base dir (as returned via the
+    *        state root's parent): resume its checkpoint and carried
+    *        state instead of starting a fresh root — the feed dir may
+    *        have gained files since, and only those are processed.
     */
   def run(spark: SparkSession, tag: String, feed: DataFrame, feedFiles: Int,
           initState: DataFrame,
-          merge: (DataFrame, DataFrame) => DataFrame): (DataFrame, String) = {
-    val base = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    // the root (full feed copy + every chained snapshot) lives until
-    // JVM exit — long enough for spec chain assertions, bounded across
-    // repeated fork-per-query bench runs
-    hookOnce
-    tempRoots.add(base)
+          merge: (DataFrame, DataFrame) => DataFrame,
+          resumeBase: Option[String] = None): (DataFrame, String) = {
+    val base = resumeBase.map(java.nio.file.Paths.get(_)).getOrElse {
+      val b = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+      // the root (full feed copy + every chained snapshot) lives until
+      // JVM exit — long enough for spec chain assertions, bounded across
+      // repeated fork-per-query bench runs
+      hookOnce
+      tempRoots.add(b)
+      b
+    }
     val feedDir = base.resolve("feed").toString
     val stateRoot = base.resolve("state").toString
-    feed.repartition(feedFiles).write.mode("overwrite").parquet(feedDir)
+    val ckptDir = base.resolve("ckpt").toString
+    if (resumeBase.isEmpty)
+      feed.repartition(feedFiles).write.mode("overwrite").parquet(feedDir)
 
     val statePath = new java.util.concurrent.atomic.AtomicReference[String](
-      s"$stateRoot/state-init")
-    initState.write.mode("overwrite").parquet(statePath.get)
+      lastCommittedState(stateRoot).getOrElse(s"$stateRoot/state-init"))
+    if (resumeBase.isEmpty)
+      initState.write.mode("overwrite").parquet(statePath.get)
 
     val q = spark.readStream
       .schema(spark.read.parquet(feedDir).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(feedDir)
       .writeStream
+      .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val merged = merge(spark.read.parquet(statePath.get), batch.toDF())
-        val next = s"$stateRoot/state-$id"
-        merged.write.mode("overwrite").parquet(next)
-        statePath.set(next)
-        ()
+        foldBatch(spark, stateRoot, statePath, merge, batch.toDF(), id)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -47,8 +47,11 @@ object MergeStream {
     Merge.changeBatch(spark, sfDir).unionByName(wave2)
   }
 
-  /** Latest-version-wins reconciliation; tombstones stay in state. */
-  private def latestWins(all: DataFrame): DataFrame = {
+  /** Latest-version-wins reconciliation; tombstones stay in state.
+    * Package-visible: the restart spec folds with the operator's own
+    * reconciliation, not a spec re-implementation.
+    */
+  private[streaming] def latestWins(all: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_orderkey").orderBy(col("version").desc)
     all.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -29,16 +29,23 @@ object RateSpikeStream {
   /** State root of the most recent run in this JVM (spec hook). */
   @volatile var lastStateRoot: String = _
 
+  /** The ADDITIVE hourly fold — the one chained-state merge that is NOT
+    * naturally idempotent (bitmap-OR and top-k folds absorb replays;
+    * a count-sum double-counts), so it is exactly the fold the
+    * batch-id replay spec must drive through [[ChainedState.foldBatch]].
+    */
+  private[streaming] val hourlyAdd: (DataFrame, DataFrame) => DataFrame =
+    (st, batch) => st
+      .unionByName(batch.groupBy("h").agg(count(lit(1)).as("n")))
+      .groupBy("h").agg(sum("n").as("n"))
+
   def runRateSpikeBounded(spark: SparkSession, sfDir: String): DataFrame = {
     // the planted hour feed, split across files so hours straddle
     // micro-batches (repartition is round-robin: every hour's rows
     // land in many files)
     val init = spark.range(0).select(col("id").as("h"), col("id").as("n"))
     val (hourly, stateRoot) = ChainedState.run(spark, "ratespike",
-      RateSpike.plantedEvents(spark, sfDir), 8, init,
-      (st, batch) => st
-        .unionByName(batch.groupBy("h").agg(count(lit(1)).as("n")))
-        .groupBy("h").agg(sum("n").as("n")))
+      RateSpike.plantedEvents(spark, sfDir), 8, init, hourlyAdd)
     lastStateRoot = stateRoot
     // shared sweep: the carried state is already the (h, n) hourly
     // series, so the global-order window input is |hours| rows —

@@ -30,17 +30,23 @@ object TopKStream {
   /** State root of the most recent run in this JVM (spec hook). */
   @volatile var lastStateRoot: String = _
 
-  private def topK(df: DataFrame, k: Int): DataFrame = {
+  private[streaming] def topK(df: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), col("p_partkey"))
     df.withColumn("rk", dense_rank().over(w)).filter(col("rk") <= k).drop("rk")
   }
+
+  /** The leaderboard fold (shared with the restart spec, which resumes
+    * a half-fed run and must land on the batch answer).
+    */
+  private[streaming] def mergeFn(k: Int): (DataFrame, DataFrame) => DataFrame =
+    (st, batch) => topK(st.unionByName(topK(batch, k)), k)
 
   def runTopKBounded(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val feed = spark.read.parquet(s"$sfDir/part.parquet")
       .select("p_brand", "p_partkey", "p_retailprice")
     val init = feed.limit(0)
     val (state, stateRoot) = ChainedState.run(spark, "topk", feed, 8, init,
-      (st, batch) => topK(st.unionByName(topK(batch, k)), k))
+      mergeFn(k))
     lastStateRoot = stateRoot
     // final presentation = the batch operator's exact output shape
     val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), col("p_partkey"))

@@ -92,12 +92,20 @@ object ParallelSvm {
   }
 
   private def trainGroup(rows: Array[Ex], params: Smo.Params): (SvmModel, Array[Ex]) = {
-    val model = Smo.train(rows.map(r => LabeledVec(r.label, r.features)), params)
+    // Sort by id BEFORE the solve: flatMapGroups hands a group's rows in
+    // shuffle-fetch order, which is not guaranteed stable run-to-run,
+    // and the SMO's working-set tie-breaks are order-sensitive — the
+    // sort makes every training trace a pure function of the data, so
+    // the cascade/bagging/iterative traces are literal-pinnable by the
+    // external oracle (round-10 verdict item 1). Cost: an in-memory
+    // sort of one subset, trivial next to the O(n²)-ish solve on it.
+    val sorted = rows.sortBy(_.id)
+    val model = Smo.train(sorted.map(r => LabeledVec(r.label, r.features)), params)
     // A single-class subset has no binary problems and therefore no SVs;
     // forwarding nothing would silently erase that class from every
     // later cascade layer. Forward all its rows instead — they are the
     // class's entire evidence until a layer merges it with another.
-    val svs = if (model.binaries.isEmpty) rows else model.svGlobalIdx.map(rows)
+    val svs = if (model.binaries.isEmpty) sorted else model.svGlobalIdx.map(sorted)
     (model, svs)
   }
 
@@ -205,7 +213,8 @@ object ParallelSvm {
         val solved = svs
           .repartition(1)
           .mapPartitions { it =>
-            val rows = it.toArray
+            // id-sort for the same bit-determinism reason as trainGroup
+            val rows = it.toArray.sortBy((e: Ex) => e.id)
             if (rows.isEmpty) Iterator.empty
             else {
               val m = Smo.train(rows.map(r => LabeledVec(r.label, r.features)), params)
@@ -359,10 +368,14 @@ object ParallelSvm {
       val roundOut: Dataset[IterRow] = data
         .groupByKey(_.subset)
         .flatMapGroups { (subset, it) =>
-          val local = it.toArray
+          // id-sorted local rows + id-sorted appended globals: the merged
+          // array's order — and so the SMO trace — is a pure function of
+          // the data (trainGroup's determinism note)
+          val local = it.toArray.sortBy((e: Ex) => e.id)
           val globals = bc.value
           val localIds = local.iterator.map(_.id).toSet
-          val merged = local ++ globals.valuesIterator.filterNot(g => localIds(g.id))
+          val merged = local ++
+            globals.valuesIterator.filterNot(g => localIds(g.id)).toArray.sortBy((e: Ex) => e.id)
           val model = Smo.train(merged.map(r => LabeledVec(r.label, r.features)), params)
           val preds = merged.map(r => model.predict(r.features))
           val errs =
