@@ -117,6 +117,41 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Per-query warm baseline from the newest committed full-bench
+    * artifact (`BENCH.full.r<N>.json`, or GRAFT_BENCH_BASELINE):
+    * the reference the auto-reprobe pass (round-10 verdict item 7)
+    * measures blips against. Absent/unparseable → no reprobes.
+    */
+  private def baselineWarm(): Map[String, Double] = {
+    val file = sys.env.get("GRAFT_BENCH_BASELINE").orElse {
+      val re = """BENCH\.full\.r(\d+)\.json""".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f.getPath))
+          case _ => None
+        })
+        .sortBy(_._1).lastOption.map(_._2)
+    }
+    file.flatMap { f =>
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8")
+        // the artifact is this harness's own output: the warm map is the
+        // object right after "queries": — cut it out and regex the pairs
+        val start = text.indexOf("\"queries\":{")
+        if (start < 0) None
+        else {
+          val body = text.substring(start + 11, text.indexOf("}", start))
+          val pair = """"([a-z0-9_]+)":(-?[0-9.eE+-]+)""".r
+          Some(pair.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0) // -1 = failed row, not a baseline
+            .toMap)
+        }
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -137,17 +172,22 @@ object Bench {
     val spinStart = cpuSpinSec()
     val loadStart = loadAvg()
     lazy val spinEnd = cpuSpinSec() // once, at the first complete artifact write
-    def toJson(results: Seq[(String, Option[(Double, Double)])], partial: Boolean): String = {
+    def toJson(results: Seq[(String, Option[(Double, Double)])], partial: Boolean,
+               reprobed: Seq[(String, Double, Double, Double)] = Nil): String = {
       val failed = results.collect { case (n, None) => "\"" + n + "\"" }
       val total = results.flatMap(_._2.map(_._2)).sum
       val qs = jmap(results.map { case (n, r) => n -> r.map(_._2) })
       val cold = jmap(results.map { case (n, r) => n -> r.map(_._1) })
       val part = if (partial) s""","partial":true,"remaining":${names.length - results.length}""" else ""
+      val repro = if (reprobed.isEmpty) "" else reprobed.map {
+        case (n, first, again, base) =>
+          f""""$n":{"first":$first%.4f,"reprobe":$again%.4f,"baseline":$base%.4f}"""
+      }.mkString(""","reprobed":{""", ",", "}")
       val calib = f""","calibration":{"cpu_spin_sec_start":$spinStart%.4f,""" +
         (if (partial) "" else f""""cpu_spin_sec_end":$spinEnd%.4f,""") +
         f""""loadavg_start":$loadStart%.2f,"loadavg_end":${loadAvg()}%.2f,""" +
         """"calibration_query":"svm_solver_pin"}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir","harness":"fork-per-query"$calib$part}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":[${failed.mkString(",")}],"sf":"$sfDir","harness":"fork-per-query"$calib$part$repro}"""
     }
     val outFile = java.nio.file.Paths.get("BENCH.out.json").toAbsolutePath
     // The full fork-per-query sweep takes tens of minutes; rewrite the
@@ -163,7 +203,26 @@ object Bench {
       java.nio.file.Files.write(outFile,
         toJson(acc.result(), partial = done < names.length).getBytes("UTF-8"))
     }
-    val json = toJson(acc.result(), partial = false)
+    // Auto-reprobe pass (round-10 verdict item 7): any row whose warm
+    // time exceeds 1.35× its committed-baseline row gets ONE fresh-JVM
+    // re-run at the END of the suite (the machine has gone quiet by
+    // then if the blip was load noise) — both numbers land in the
+    // artifact so judges can separate host noise from regressions
+    // without a manual re-probe cycle. Rows without a baseline (new
+    // queries) are skipped; the headline `queries` map keeps the
+    // original in-suite numbers.
+    val base = baselineWarm()
+    val results = acc.result()
+    val blips = results.collect {
+      case (n, Some((_, warm))) if base.get(n).exists(b => warm > 1.35 * b) =>
+        (n, warm, base(n))
+    }
+    val reprobed = blips.flatMap { case (n, first, b) =>
+      System.err.println(f"[bench] reprobe $n: first=$first%.2f vs baseline=$b%.2f")
+      runOne(n, sfDir, cpus, timeoutSec).map { case (_, w2) => (n, first, w2, b) }
+    }
+    val json = toJson(results, partial = false, reprobed)
+    java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
     System.err.println(s"[bench] wrote $outFile")
     println(json)
   }
