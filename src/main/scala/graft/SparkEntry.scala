@@ -426,6 +426,10 @@ object SparkEntry {
     // The dataset release card: per-language volumes, exact-dup mass,
     // densities — one scan, two map-side aggregations, a |langs| join.
     "corpus_datacard" -> ((s: SparkSession, d: String) => graft.text.Datacard.corpusDatacard(s, d)),
+    // The card + NEAR-dup mass from the engine's real cluster manifest
+    // (minhash-LSH → verify → connected components), attributed to the
+    // keeper's language; oracle = planted-chain arithmetic (3/chain).
+    "corpus_datacard_neardup" -> ((s: SparkSession, d: String) => graft.text.Datacard.corpusDatacardNearDup(s, d)),
     // Per-dimension univariate ROC-AUC (feature screening) via the
     // exact Mann-Whitney midrank formula.
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
@@ -621,6 +625,192 @@ object SparkEntry {
     // Closed-form SMO pins: every number below is the EXACT analytic
     // max-margin solution (SolverPin.scala derives each by hand); the
     // solver must land on them, not near them.
+    // ------------------------------------------------------------------
+    // Deterministic SMO training traces, literal-pinned (round-10
+    // verdict item 1): the id-sorted group solve makes each trace a
+    // pure function of the data (bit-determinism otherwise pinned by
+    // svm_solver_pin's KKT literals + svm_model_io's frozen
+    // serialization, and re-verified run-to-run at sf0.01 AND sf1
+    // before pinning). cascade/bagging/iterative train on embeddings,
+    // so their pins carry one VALUES block per corpus, keyed by
+    // count(*)*100000 + sum(label) (sf0.001 and sf0.01 share a row
+    // count with different content); an unknown corpus selects zero
+    // rows = LOUD mismatch. svm_cascade_train_rbf trains on the
+    // SF-independent RingData slice — one unconditional block, and its
+    // trace was verified IDENTICAL at all four SFs. Regenerate with
+    // tools/gen_trace_oracle.py after touching Smo/RingData/ParallelSvm.
+    "svm_cascade_train" ->
+      """WITH t(stage, layer, subset, n_in, n_sv, metric, sfc) AS (VALUES
+      |  ('cascade', 1, 0, -1, 126, 0.0, 50002268),
+      |  ('cascade', 1, 1, -1, 126, 0.0, 50002268),
+      |  ('cascade', 1, 2, -1, 124, 0.0, 50002268),
+      |  ('cascade', 1, 3, -1, 124, 0.0, 50002268),
+      |  ('cascade', 2, 0, -1, 252, 0.0, 50002268),
+      |  ('cascade', 2, 1, -1, 248, 0.0, 50002268),
+      |  ('cascade', 3, 0, -1, 500, 0.0, 50002268),
+      |  ('cascade-final', -1, -1, -1, -1, 0.4, 50002268),
+      |  ('cascade-final', 4, 0, 500, 500, 0.0, 50002268),
+      |  ('cascade', 1, 0, -1, 126, 0.0, 50002270),
+      |  ('cascade', 1, 1, -1, 126, 0.0, 50002270),
+      |  ('cascade', 1, 2, -1, 124, 0.0, 50002270),
+      |  ('cascade', 1, 3, -1, 124, 0.0, 50002270),
+      |  ('cascade', 2, 0, -1, 252, 0.0, 50002270),
+      |  ('cascade', 2, 1, -1, 248, 0.0, 50002270),
+      |  ('cascade', 3, 0, -1, 500, 0.0, 50002270),
+      |  ('cascade-final', -1, -1, -1, -1, 0.468, 50002270),
+      |  ('cascade-final', 4, 0, 500, 499, 0.0, 50002270),
+      |  ('cascade', 1, 0, -1, 500, 0.0, 200009063),
+      |  ('cascade', 1, 1, -1, 500, 0.0, 200009063),
+      |  ('cascade', 1, 2, -1, 500, 0.0, 200009063),
+      |  ('cascade', 1, 3, -1, 500, 0.0, 200009063),
+      |  ('cascade', 2, 0, -1, 1000, 0.0, 200009063),
+      |  ('cascade', 2, 1, -1, 997, 0.0, 200009063),
+      |  ('cascade', 3, 0, -1, 1994, 0.0, 200009063),
+      |  ('cascade-final', -1, -1, -1, -1, 0.2275, 200009063),
+      |  ('cascade-final', 4, 0, 1994, 1990, 0.0, 200009063),
+      |  ('cascade', 1, 0, -1, 4602, 0.0, 2000090630),
+      |  ('cascade', 1, 1, -1, 4604, 0.0, 2000090630),
+      |  ('cascade', 1, 2, -1, 4575, 0.0, 2000090630),
+      |  ('cascade', 1, 3, -1, 4577, 0.0, 2000090630),
+      |  ('cascade', 2, 0, -1, 9011, 0.0, 2000090630),
+      |  ('cascade', 2, 1, -1, 8941, 0.0, 2000090630),
+      |  ('cascade', 3, 0, -1, 17817, 0.0, 2000090630),
+      |  ('cascade-final', -1, -1, -1, -1, 0.1971, 2000090630),
+      |  ('cascade-final', 4, 0, 17817, 17760, 0.0, 2000090630))
+      |SELECT stage, CAST(layer AS INTEGER) AS layer, CAST(subset AS INTEGER) AS subset,
+      |  CAST(n_in AS BIGINT) AS n_in, CAST(n_sv AS BIGINT) AS n_sv, CAST(metric AS DOUBLE) AS metric
+      |FROM t
+      |WHERE sfc = (SELECT count(*)*100000 + sum(label) FROM embeddings)""".stripMargin,
+    "svm_bagging_train" ->
+      """WITH t(stage, layer, subset, n_in, n_sv, metric, sfc) AS (VALUES
+      |  ('bagging', 1, 0, 63, 63, 0.0, 50002268),
+      |  ('bagging', 1, 1, 63, 63, 0.0, 50002268),
+      |  ('bagging', 1, 2, 63, 63, 0.0, 50002268),
+      |  ('bagging', 1, 3, 63, 63, 0.0, 50002268),
+      |  ('bagging', 1, 4, 62, 62, 0.0, 50002268),
+      |  ('bagging', 1, 5, 62, 62, 0.0, 50002268),
+      |  ('bagging', 1, 6, 62, 62, 0.0, 50002268),
+      |  ('bagging', 1, 7, 62, 62, 0.0, 50002268),
+      |  ('bagging-ensemble', -1, -1, 500, -1, 0.262, 50002268),
+      |  ('bagging', 1, 0, 63, 63, 0.0, 50002270),
+      |  ('bagging', 1, 1, 63, 63, 0.0, 50002270),
+      |  ('bagging', 1, 2, 63, 63, 0.0, 50002270),
+      |  ('bagging', 1, 3, 63, 63, 0.0, 50002270),
+      |  ('bagging', 1, 4, 62, 62, 0.0, 50002270),
+      |  ('bagging', 1, 5, 62, 62, 0.0, 50002270),
+      |  ('bagging', 1, 6, 62, 62, 0.0, 50002270),
+      |  ('bagging', 1, 7, 62, 62, 0.0, 50002270),
+      |  ('bagging-ensemble', -1, -1, 500, -1, 0.27, 50002270),
+      |  ('bagging', 1, 0, 250, 250, 0.0, 200009063),
+      |  ('bagging', 1, 1, 250, 250, 0.0, 200009063),
+      |  ('bagging', 1, 2, 250, 250, 0.0, 200009063),
+      |  ('bagging', 1, 3, 250, 250, 0.0, 200009063),
+      |  ('bagging', 1, 4, 250, 250, 0.0, 200009063),
+      |  ('bagging', 1, 5, 250, 250, 0.0, 200009063),
+      |  ('bagging', 1, 6, 250, 250, 0.0, 200009063),
+      |  ('bagging', 1, 7, 250, 250, 0.0, 200009063),
+      |  ('bagging-ensemble', -1, -1, 2000, -1, 0.2135, 200009063),
+      |  ('bagging', 1, 0, 2500, 2280, 0.0, 2000090630),
+      |  ('bagging', 1, 1, 2500, 2322, 0.0, 2000090630),
+      |  ('bagging', 1, 2, 2500, 2298, 0.0, 2000090630),
+      |  ('bagging', 1, 3, 2500, 2306, 0.0, 2000090630),
+      |  ('bagging', 1, 4, 2500, 2300, 0.0, 2000090630),
+      |  ('bagging', 1, 5, 2500, 2275, 0.0, 2000090630),
+      |  ('bagging', 1, 6, 2500, 2320, 0.0, 2000090630),
+      |  ('bagging', 1, 7, 2500, 2257, 0.0, 2000090630),
+      |  ('bagging-ensemble', -1, -1, 20000, -1, 0.21665, 2000090630))
+      |SELECT stage, CAST(layer AS INTEGER) AS layer, CAST(subset AS INTEGER) AS subset,
+      |  CAST(n_in AS BIGINT) AS n_in, CAST(n_sv AS BIGINT) AS n_sv, CAST(metric AS DOUBLE) AS metric
+      |FROM t
+      |WHERE sfc = (SELECT count(*)*100000 + sum(label) FROM embeddings)""".stripMargin,
+    "svm_iterative_train" ->
+      """WITH t(stage, layer, subset, n_in, n_sv, metric, sfc) AS (VALUES
+      |  ('iterative', 1, 0, 63, 63, 20.0, 50002268),
+      |  ('iterative', 1, 1, 63, 63, 9.0, 50002268),
+      |  ('iterative', 1, 2, 63, 63, 9.0, 50002268),
+      |  ('iterative', 1, 3, 63, 63, 2.0, 50002268),
+      |  ('iterative', 1, 4, 62, 62, 18.0, 50002268),
+      |  ('iterative', 1, 5, 62, 62, 10.0, 50002268),
+      |  ('iterative', 1, 6, 62, 62, 7.0, 50002268),
+      |  ('iterative', 1, 7, 62, 62, 13.0, 50002268),
+      |  ('iterative', 2, 0, 500, 0, 300.0, 50002268),
+      |  ('iterative', 2, 1, 500, 0, 300.0, 50002268),
+      |  ('iterative', 2, 2, 500, 0, 300.0, 50002268),
+      |  ('iterative', 2, 3, 500, 0, 300.0, 50002268),
+      |  ('iterative', 2, 4, 500, 0, 300.0, 50002268),
+      |  ('iterative', 2, 5, 500, 0, 300.0, 50002268),
+      |  ('iterative', 2, 6, 500, 0, 300.0, 50002268),
+      |  ('iterative', 2, 7, 500, 0, 300.0, 50002268),
+      |  ('iterative-round', 1, -1, 500, -1, 88.0, 50002268),
+      |  ('iterative-round', 2, -1, 500, -1, 2400.0, 50002268),
+      |  ('iterative', 1, 0, 63, 63, 12.0, 50002270),
+      |  ('iterative', 1, 1, 63, 63, 11.0, 50002270),
+      |  ('iterative', 1, 2, 63, 63, 5.0, 50002270),
+      |  ('iterative', 1, 3, 63, 63, 7.0, 50002270),
+      |  ('iterative', 1, 4, 62, 62, 9.0, 50002270),
+      |  ('iterative', 1, 5, 62, 62, 10.0, 50002270),
+      |  ('iterative', 1, 6, 62, 62, 8.0, 50002270),
+      |  ('iterative', 1, 7, 62, 62, 8.0, 50002270),
+      |  ('iterative', 2, 0, 500, 0, 266.0, 50002270),
+      |  ('iterative', 2, 1, 500, 0, 266.0, 50002270),
+      |  ('iterative', 2, 2, 500, 0, 266.0, 50002270),
+      |  ('iterative', 2, 3, 500, 0, 266.0, 50002270),
+      |  ('iterative', 2, 4, 500, 0, 266.0, 50002270),
+      |  ('iterative', 2, 5, 500, 0, 267.0, 50002270),
+      |  ('iterative', 2, 6, 500, 0, 266.0, 50002270),
+      |  ('iterative', 2, 7, 500, 0, 266.0, 50002270),
+      |  ('iterative-round', 1, -1, 500, -1, 70.0, 50002270),
+      |  ('iterative-round', 2, -1, 500, -1, 2129.0, 50002270),
+      |  ('iterative', 1, 0, 250, 250, 107.0, 200009063),
+      |  ('iterative', 1, 1, 250, 250, 112.0, 200009063),
+      |  ('iterative', 1, 2, 250, 250, 101.0, 200009063),
+      |  ('iterative', 1, 3, 250, 250, 116.0, 200009063),
+      |  ('iterative', 1, 4, 250, 250, 106.0, 200009063),
+      |  ('iterative', 1, 5, 250, 250, 104.0, 200009063),
+      |  ('iterative', 1, 6, 250, 250, 110.0, 200009063),
+      |  ('iterative', 1, 7, 250, 250, 110.0, 200009063),
+      |  ('iterative', 2, 0, 2000, 0, 1538.0, 200009063),
+      |  ('iterative', 2, 1, 2000, 0, 1538.0, 200009063),
+      |  ('iterative', 2, 2, 2000, 0, 1538.0, 200009063),
+      |  ('iterative', 2, 3, 2000, 0, 1539.0, 200009063),
+      |  ('iterative', 2, 4, 2000, 0, 1538.0, 200009063),
+      |  ('iterative', 2, 5, 2000, 0, 1539.0, 200009063),
+      |  ('iterative', 2, 6, 2000, 0, 1538.0, 200009063),
+      |  ('iterative', 2, 7, 2000, 0, 1539.0, 200009063),
+      |  ('iterative-round', 1, -1, 2000, -1, 866.0, 200009063),
+      |  ('iterative-round', 2, -1, 2000, -1, 12307.0, 200009063),
+      |  ('iterative', 1, 0, 2500, 2280, 771.0, 2000090630),
+      |  ('iterative', 1, 1, 2500, 2322, 894.0, 2000090630),
+      |  ('iterative', 1, 2, 2500, 2298, 872.0, 2000090630),
+      |  ('iterative', 1, 3, 2500, 2306, 929.0, 2000090630),
+      |  ('iterative', 1, 4, 2500, 2300, 861.0, 2000090630),
+      |  ('iterative', 1, 5, 2500, 2275, 816.0, 2000090630),
+      |  ('iterative', 1, 6, 2500, 2320, 872.0, 2000090630),
+      |  ('iterative', 1, 7, 2500, 2257, 801.0, 2000090630),
+      |  ('iterative', 2, 0, 18578, 216, 15029.0, 2000090630),
+      |  ('iterative', 2, 1, 18536, 177, 14984.0, 2000090630),
+      |  ('iterative', 2, 2, 18560, 200, 15035.0, 2000090630),
+      |  ('iterative', 2, 3, 18552, 189, 15025.0, 2000090630),
+      |  ('iterative', 2, 4, 18558, 194, 15019.0, 2000090630),
+      |  ('iterative', 2, 5, 18583, 223, 15000.0, 2000090630),
+      |  ('iterative', 2, 6, 18538, 177, 15002.0, 2000090630),
+      |  ('iterative', 2, 7, 18601, 238, 15048.0, 2000090630),
+      |  ('iterative-round', 1, -1, 18358, -1, 6816.0, 2000090630),
+      |  ('iterative-round', 2, -1, 19972, -1, 120142.0, 2000090630))
+      |SELECT stage, CAST(layer AS INTEGER) AS layer, CAST(subset AS INTEGER) AS subset,
+      |  CAST(n_in AS BIGINT) AS n_in, CAST(n_sv AS BIGINT) AS n_sv, CAST(metric AS DOUBLE) AS metric
+      |FROM t
+      |WHERE sfc = (SELECT count(*)*100000 + sum(label) FROM embeddings)""".stripMargin,
+    "svm_cascade_train_rbf" ->
+      """WITH t(stage, layer, subset, n_in, n_sv, metric) AS (VALUES
+      |  ('cascade', 1, 0, -1, 157, 0.0),
+      |  ('cascade', 1, 1, -1, 150, 0.0),
+      |  ('cascade', 2, 0, -1, 121, 0.0),
+      |  ('cascade-final', -1, -1, -1, -1, 1.0),
+      |  ('cascade-final', 3, 0, 121, 74, 0.0))
+      |SELECT stage, CAST(layer AS INTEGER) AS layer, CAST(subset AS INTEGER) AS subset,
+      |  CAST(n_in AS BIGINT) AS n_in, CAST(n_sv AS BIGINT) AS n_sv, CAST(metric AS DOUBLE) AS metric
+      |FROM t""".stripMargin,
     "svm_solver_pin" ->
       """SELECT * FROM (VALUES
         |  ('p1_sym', 0, 1, CAST(0.5 AS DOUBLE), true, CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE)),
@@ -1327,6 +1517,7 @@ object SparkEntry {
     // already pins it (langid scores, token counts, punct class,
     // dedup_exact hash key) — composition, not new semantics.
     "corpus_datacard" -> graft.text.Datacard.oracleSql,
+    "corpus_datacard_neardup" -> graft.text.Datacard.oracleSqlNearDup,
     // bit-identical in both engines, so score hashes match exactly.
     "text_tfidf" ->
       """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),

@@ -54,9 +54,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Type surface (the graft tables' columns): boolean, int, long,
   * float, double, string, binary, date (int/`date`), timestamp
   * (long/`timestamp-micros`), timestamp_ntz (long/
-  * `local-timestamp-micros`); nullable = union(null, T). Nested
-  * records/arrays/maps and decimals are out of scope and fail loudly
-  * at schema conversion.
+  * `local-timestamp-micros`), decimal (bytes/`decimal(p,s)` —
+  * unscaled two's-complement big-endian, the Avro spec encoding every
+  * CDC feed carries), and NESTED RECORDS (struct columns, recursively,
+  * round-tripped whole — top-level pruning skips a non-projected
+  * nested column's decode entirely; field selection INSIDE a projected
+  * struct is resolved by name at decode, so a nested-pruned required
+  * schema still reads correctly); nullable = union(null, T) at every
+  * level. Arrays/maps remain out of scope and fail loudly at schema
+  * conversion.
   */
 object AvroConversions {
 
@@ -76,6 +82,12 @@ object AvroConversions {
           LogicalTypes.timestampMicros().addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
         case TimestampNTZType =>
           LogicalTypes.localTimestampMicros().addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+        case d: DecimalType =>
+          LogicalTypes.decimal(d.precision, d.scale)
+            .addToSchema(AvroSchema.create(AvroSchema.Type.BYTES))
+        case st: StructType =>
+          // record names must be unique within one schema — qualify by path
+          toAvro(st, s"${recordName}_${f.name}")
         case other =>
           throw new IllegalArgumentException(
             s"graft-avro does not map Spark type $other (field ${f.name})")
@@ -109,7 +121,13 @@ object AvroConversions {
       case AvroSchema.Type.FLOAT => (FloatType, false)
       case AvroSchema.Type.DOUBLE => (DoubleType, false)
       case AvroSchema.Type.STRING => (StringType, false)
-      case AvroSchema.Type.BYTES => (BinaryType, false)
+      case AvroSchema.Type.BYTES =>
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            (DecimalType(d.getPrecision, d.getScale), false)
+          case _ => (BinaryType, false)
+        }
+      case AvroSchema.Type.RECORD => (toSpark(s), false)
       case other => throw new IllegalArgumentException(s"graft-avro: unsupported Avro type $other")
     }
     StructType(schema.getFields.asScala.map { f =>
@@ -118,11 +136,39 @@ object AvroConversions {
     }.toArray)
   }
 
+  /** The non-null branch of a union(null, T) field schema (T itself
+    * when the field is non-nullable).
+    */
+  def nonNullBranch(s: AvroSchema): AvroSchema =
+    if (s.getType == AvroSchema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != AvroSchema.Type.NULL)
+        .getOrElse(throw new IllegalArgumentException(s"graft-avro: all-null union $s"))
+    else s
+
   /** Avro datum → Catalyst value for one Spark type. */
   def toCatalyst(v: Any, dt: DataType): Any = v match {
     case null => null
     case _ => dt match {
       case StringType => UTF8String.fromString(v.toString)
+      case d: DecimalType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out)
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(out), d.scale),
+          d.precision, d.scale)
+      case st: StructType =>
+        // nested fields resolve BY NAME against the record's own schema:
+        // Spark's required schema may carry a nested-pruned or reordered
+        // struct, so positional mapping against the file layout would
+        // transpose values
+        val rec = v.asInstanceOf[GenericRecord]
+        val recSchema = rec.getSchema
+        new GenericInternalRow(st.fields.map { f =>
+          val rf = recSchema.getField(f.name)
+          if (rf == null) throw new IllegalArgumentException(
+            s"graft-avro: nested field ${f.name} absent from record ${recSchema.getName}")
+          toCatalyst(rec.get(rf.pos()), f.dataType)
+        }.asInstanceOf[Array[Any]])
       case BinaryType =>
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
         val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
@@ -130,8 +176,12 @@ object AvroConversions {
     }
   }
 
-  /** Catalyst value → Avro datum for one Spark type. */
-  def toAvroDatum(row: InternalRow, i: Int, dt: DataType): Any =
+  /** Catalyst value → Avro datum for one Spark type. `fieldSchema` is
+    * the field's NON-NULL Avro schema — needed to construct nested
+    * records and kept alongside the Spark type for every level.
+    */
+  def toAvroDatum(row: InternalRow, i: Int, dt: DataType,
+                  fieldSchema: AvroSchema): Any =
     if (row.isNullAt(i)) null
     else dt match {
       case BooleanType => row.getBoolean(i)
@@ -141,6 +191,19 @@ object AvroConversions {
       case DoubleType => row.getDouble(i)
       case StringType => row.getUTF8String(i).toString
       case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+      case d: DecimalType =>
+        // Avro decimal encoding: the unscaled value's two's-complement
+        // big-endian bytes; the scale lives in the schema
+        java.nio.ByteBuffer.wrap(row.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue().toByteArray)
+      case st: StructType =>
+        val nested = row.getStruct(i, st.size)
+        val rec = new GenericData.Record(fieldSchema)
+        st.fields.zipWithIndex.foreach { case (f, j) =>
+          rec.put(j, toAvroDatum(nested, j, f.dataType,
+            nonNullBranch(fieldSchema.getFields.get(j).schema())))
+        }
+        rec
       case other => throw new IllegalArgumentException(s"graft-avro: $other")
     }
 }
@@ -192,7 +255,12 @@ object AvroQueries {
         col("l_returnflag"), col("l_shipdate"),
         to_date(col("l_shipdate")).as("l_shipday"),
         (col("l_returnflag") === "R").as("l_returned"),
-        encode(col("l_returnflag"), "UTF-8").as("l_flagbin"))
+        encode(col("l_returnflag"), "UTF-8").as("l_flagbin"),
+        // round-11: the two most common real-estate payload shapes —
+        // an exact decimal (every CDC feed) and a nested record
+        col("l_quantity").cast("decimal(12,2)").as("l_qty_dec"),
+        struct(col("l_returnflag").as("flag"),
+          col("l_linenumber").as("ln")).as("l_nest"))
     val dir = java.nio.file.Files.createTempDirectory("graft-avro-rt-")
     try {
       df.write.format("graft-avro").mode("append").save(dir.toString)
@@ -207,7 +275,14 @@ object AvroQueries {
         date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
         date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"),
         min(col("l_shipday")).cast("string").as("min_day"),
-        max(col("l_shipday")).cast("string").as("max_day"))
+        max(col("l_shipday")).cast("string").as("max_day"),
+        // decimal census as a STRING: Spark's sum(decimal(12,2)) widens
+        // to (22,2), DuckDB's to (38,2) — the scale-2 digits are the
+        // contract, the precision headroom is not
+        sum(col("l_qty_dec")).cast("string").as("dec_total"),
+        // nested-record census read back THROUGH the struct column
+        sum(col("l_nest.ln").cast("long")).as("nest_ln_sum"),
+        countDistinct(col("l_nest.flag")).as("nest_flags"))
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(census.collect().toSeq.asJava, census.schema)
     } finally graft.util.Fs.deleteRecursively(dir)
@@ -225,7 +300,10 @@ object AvroQueries {
       |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
       |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship,
       |  CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_day,
-      |  CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_day
+      |  CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_day,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS dec_total,
+      |  CAST(sum(l_linenumber) AS BIGINT) AS nest_ln_sum,
+      |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nest_flags
       |FROM lineitem""".stripMargin
 }
 
@@ -458,10 +536,14 @@ class AvroDataWriter(schema: StructType, path: String, queryId: String,
     .create(avroSchema, fs.create(stagedFile, false))
   private var rows = 0L
 
+  // per-field non-null Avro schemas resolved ONCE, not per row
+  private val fieldSchemas = avroSchema.getFields.asScala
+    .map(f => AvroConversions.nonNullBranch(f.schema())).toArray
+
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      rec.put(i, AvroConversions.toAvroDatum(row, i, f.dataType))
+      rec.put(i, AvroConversions.toAvroDatum(row, i, f.dataType, fieldSchemas(i)))
     }
     writer.append(rec)
     rows += 1

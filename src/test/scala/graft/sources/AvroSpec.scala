@@ -138,6 +138,46 @@ class AvroSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("decimal and nested-record columns round-trip exactly, including " +
+    "nulls at both levels (the CDC payload shapes)") {
+    val dir = freshDir()
+    try {
+      val df = sample.select(
+        col("l_orderkey"),
+        col("l_quantity").cast("decimal(12,2)").as("dec"),
+        when(col("l_linenumber") =!= 1, col("l_quantity").cast("decimal(20,4)"))
+          .as("dec_null"), // null decimals on ~1/4 of rows
+        struct(col("l_returnflag").as("flag"), col("l_linenumber").as("ln"),
+          col("l_quantity").cast("decimal(10,3)").as("q")).as("nest"),
+        when(col("l_linenumber") =!= 2,
+          struct(struct(col("l_orderkey").as("ok")).as("inner"),
+            col("l_returnflag").as("f"))).as("deep")) // null + doubly nested
+      df.write.format("graft-avro").mode("append").save(dir)
+      val back = spark.read.format("graft-avro").load(dir)
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)),
+        s"schema drift: ${back.schema.treeString} vs ${df.schema.treeString}")
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+        "decimal + nested round-trip must preserve every value exactly")
+    } finally rm(dir)
+  }
+
+  test("selecting ONE field of a nested record reads correct values " +
+    "(nested decode resolves by name, whatever the required shape)") {
+    val dir = freshDir()
+    try {
+      sample.select(col("l_orderkey"),
+        struct(col("l_returnflag").as("flag"), col("l_linenumber").as("ln"))
+          .as("nest"))
+        .write.format("graft-avro").mode("append").save(dir)
+      val got = spark.read.format("graft-avro").load(dir)
+        .select(col("l_orderkey"), col("nest.ln").as("ln"))
+      val expect = sample.select(col("l_orderkey"), col("l_linenumber").as("ln"))
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        "nested field selection must survive whatever pruning Spark pushes")
+    } finally rm(dir)
+  }
+
   test("a required column absent from a file's writer schema fails with " +
     "an error naming the file and the column, not an NPE") {
     val dir = freshDir()

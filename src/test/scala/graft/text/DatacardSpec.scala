@@ -36,6 +36,36 @@ class DatacardSpec extends SparkSpec {
     assert(unk.getLong(4) == 5L, "bpeish token count")
   }
 
+  test("near-dup card: the near-dup column equals the planted-chain ground " +
+    "truth (3 docs per eligible chain, by the keeper's language) and the " +
+    "other columns equal the plain card's") {
+    val nd = Datacard.corpusDatacardNearDup(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val plain = Datacard.corpusDatacard(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nd.keySet == plain.keySet, "same language rows")
+    plain.foreach { case (lang, p) =>
+      val n = nd(lang)
+      // card columns unchanged by the composition (n_neardup_docs is
+      // inserted at position 6; permilles shift right by one)
+      assert((1 to 5).forall(i => n.getLong(i) == p.getLong(i)) &&
+        n.getLong(7) == p.getLong(6) && n.getLong(8) == p.getLong(7),
+        s"$lang: card columns drifted")
+    }
+    // ground truth: every eligible doc (even id, >= 60 raw tokens) roots
+    // a {a, a+1M, a+2M} chain — 3 near-dup docs attributed to its language
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val expect = Datacard.signals(docs)
+      .filter(col("doc_id") % 2 === 0 && col("wst") >= 60)
+      .groupBy("pred").agg((count(lit(1)) * 3).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    nd.foreach { case (lang, r) =>
+      assert(r.getLong(6) == expect.getOrElse(lang, 0L),
+        s"$lang near-dup mass: got ${r.getLong(6)}, planted ${expect.getOrElse(lang, 0L)}")
+    }
+    assert(expect.values.sum > 0, "the planted chains must be non-empty")
+  }
+
   test("corpus card: language rows partition the corpus; totals equal the " +
     "proven single-signal operators' totals") {
     val rows = Datacard.corpusDatacard(spark, sf0001).collect()
