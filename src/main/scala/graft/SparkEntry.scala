@@ -423,6 +423,13 @@ object SparkEntry {
     // Avro DSv2 source/sink round-trip: census from the read-back vs
     // the oracle's census of the original parquet.
     "src_avro_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.AvroQueries.srcAvroRoundtrip(s, d)),
+    // TFRecord DSv2 source/sink round-trip (the TF/JAX dataloader
+    // interchange format): census from the read-back vs the oracle's
+    // census of the original parquet.
+    "src_tfrecord_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.TfRecordQueries.srcTfRecordRoundtrip(s, d)),
+    // The final trainer hand-off: tokenized corpus → TFRecord shards
+    // (variable-length int64 lists) → read-back census.
+    "corpus_export_tfrecord" -> ((s: SparkSession, d: String) => graft.text.Export.corpusExportTfRecord(s, d)),
     // The dataset release card: per-language volumes, exact-dup mass,
     // densities — one scan, two map-side aggregations, a |langs| join.
     "corpus_datacard" -> ((s: SparkSession, d: String) => graft.text.Datacard.corpusDatacard(s, d)),
@@ -1513,6 +1520,10 @@ object SparkEntry {
     // Census of the ORIGINAL lineitem — the engine's census comes from
     // the Avro read-back, so a match proves content preservation.
     "src_avro_roundtrip" -> graft.sources.AvroQueries.oracleSql,
+    // Census of the ORIGINAL lineitem vs the TFRecord read-back census.
+    "src_tfrecord_roundtrip" -> graft.sources.TfRecordQueries.oracleSql,
+    // Census of the ORIGINAL documents vs the exported-shard read-back.
+    "corpus_export_tfrecord" -> graft.text.Export.tfRecordOracleSql,
     // Every sub-formula copied verbatim from the oracle row that
     // already pins it (langid scores, token counts, punct class,
     // dedup_exact hash key) — composition, not new semantics.
