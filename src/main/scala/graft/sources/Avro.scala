@@ -484,32 +484,14 @@ class AvroBatchWrite(schema: StructType, path: String, queryId: String,
 
   /** Overwrite semantics: the new files carry this query's UUID; commit
     * deletes exactly the .avro files of previous queries, plus any
-    * staging residue this query's dead attempts left behind.
+    * staging residue this query's dead attempts left behind. Shared
+    * protocol: [[StagedCommit]].
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
-    val listing = fs.listStatus(dir)
-    listing.filter(st => st.getPath.getName.endsWith(".inprogress") &&
-      st.getPath.getName.contains(queryId))
-      .foreach(st => fs.delete(st.getPath, false))
-    // truncate sweeps BOTH previous queries' committed files and any
-    // stale staging residue a crashed previous query left behind —
-    // otherwise dead .inprogress files linger forever
-    if (truncate) listing
-      .filter(st => (st.getPath.getName.endsWith(".avro") ||
-        st.getPath.getName.endsWith(".inprogress")) &&
-        !st.getPath.getName.contains(queryId))
-      .foreach(st => fs.delete(st.getPath, false))
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    StagedCommit.jobCommit(path, queryId, truncate, _.endsWith(".avro"))
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
-    if (fs.exists(dir)) fs.listStatus(dir)
-      .filter(_.getPath.getName.contains(queryId))
-      .foreach(st => fs.delete(st.getPath, false))
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StagedCommit.jobAbort(path, queryId)
 }
 
 case class AvroCommit(file: String, rows: Long) extends WriterCommitMessage

@@ -241,18 +241,35 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     pos += 4
     java.lang.Float.intBitsToFloat(bits)
   }
-  /** Length-delimited region: returns (start, end) and advances past it. */
+  /** Length-delimited region: returns (start, end) and advances past it.
+    * Subtraction-form bound (`n > end - pos`): an adversarial varint
+    * whose toInt is huge-positive would overflow an addition-form
+    * `pos + n > end` check into a false pass.
+    */
   def readRegion(): (Int, Int) = {
     val n = readVarint().toInt
-    if (n < 0 || pos + n > end)
+    if (n < 0 || n > end - pos)
       throw new java.io.IOException(s"graft-tfrecord: bad length $n")
     val s = pos; pos += n; (s, s + n)
   }
+  /** Every skip is bounds-checked: the frame CRC covers whatever bytes
+    * the writer produced, so a CRC-VALID but malformed payload (e.g. a
+    * negative length-delimited size that would move `pos` BACKWARDS
+    * into an infinite loop) must still fail loudly here.
+    */
   def skipField(tag: Int): Unit = (tag & 7) match {
     case 0 => readVarint()
-    case 1 => pos += 8
-    case 2 => val n = readVarint().toInt; pos += n
-    case 5 => pos += 4
+    case 1 =>
+      if (end - pos < 8) throw new java.io.IOException("graft-tfrecord: truncated fixed64")
+      pos += 8
+    case 2 =>
+      val n = readVarint().toInt
+      if (n < 0 || n > end - pos)
+        throw new java.io.IOException(s"graft-tfrecord: bad skip length $n")
+      pos += n
+    case 5 =>
+      if (end - pos < 4) throw new java.io.IOException("graft-tfrecord: truncated fixed32")
+      pos += 4
     case w => throw new java.io.IOException(s"graft-tfrecord: unsupported wire type $w")
   }
 }
@@ -272,51 +289,64 @@ object TfExample {
   final case class F32s(v: Array[Float]) extends FeatureValue
   final case class Bytes(v: Array[Array[Byte]]) extends FeatureValue
 
-  /** Encode one Example. `features` pairs of (utf8 key bytes, value);
-    * null values are skipped (absent feature).
+  /** One-shot encode (tests/tools). The hot path is TfExampleEncoder. */
+  def encode(features: Array[(Array[Byte], FeatureValue)]): Array[Byte] =
+    new TfExampleEncoder().encode(features.map(_._1), features.map(_._2))
+
+  /** Per-task Example encoder: every builder lives for the WRITER TASK
+    * and is reset per row/feature — the per-row cost is the feature
+    * arrays themselves, not builder churn (this is the 100 TB export's
+    * hot path). Not thread-safe; one per DataWriter, like the writer.
     */
-  def encode(features: Array[(Array[Byte], FeatureValue)]): Array[Byte] = {
-    val featuresMsg = new ProtoBuf()
-    val entry = new ProtoBuf()
-    val featureMsg = new ProtoBuf()
-    val list = new ProtoBuf()
-    var i = 0
-    while (i < features.length) {
-      val (key, value) = features(i)
-      if (value != null) {
-        entry.reset(); featureMsg.reset(); list.reset()
-        value match {
-          case I64s(vs) =>
-            val packed = new ProtoBuf()
-            vs.foreach(packed.writeVarint)
-            list.writeMessage(1, packed) // packed repeated int64, field 1
-            featureMsg.writeMessage(3, list)
-          case F32s(vs) =>
-            val packed = new ProtoBuf()
-            vs.foreach(packed.writeFloatLE)
-            list.writeMessage(1, packed)
-            featureMsg.writeMessage(2, list)
-          case Bytes(vs) =>
-            vs.foreach(b => list.writeBytesField(1, b))
-            featureMsg.writeMessage(1, list)
+  final class TfExampleEncoder {
+    private val featuresMsg = new ProtoBuf()
+    private val entry = new ProtoBuf()
+    private val featureMsg = new ProtoBuf()
+    private val list = new ProtoBuf()
+    private val packed = new ProtoBuf()
+    private val example = new ProtoBuf()
+
+    /** `keys` positional over `values`; a null value = absent feature. */
+    def encode(keys: Array[Array[Byte]], values: Array[FeatureValue]): Array[Byte] = {
+      featuresMsg.reset()
+      var i = 0
+      while (i < keys.length) {
+        val value = values(i)
+        if (value != null) {
+          entry.reset(); featureMsg.reset(); list.reset()
+          value match {
+            case I64s(vs) =>
+              packed.reset()
+              vs.foreach(packed.writeVarint)
+              list.writeMessage(1, packed) // packed repeated int64, field 1
+              featureMsg.writeMessage(3, list)
+            case F32s(vs) =>
+              packed.reset()
+              vs.foreach(packed.writeFloatLE)
+              list.writeMessage(1, packed)
+              featureMsg.writeMessage(2, list)
+            case Bytes(vs) =>
+              vs.foreach(b => list.writeBytesField(1, b))
+              featureMsg.writeMessage(1, list)
+          }
+          entry.writeBytesField(1, keys(i))
+          entry.writeMessage(2, featureMsg)
+          featuresMsg.writeMessage(1, entry)
         }
-        entry.writeBytesField(1, key)
-        entry.writeMessage(2, featureMsg)
-        featuresMsg.writeMessage(1, entry)
+        i += 1
       }
-      i += 1
+      example.reset()
+      example.writeMessage(1, featuresMsg)
+      example.toByteArray
     }
-    val example = new ProtoBuf(featuresMsg.size + 8)
-    example.writeMessage(1, featuresMsg)
-    example.toByteArray
   }
 
-  /** Decode: returns the Feature regions of the REQUIRED keys only —
-    * every other feature is skipped at the wire level (no list decode).
-    * Result array is positional over `required`; null = absent feature.
+  /** Walk every (key, Feature-value region) pair of one Example —
+    * the ONE copy of the Example/Features/map-entry wire walk, shared
+    * by row decoding and schema inference. Non-visited bytes are
+    * skipped at the wire level (no list decode).
     */
-  def decodeRegions(payload: Array[Byte], required: Array[String]): Array[(Int, Int)] = {
-    val out = new Array[(Int, Int)](required.length)
+  def foreachFeature(payload: Array[Byte])(f: (String, (Int, Int)) => Unit): Unit = {
     val r = new ProtoReader(payload, 0, payload.length)
     while (r.hasMore) {
       val tag = r.readTag()
@@ -339,16 +369,26 @@ object TfExample {
                 val (s, e) = er.readRegion(); vs = s; ve = e
               } else er.skipField(etag)
             }
-            if (key != null && vs >= 0) {
-              var i = 0
-              while (i < required.length) {
-                if (out(i) == null && required(i) == key) out(i) = (vs, ve)
-                i += 1
-              }
-            }
+            if (key != null && vs >= 0) f(key, (vs, ve))
           } else fr.skipField(ftag)
         }
       } else r.skipField(tag)
+    }
+  }
+
+  /** Decode: returns the Feature regions of the REQUIRED keys only.
+    * Result array is positional over `required`; null = absent feature.
+    * A DUPLICATED key keeps the LAST occurrence — protobuf map
+    * semantics (and what TF's own parser does).
+    */
+  def decodeRegions(payload: Array[Byte], required: Array[String]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](required.length)
+    foreachFeature(payload) { (key, region) =>
+      var i = 0
+      while (i < required.length) {
+        if (required(i) == key) out(i) = region
+        i += 1
+      }
     }
     out
   }
@@ -433,9 +473,18 @@ private[sources] object TfRecordTypes {
       s"graft-tfrecord: feature '$feature' in $file has $n values but the " +
         s"required type ${dt.simpleString} is scalar — declare an array type " +
         "or fix the writer")
+    // int64 → int narrows only when the VALUE fits: the format carries
+    // int64; a silently truncated id is the quiet-corruption failure
+    // mode every other mismatch in this source throws on
+    def toIntChecked(x: Long): Int = {
+      if (x < Int.MinValue || x > Int.MaxValue) throw new IllegalArgumentException(
+        s"graft-tfrecord: feature '$feature' in $file carries int64 value $x " +
+          "outside int range — declare LongType")
+      x.toInt
+    }
     (v, dt) match {
       case (TfExample.I64s(a), LongType) => scalarLen(a.length); a(0)
-      case (TfExample.I64s(a), IntegerType) => scalarLen(a.length); a(0).toInt
+      case (TfExample.I64s(a), IntegerType) => scalarLen(a.length); toIntChecked(a(0))
       case (TfExample.I64s(a), BooleanType) => scalarLen(a.length); a(0) != 0L
       case (TfExample.F32s(a), FloatType) => scalarLen(a.length); a(0)
       case (TfExample.F32s(a), DoubleType) => scalarLen(a.length); a(0).toDouble
@@ -444,7 +493,7 @@ private[sources] object TfRecordTypes {
         scalarLen(a.length); UTF8String.fromBytes(a(0))
       case (TfExample.I64s(a), ArrayType(LongType, _)) => new GenericArrayData(a)
       case (TfExample.I64s(a), ArrayType(IntegerType, _)) =>
-        new GenericArrayData(a.map(_.toInt))
+        new GenericArrayData(a.map(toIntChecked))
       case (TfExample.F32s(a), ArrayType(FloatType, _)) => new GenericArrayData(a)
       case (TfExample.F32s(a), ArrayType(DoubleType, _)) =>
         new GenericArrayData(a.map(_.toDouble))
@@ -511,8 +560,20 @@ private[sources] object TfRecordFiles {
       s"graft-tfrecord: unsupported compression '$other' — use none or gzip")
   }
 
+  /** Suffix-dispatched GZIP wrap. The raw stream is CLOSED if the gzip
+    * header is corrupt (the constructor reads and validates it) —
+    * otherwise every failed task attempt leaks an open fd/connection.
+    */
+  def openMaybeGz(raw: java.io.InputStream, name: String): java.io.InputStream =
+    if (!name.endsWith(".gz")) raw
+    else try new java.util.zip.GZIPInputStream(raw, 1 << 16)
+    catch { case e: Throwable => raw.close(); throw e }
+
   def codecOf(options: CaseInsensitiveStringMap): String = {
-    val c = Option(options.get("compression")).getOrElse("none").toLowerCase
+    // Locale.ROOT: a tr-TR default locale lowercases "GZIP" to a
+    // dotless-i non-match
+    val c = Option(options.get("compression")).getOrElse("none")
+      .toLowerCase(java.util.Locale.ROOT)
     suffix(c) // validate loudly at plan time
     c
   }
@@ -539,53 +600,26 @@ class GraftTfRecord extends TableProvider with DataSourceRegister {
     val first = fs.listStatus(dir).filter(st => TfRecordFiles.isData(st.getPath.getName))
       .sortBy(_.getPath.getName).headOption
       .getOrElse(throw new IllegalArgumentException(s"no .tfrecord files under $dir"))
-    val raw: java.io.InputStream = fs.open(first.getPath)
     val in = new java.io.BufferedInputStream(
-      if (first.getPath.getName.endsWith(".gz"))
-        new java.util.zip.GZIPInputStream(raw) else raw)
+      TfRecordFiles.openMaybeGz(fs.open(first.getPath), first.getPath.getName))
     try {
       val payload = TfRecordFraming.readRecord(in, first.getPath.toString, 0L)
       if (payload == null)
         throw new IllegalArgumentException(
           s"graft-tfrecord: ${first.getPath} is empty — supply a schema explicitly")
       // a full decode of one record: collect every feature name + shape
+      // (the shared walker keeps this in lockstep with row decoding —
+      // duplicate keys land last-wins here too via LinkedHashMap update)
       val names = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-      val r = new ProtoReader(payload, 0, payload.length)
-      while (r.hasMore) {
-        val tag = r.readTag()
-        if (tag == ((1 << 3) | TfExample.WIRE_LEN)) {
-          val (fs0, fe0) = r.readRegion()
-          val fr = new ProtoReader(payload, fs0, fe0)
-          while (fr.hasMore) {
-            val ftag = fr.readTag()
-            if (ftag == ((1 << 3) | TfExample.WIRE_LEN)) {
-              val (es, ee) = fr.readRegion()
-              val er = new ProtoReader(payload, es, ee)
-              var key: String = null
-              var region: (Int, Int) = null
-              while (er.hasMore) {
-                val etag = er.readTag()
-                if (etag == ((1 << 3) | TfExample.WIRE_LEN)) {
-                  val (ks, ke) = er.readRegion()
-                  key = new String(payload, ks, ke - ks,
-                    java.nio.charset.StandardCharsets.UTF_8)
-                } else if (etag == ((2 << 3) | TfExample.WIRE_LEN)) {
-                  region = er.readRegion()
-                } else er.skipField(etag)
-              }
-              if (key != null && region != null) {
-                val (elem, n) = TfExample.decodeFeature(payload, region) match {
-                  case TfExample.I64s(a) => (LongType: DataType, a.length)
-                  case TfExample.F32s(a) => (FloatType: DataType, a.length)
-                  case TfExample.Bytes(a) => (BinaryType: DataType, a.length)
-                  case null => (NullType: DataType, -1)
-                }
-                if (n >= 0)
-                  names += key -> (if (n == 1) elem else ArrayType(elem, containsNull = false))
-              }
-            } else fr.skipField(ftag)
-          }
-        } else r.skipField(tag)
+      TfExample.foreachFeature(payload) { (key, region) =>
+        val (elem, n) = TfExample.decodeFeature(payload, region) match {
+          case TfExample.I64s(a) => (LongType: DataType, a.length)
+          case TfExample.F32s(a) => (FloatType: DataType, a.length)
+          case TfExample.Bytes(a) => (BinaryType: DataType, a.length)
+          case null => (NullType: DataType, -1)
+        }
+        if (n >= 0)
+          names += key -> (if (n == 1) elem else ArrayType(elem, containsNull = false))
       }
       if (names.isEmpty) throw new IllegalArgumentException(
         s"graft-tfrecord: first record of ${first.getPath} carries no features")
@@ -662,12 +696,9 @@ class TfRecordReaderFactory(requiredJson: String, confMap: Map[String, String])
 
 class TfRecordPartitionReader(file: String, required: StructType,
                               conf: Configuration) extends PartitionReader[InternalRow] {
-  private val in = new java.io.BufferedInputStream({
-    val raw: java.io.InputStream =
-      new Path(file).getFileSystem(conf).open(new Path(file))
-    if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
-    else raw
-  }, 1 << 16)
+  private val in = new java.io.BufferedInputStream(
+    TfRecordFiles.openMaybeGz(
+      new Path(file).getFileSystem(conf).open(new Path(file)), file), 1 << 16)
   private val names = required.fieldNames
   private val types = required.fields.map(_.dataType)
   private var offset = 0L
@@ -723,27 +754,11 @@ class TfRecordBatchWrite(schema: StructType, path: String, queryId: String,
       AvroHadoop.toMap(AvroHadoop.sessionConf()))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
-    val listing = fs.listStatus(dir)
-    listing.filter(st => st.getPath.getName.endsWith(".inprogress") &&
-      st.getPath.getName.contains(queryId))
-      .foreach(st => fs.delete(st.getPath, false))
-    if (truncate) listing
-      .filter(st => (TfRecordFiles.isData(st.getPath.getName) ||
-        st.getPath.getName.endsWith(".inprogress")) &&
-        !st.getPath.getName.contains(queryId))
-      .foreach(st => fs.delete(st.getPath, false))
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    StagedCommit.jobCommit(path, queryId, truncate, TfRecordFiles.isData)
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
-    if (fs.exists(dir)) fs.listStatus(dir)
-      .filter(_.getPath.getName.contains(queryId))
-      .foreach(st => fs.delete(st.getPath, false))
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StagedCommit.jobAbort(path, queryId)
 }
 
 case class TfRecordCommit(file: String, rows: Long) extends WriterCommitMessage
@@ -770,20 +785,22 @@ class TfRecordDataWriter(schema: StructType, path: String, queryId: String,
     if (codec == "gzip") new java.util.zip.GZIPOutputStream(raw, 1 << 16)
     else raw
   }, 1 << 16)
-  // key bytes encoded ONCE per task, not per row
+  // key bytes encoded ONCE per task, not per row; the encoder and the
+  // value slots are task-lifetime too (per-row cost = the values only)
   private val keys = schema.fieldNames.map(
     _.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   private val fields = schema.fields
+  private val enc = new TfExample.TfExampleEncoder
+  private val values = new Array[TfExample.FeatureValue](fields.length)
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
-    val features = new Array[(Array[Byte], TfExample.FeatureValue)](fields.length)
     var i = 0
     while (i < fields.length) {
-      features(i) = (keys(i), TfRecordTypes.fromCatalyst(row, i, fields(i)))
+      values(i) = TfRecordTypes.fromCatalyst(row, i, fields(i))
       i += 1
     }
-    TfRecordFraming.writeRecord(out, TfExample.encode(features))
+    TfRecordFraming.writeRecord(out, enc.encode(keys, values))
     rows += 1
   }
 

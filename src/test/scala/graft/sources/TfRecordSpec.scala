@@ -79,6 +79,53 @@ class TfRecordSpec extends SparkSpec {
       Seq(2.5f))
   }
 
+  test("a CRC-valid but MALFORMED payload fails loudly instead of " +
+    "spinning: negative length-delimited skip cannot move pos backwards") {
+    // tag field-4/wire-2 followed by varint 4294967290 (toInt = -6):
+    // an unchecked skip would rewind to the tag and loop forever
+    val evil = Array(0x22, 0xFA, 0xFF, 0xFF, 0xFF, 0x0F).map(_.toByte)
+    val e = intercept[java.io.IOException] {
+      TfExample.decodeRegions(evil, Array("x"))
+    }
+    assert(e.getMessage.contains("bad skip length"), e.getMessage)
+    // and a huge-positive region length can't overflow the bounds check
+    val evil2 = Array(0x0A, 0xFF, 0xFF, 0xFF, 0xFF, 0x07).map(_.toByte)
+    intercept[java.io.IOException] { TfExample.decodeRegions(evil2, Array("x")) }
+  }
+
+  test("a DUPLICATED feature key resolves last-wins (protobuf map " +
+    "semantics — what tf.data loads from the same file)") {
+    import TfExample._
+    val one = encode(Array(("k".getBytes("UTF-8"), I64s(Array(1L)))))
+    val two = encode(Array(("k".getBytes("UTF-8"), I64s(Array(2L)))))
+    // splice: Example{features{entry k=1, entry k=2}} — concatenating
+    // two Examples' payloads is valid protobuf (repeated merge)
+    val spliced = one ++ two
+    val r = decodeRegions(spliced, Array("k"))
+    assert(decodeFeature(spliced, r(0)).asInstanceOf[I64s].v.toSeq == Seq(2L),
+      "last occurrence must win")
+  }
+
+  test("int64 → int reads narrow only when the value fits: an " +
+    "out-of-range value fails naming the feature, never truncates") {
+    val dir = freshDir()
+    try {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("id", LongType)))
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(4294967301L)), schema)
+      df.write.format("graft-tfrecord").mode("append").save(dir)
+      val narrow = StructType(Seq(StructField("id", IntegerType)))
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graft-tfrecord").schema(narrow).load(dir).collect()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+      assert(msg.contains("4294967301") && msg.contains("outside int range"),
+        s"must be loud, not silently 5: $msg")
+    } finally rm(dir)
+  }
+
   test("round-trip is content-identical across the whole type surface " +
     "(long/int/float/bool/string/binary + arrays of long/float/string)") {
     val dir = freshDir()
