@@ -848,7 +848,12 @@ object TfRecordQueries {
           (col("l_quantity") + lit(1.0)).cast("float")).as("vec"))
     val dir = java.nio.file.Files.createTempDirectory("graft-tfr-rt-")
     try {
-      df.write.format("graft-tfrecord").mode("append").save(dir.toString)
+      // shard = file = read partition: size the shard count to the
+      // cluster's parallelism (the format's own knob — an inherited
+      // input partitioning would cap the read-back at the SOURCE's
+      // file count, which is what a 100 TB export must not do)
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.format("graft-tfrecord").mode("append").save(dir.toString)
       val census = spark.read.format("graft-tfrecord").schema(df.schema)
         .load(dir.toString).agg(
           count(lit(1)).as("n_rows"),
