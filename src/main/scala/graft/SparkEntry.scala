@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, GlobalScalar, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, SkewAqe, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
-import graft.streaming.{AnnStream, EventStream}
+import graft.streaming.{AnnStream, EventStream, TfRecordStream}
 import graft.svm.SvmQueries
 import graft.text.TextOps
 
@@ -545,7 +545,12 @@ object SparkEntry {
     // LSH-bucketed index, probe stream answered per micro-batch by a
     // stream-static bucket join + exact re-rank, file-sink appended;
     // noised-probe top-1 contract + chunked (≥ 2 micro-batch) pin.
-    "stream_ann" -> ((s: SparkSession, d: String) => AnnStream.runAnnTop1Bounded(s, d))
+    "stream_ann" -> ((s: SparkSession, d: String) => AnnStream.runAnnTop1Bounded(s, d)),
+    // Streaming ingest of a TFRecord shard directory through the
+    // graft-tfrecord MicroBatchStream (file-name-set offsets,
+    // maxFilesPerTrigger admission): per-language census converges to
+    // the batch census of the original table.
+    "stream_tfrecord" -> ((s: SparkSession, d: String) => TfRecordStream.streamTfRecord(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -2009,6 +2014,9 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('lsh_stream', true, true, true)
         |) AS t(method, planted_ok, chunked_ok, top1_ok)""".stripMargin,
+    // Streaming census over the TFRecord feed == batch census of the
+    // original documents (bounded-parity oracle).
+    "stream_tfrecord" -> graft.streaming.TfRecordStream.oracleSql,
     "ann_recall_atk" ->
       """SELECT * FROM (VALUES
         |  ('ivf', true, true),

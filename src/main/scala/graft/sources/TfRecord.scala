@@ -638,10 +638,11 @@ class TfRecordTable(tableSchema: StructType, path: String) extends Table
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TfRecordScanBuilder(tableSchema, path)
+    new TfRecordScanBuilder(tableSchema, path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     TfRecordTypes.validate(info.schema(), "write") // fail at plan time, not per task
@@ -650,13 +651,14 @@ class TfRecordTable(tableSchema: StructType, path: String) extends Table
   }
 }
 
-class TfRecordScanBuilder(full: StructType, path: String)
+class TfRecordScanBuilder(full: StructType, path: String,
+                          maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = {
     TfRecordTypes.validate(required, "read")
-    new TfRecordScan(required, path)
+    new TfRecordScan(required, path, maxFilesPerTrigger)
   }
 }
 
@@ -666,9 +668,13 @@ class TfRecordScanBuilder(full: StructType, path: String)
   */
 case class TfRecordInputPartition(file: String) extends InputPartition
 
-class TfRecordScan(required: StructType, path: String) extends Scan with Batch {
+class TfRecordScan(required: StructType, path: String,
+                   maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TfRecordMicroBatchStream(required, path, maxFilesPerTrigger)
   override def description(): String =
     s"graft-tfrecord $path ReadSchema: ${required.simpleString}"
 
@@ -818,6 +824,109 @@ class TfRecordDataWriter(schema: StructType, path: String, queryId: String,
   }
 
   override def close(): Unit = ()
+}
+
+/** Streaming offset = the SORTED set of data-file NAMES already
+  * admitted (JSON array via Jackson, which Spark bundles). Name-set
+  * membership — not a (mtime, name) watermark — makes exactly-once
+  * independent of arrival order and clock skew: a file that appears
+  * with a BACKDATED mtime (a cross-FS copy, a slow writer racing a
+  * fast one) is still "new" because its name is not in the set. The
+  * offset grows O(files seen); that is the same information Spark's
+  * own FileStreamSource keeps in its compacted seen-file log, stored
+  * uncompacted here — compaction into the checkpoint dir is the
+  * 100 TB follow-up, not a semantic change.
+  */
+case class TfRecordStreamOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    m.writeValueAsString(files.asJava)
+  }
+}
+
+object TfRecordStreamOffset {
+  def fromJson(json: String): TfRecordStreamOffset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.readValue(json, classOf[Array[String]])
+    TfRecordStreamOffset(arr.toSeq)
+  }
+}
+
+/** Micro-batch streaming read over an append-only TFRecord directory
+  * (the dataloader-feed tail of the pipeline as a STREAM). A batch =
+  * the set difference between two file-name-set offsets; each admitted
+  * file is one partition (shard = file, exactly as in batch reads).
+  * Published files must be immutable (the sink's staged-rename commit
+  * guarantees readers never admit a half-written `.inprogress` file).
+  * Admission control: `maxFilesPerTrigger` bounds a batch; under
+  * Trigger.AvailableNow the listing is frozen at query start so the
+  * run is bounded even while writers keep appending.
+  */
+class TfRecordMicroBatchStream(required: StructType, path: String,
+                               maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxFiles}
+
+  private val confMap = AvroHadoop.toMap(AvroHadoop.sessionConf())
+  @volatile private var availableNowBound: Option[Set[String]] = None
+
+  private def listNow(): Seq[String] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(TfRecordFiles.isData).sorted.toSeq
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(listNow().toSet)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val seen = start.asInstanceOf[TfRecordStreamOffset].files.toSet
+    val visible = availableNowBound match {
+      case Some(bound) => listNow().filter(bound)
+      case None => listNow()
+    }
+    val fresh = visible.filterNot(seen) // already name-sorted
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles)
+      case _ => fresh
+    }
+    TfRecordStreamOffset((seen ++ admitted).toSeq.sorted)
+  }
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
+
+  override def reportLatestOffset(): StreamOffset = TfRecordStreamOffset(listNow())
+
+  override def initialOffset(): StreamOffset = TfRecordStreamOffset(Seq.empty)
+
+  override def deserializeOffset(json: String): StreamOffset =
+    TfRecordStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val before = start.asInstanceOf[TfRecordStreamOffset].files.toSet
+    val after = end.asInstanceOf[TfRecordStreamOffset].files
+    after.filterNot(before).sorted
+      .map(n => TfRecordInputPartition(new Path(path, n).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TfRecordReaderFactory(required.json, confMap)
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** The §2e gate query for `graft-tfrecord`: write a typed lineitem

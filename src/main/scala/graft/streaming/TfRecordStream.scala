@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** `stream_tfrecord` (SURVEY §2d): STREAMING ingest of a TFRecord shard
+  * directory — the dataloader-feed tail of the pipeline consumed as a
+  * Structured Streaming source rather than a batch scan. This drives
+  * the graft-tfrecord MicroBatchStream (TfRecord.scala): offsets are
+  * sorted file-NAME sets (exactly-once independent of arrival order and
+  * mtime skew), a batch is the set difference, shard = file = partition
+  * exactly as in batch reads, and `maxFilesPerTrigger` is the admission
+  * knob — so the bounded run here genuinely exercises MULTIPLE
+  * micro-batches with incremental aggregation state, not one big batch.
+  *
+  * Pipeline: documents → (doc_id, lang, n_tokens) → 6 TFRecord shards
+  * (one write, repartition(6)) → readStream(maxFilesPerTrigger=2) →
+  * per-language census in Complete mode → memory sink under
+  * Trigger.AvailableNow. On a bounded feed the streaming census must
+  * converge to the batch census of the ORIGINAL table — the oracle.
+  *
+  * Scale shape: the aggregation state is |langs| rows; admission is
+  * O(new files) per trigger; nothing driver-side grows with data. The
+  * shard write is the corpus_export_tfrecord shape (one exchange).
+  */
+object TfRecordStream {
+
+  val FeedShards = 6
+  val FilesPerTrigger = 2
+
+  private[streaming] def records(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+
+  private[streaming] val feedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_tokens", LongType)))
+
+  def streamTfRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfr-stream-")
+    try {
+      records(spark, sfDir).repartition(FeedShards)
+        .write.format("graft-tfrecord").mode("append").save(dir.toString)
+      val q = spark.readStream.format("graft-tfrecord")
+        .schema(feedSchema)
+        .option("maxFilesPerTrigger", FilesPerTrigger)
+        .load(dir.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("doc_id").as("sum_doc_id"))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName("graft_stream_tfrecord")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table("graft_stream_tfrecord").orderBy("lang")
+      // materialize before the feed dir is deleted
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  /** The identical census over the ORIGINAL documents table. */
+  val oracleSql: String =
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CAST(length(regexp_extract_all(text, '[A-Za-z]+'))
+      |     + length(regexp_extract_all(text, '[0-9]+'))
+      |     + length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+}
