@@ -642,7 +642,8 @@ class TfRecordTable(tableSchema: StructType, path: String) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TfRecordScanBuilder(tableSchema, path,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("offsetCompactionThreshold")).map(_.toInt).getOrElse(4096))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     TfRecordTypes.validate(info.schema(), "write") // fail at plan time, not per task
@@ -652,13 +653,14 @@ class TfRecordTable(tableSchema: StructType, path: String) extends Table
 }
 
 class TfRecordScanBuilder(full: StructType, path: String,
-                          maxFilesPerTrigger: Option[Int] = None)
+                          maxFilesPerTrigger: Option[Int] = None,
+                          compactionThreshold: Int = 4096)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = {
     TfRecordTypes.validate(required, "read")
-    new TfRecordScan(required, path, maxFilesPerTrigger)
+    new TfRecordScan(required, path, maxFilesPerTrigger, compactionThreshold)
   }
 }
 
@@ -669,12 +671,14 @@ class TfRecordScanBuilder(full: StructType, path: String,
 case class TfRecordInputPartition(file: String) extends InputPartition
 
 class TfRecordScan(required: StructType, path: String,
-                   maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+                   maxFilesPerTrigger: Option[Int] = None,
+                   compactionThreshold: Int = 4096) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TfRecordMicroBatchStream(required, path, maxFilesPerTrigger)
+    new TfRecordMicroBatchStream(required, path, maxFilesPerTrigger,
+      checkpointLocation, compactionThreshold)
   override def description(): String =
     s"graft-tfrecord $path ReadSchema: ${required.simpleString}"
 
@@ -827,31 +831,51 @@ class TfRecordDataWriter(schema: StructType, path: String, queryId: String,
 }
 
 /** Streaming offset = the SORTED set of data-file NAMES already
-  * admitted (JSON array via Jackson, which Spark bundles). Name-set
-  * membership — not a (mtime, name) watermark — makes exactly-once
-  * independent of arrival order and clock skew: a file that appears
-  * with a BACKDATED mtime (a cross-FS copy, a slow writer racing a
-  * fast one) is still "new" because its name is not in the set. The
-  * offset grows O(files seen); that is the same information Spark's
-  * own FileStreamSource keeps in its compacted seen-file log, stored
-  * uncompacted here — compaction into the checkpoint dir is the
-  * 100 TB follow-up, not a semantic change.
+  * admitted. Name-set membership — not a (mtime, name) watermark —
+  * makes exactly-once independent of arrival order and clock skew: a
+  * file that appears with a BACKDATED mtime (a cross-FS copy, a slow
+  * writer racing a fast one) is still "new" because its name is not in
+  * the set.
+  *
+  * Serialization is COMPACTED past a threshold (the 100 TB path): a
+  * small set serializes as a plain JSON array; a large one is written
+  * ONCE to a content-addressed file under the query's checkpoint
+  * (`graft-tfrecord-seen/<md5>.json`, durable exactly as long as the
+  * offsets log that references it) and the offset serializes as
+  * `{"compact": "<md5>", "n": <count>}` — O(1) in the offsets log per
+  * batch regardless of files seen, the same shape as FileStreamSource's
+  * compacted seen-file log. Content addressing makes the write
+  * idempotent and offset-json equality still means set equality (Spark
+  * compares offset JSON to detect no-new-data).
   */
-case class TfRecordStreamOffset(files: Seq[String])
+case class TfRecordStreamOffset(files: Seq[String], ref: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    import scala.jdk.CollectionConverters._
-    m.writeValueAsString(files.asJava)
+    ref match {
+      case Some(r) => s"""{"compact":${m.writeValueAsString(r)},"n":${files.size}}"""
+      case None =>
+        import scala.jdk.CollectionConverters._
+        m.writeValueAsString(files.asJava)
+    }
   }
 }
 
 object TfRecordStreamOffset {
+  /** Parse the PLAIN form; the compact form needs the checkpoint dir —
+    * [[TfRecordMicroBatchStream.deserializeOffset]] resolves it.
+    */
   def fromJson(json: String): TfRecordStreamOffset = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = m.readValue(json, classOf[Array[String]])
-    TfRecordStreamOffset(arr.toSeq)
+    TfRecordStreamOffset(m.readValue(json, classOf[Array[String]]).toSeq)
   }
+
+  def compactRefOf(json: String): Option[String] =
+    if (!json.trim.startsWith("{")) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      Option(node.get("compact")).map(_.asText())
+    }
 }
 
 /** Micro-batch streaming read over an append-only TFRecord directory
@@ -865,7 +889,9 @@ object TfRecordStreamOffset {
   * run is bounded even while writers keep appending.
   */
 class TfRecordMicroBatchStream(required: StructType, path: String,
-                               maxFilesPerTrigger: Option[Int])
+                               maxFilesPerTrigger: Option[Int],
+                               checkpointLocation: String = "",
+                               compactionThreshold: Int = 4096)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -873,6 +899,43 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
 
   private val confMap = AvroHadoop.toMap(AvroHadoop.sessionConf())
   @volatile private var availableNowBound: Option[Set[String]] = None
+
+  // ---- offset compaction (see TfRecordStreamOffset's scaladoc) ----
+  private def seenDir = new Path(checkpointLocation, "graft-tfrecord-seen")
+
+  /** Past the threshold, persist the sorted name list once
+    * (content-addressed, so re-persisting the same set is a no-op and
+    * equal sets serialize identically) and hand out a ref offset.
+    */
+  private def maybeCompact(files: Seq[String]): TfRecordStreamOffset = {
+    if (files.size <= compactionThreshold || checkpointLocation.isEmpty)
+      return TfRecordStreamOffset(files)
+    val payload = files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map("%02x".format(_)).mkString
+    val fs = seenDir.getFileSystem(AvroHadoop.sessionConf())
+    val target = new Path(seenDir, s"$md5.txt")
+    if (!fs.exists(target)) {
+      if (!fs.exists(seenDir)) fs.mkdirs(seenDir)
+      val tmp = new Path(seenDir, s".$md5.txt.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(payload) finally out.close()
+      if (!fs.rename(tmp, target) && !fs.exists(target))
+        throw new java.io.IOException(s"graft-tfrecord: cannot persist offset $target")
+    }
+    TfRecordStreamOffset(files, Some(md5))
+  }
+
+  private def loadCompact(ref: String): TfRecordStreamOffset = {
+    val fs = seenDir.getFileSystem(AvroHadoop.sessionConf())
+    val target = new Path(seenDir, s"$ref.txt")
+    val bytes = new Array[Byte](fs.getFileStatus(target).getLen.toInt)
+    val in = fs.open(target)
+    try in.readFully(0, bytes) finally in.close()
+    val files = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+    TfRecordStreamOffset(files, Some(ref))
+  }
 
   private def listNow(): Seq[String] = {
     val dir = new Path(path)
@@ -900,7 +963,7 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
       case mf: ReadMaxFiles => fresh.take(mf.maxFiles)
       case _ => fresh
     }
-    TfRecordStreamOffset((seen ++ admitted).toSeq.sorted)
+    maybeCompact((seen ++ admitted).toSeq.sorted)
   }
 
   override def latestOffset(): StreamOffset =
@@ -912,7 +975,10 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
   override def initialOffset(): StreamOffset = TfRecordStreamOffset(Seq.empty)
 
   override def deserializeOffset(json: String): StreamOffset =
-    TfRecordStreamOffset.fromJson(json)
+    TfRecordStreamOffset.compactRefOf(json) match {
+      case Some(ref) => loadCompact(ref)
+      case None => TfRecordStreamOffset.fromJson(json)
+    }
 
   override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
     val before = start.asInstanceOf[TfRecordStreamOffset].files.toSet

@@ -94,4 +94,56 @@ class TfRecordStreamSpec extends SparkSpec {
     val back = graft.sources.TfRecordStreamOffset.fromJson(o.json())
     assert(back.files == o.files)
   }
+
+  test("offset COMPACTION past the threshold: the offsets log carries an " +
+    "O(1) content-addressed ref, and restart recovery resolves it " +
+    "exactly-once (the 100 TB offset path)") {
+    val feed = freshDir("graft-tfrs-compact-")
+    val ckpt = freshDir("graft-tfrs-cckpt-")
+    val out = freshDir("graft-tfrs-cout-")
+    try {
+      val records = TfRecordStream.records(spark, sf0001).limit(600)
+      // 8 shards with threshold 4 → compaction engages mid-run
+      records.repartition(8).write.format("graft-tfrecord").mode("append").save(feed)
+      def run(): Long = {
+        val q = spark.readStream.format("graft-tfrecord")
+          .schema(TfRecordStream.feedSchema)
+          .option("maxFilesPerTrigger", 2)
+          .option("offsetCompactionThreshold", 4)
+          .load(feed)
+          .writeStream.outputMode(OutputMode.Append())
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.read.parquet(out).count()
+      }
+      assert(run() == records.count())
+      // the final committed offset in the checkpoint log must be the
+      // compact ref form, with the name list persisted alongside
+      val offsetsDir = new java.io.File(ckpt, "offsets")
+      val last = offsetsDir.listFiles().filter(_.getName.forall(_.isDigit))
+        .maxBy(_.getName.toInt)
+      val text = new String(java.nio.file.Files.readAllBytes(last.toPath), "UTF-8")
+      assert(text.contains("\"compact\""),
+        s"final offset must serialize as a compact ref, got: $text")
+      // Spark hands the source a per-source checkpoint subdir — locate
+      // the persisted seen-set wherever it landed under the root
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      val persisted = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.exists(p =>
+          p.getFileName.toString.endsWith(".txt") &&
+            Option(p.getParent).exists(_.getFileName.toString == "graft-tfrecord-seen"))
+      } finally walk.close()
+      assert(persisted, "persisted seen-set missing under the checkpoint")
+      // restart with 4 more shards: only the new files are admitted,
+      // resolved THROUGH the compact ref
+      val more = TfRecordStream.records(spark, sf0001)
+        .orderBy(col("doc_id").desc).limit(300)
+      more.repartition(4).write.format("graft-tfrecord").mode("append").save(feed)
+      assert(run() == records.count() + more.count(),
+        "restart must resolve the compact offset and admit only new files")
+    } finally { rm(feed); rm(ckpt); rm(out) }
+  }
 }
