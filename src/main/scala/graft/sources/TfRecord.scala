@@ -920,8 +920,13 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
       val tmp = new Path(seenDir, s".$md5.txt.tmp")
       val out = fs.create(tmp, true)
       try out.write(payload) finally out.close()
-      if (!fs.rename(tmp, target) && !fs.exists(target))
-        throw new java.io.IOException(s"graft-tfrecord: cannot persist offset $target")
+      if (!fs.rename(tmp, target)) {
+        // a concurrent identical persist can win the rename — same
+        // content by construction, so losing is fine; sweep our tmp
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+        if (!fs.exists(target))
+          throw new java.io.IOException(s"graft-tfrecord: cannot persist offset $target")
+      }
     }
     TfRecordStreamOffset(files, Some(md5))
   }
