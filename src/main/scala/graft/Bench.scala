@@ -121,8 +121,11 @@ object Bench {
     * artifact (`BENCH.full.r<N>.json`, or GRAFT_BENCH_BASELINE):
     * the reference the auto-reprobe pass (round-10 verdict item 7)
     * measures blips against. Absent/unparseable → no reprobes.
+    * SF-gated: a baseline recorded at a different `sf` than this run's
+    * is no baseline at all — comparing an sf1 run against sf0.1 rows
+    * would re-fork the whole suite as "blips" (or never fire).
     */
-  private def baselineWarm(): Map[String, Double] = {
+  private def baselineWarm(sfDir: String): Map[String, Double] = {
     val file = sys.env.get("GRAFT_BENCH_BASELINE").orElse {
       val re = """BENCH\.full\.r(\d+)\.json""".r
       Option(new java.io.File(".").listFiles()).toSeq.flatten
@@ -138,8 +141,10 @@ object Bench {
           java.nio.file.Paths.get(f)), "UTF-8")
         // the artifact is this harness's own output: the warm map is the
         // object right after "queries": — cut it out and regex the pairs
+        val sfRe = """"sf":"([^"]*)"""".r
+        val sameSf = sfRe.findFirstMatchIn(text).exists(_.group(1) == sfDir)
         val start = text.indexOf("\"queries\":{")
-        if (start < 0) None
+        if (start < 0 || !sameSf) None
         else {
           val body = text.substring(start + 11, text.indexOf("}", start))
           val pair = """"([a-z0-9_]+)":(-?[0-9.eE+-]+)""".r
@@ -211,15 +216,19 @@ object Bench {
     // without a manual re-probe cycle. Rows without a baseline (new
     // queries) are skipped; the headline `queries` map keeps the
     // original in-suite numbers.
-    val base = baselineWarm()
+    val base = baselineWarm(sfDir)
     val results = acc.result()
     val blips = results.collect {
       case (n, Some((_, warm))) if base.get(n).exists(b => warm > 1.35 * b) =>
         (n, warm, base(n))
     }
-    val reprobed = blips.flatMap { case (n, first, b) =>
+    val reprobed = blips.map { case (n, first, b) =>
       System.err.println(f"[bench] reprobe $n: first=$first%.2f vs baseline=$b%.2f")
-      runOne(n, sfDir, cpus, timeoutSec).map { case (_, w2) => (n, first, w2, b) }
+      // a blip whose re-probe itself fails must stay VISIBLE in the
+      // artifact (reprobe = -1), not silently vanish — that is exactly
+      // the flaky/regressing row the pass exists to expose
+      val again = runOne(n, sfDir, cpus, timeoutSec).map(_._2).getOrElse(-1.0)
+      (n, first, again, b)
     }
     val json = toJson(results, partial = false, reprobed)
     java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))

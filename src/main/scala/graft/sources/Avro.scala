@@ -419,6 +419,34 @@ class AvroPartitionReader(p: AvroInputPartition, required: StructType,
           s"(writer schema carries: ${writerStruct.fieldNames.mkString(", ")}) — " +
           "user-supplied schema mismatch, or mixed-schema appends in one directory")
     }
+    // ... and against TYPE drift, not just presence: the decode applies
+    // the REQUIRED type to the file's bytes, so e.g. a decimal read at
+    // a different scale than written would SILENTLY rescale every value
+    // by a power of ten (and other mismatches surface as unlabeled
+    // ClassCastExceptions). Nullability is resolution's job; types are
+    // not.
+    // nested STRUCTS may be pruned to a field subset (by-name resolution
+    // handles that); leaf types must match EXACTLY — decimal scale in
+    // particular, since a mismatched reader scale would silently rescale
+    // every value by a power of ten
+    def compatible(req: DataType, writer: DataType): Boolean = (req, writer) match {
+      case (rs: StructType, ws: StructType) =>
+        val byName = ws.fields.map(f => f.name -> f.dataType).toMap
+        rs.fields.forall(f => byName.get(f.name).exists(compatible(f.dataType, _)))
+      case (ra: ArrayType, wa: ArrayType) => compatible(ra.elementType, wa.elementType)
+      case _ => req == writer
+    }
+    val writerByName = writerStruct.fields.map(f => f.name -> f.dataType).toMap
+    required.fields.foreach { f =>
+      val w = writerByName(f.name)
+      if (!compatible(f.dataType, w)) {
+        r.close()
+        throw new IllegalArgumentException(
+          s"graft-avro: column '${f.name}' in ${p.file} was written as " +
+            s"${w.simpleString} but the required schema asks for " +
+            s"${f.dataType.simpleString} — read with the written type and cast")
+      }
+    }
     val pruned = AvroConversions.toAvro(
       writerStruct // writer field nullability, pruned by name
         .fields.filter(f => required.fieldNames.contains(f.name))

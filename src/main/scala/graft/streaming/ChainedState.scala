@@ -86,19 +86,13 @@ object ChainedState {
       .sortBy(_._1).lastOption.map(_._2)
   }
 
-  /** Runs the bounded replay; returns (final state DataFrame, state
-    * root — for spec chain assertions).
-    *
-    * @param resumeBase a previous run's base dir (as returned via the
-    *        state root's parent): resume its checkpoint and carried
-    *        state instead of starting a fresh root — the feed dir may
-    *        have gained files since, and only those are processed.
+  /** Runs the bounded replay from a FRESH root; returns (final state
+    * DataFrame, state root — for spec chain assertions).
     */
   def run(spark: SparkSession, tag: String, feed: DataFrame, feedFiles: Int,
           initState: DataFrame,
-          merge: (DataFrame, DataFrame) => DataFrame,
-          resumeBase: Option[String] = None): (DataFrame, String) = {
-    val base = resumeBase.map(java.nio.file.Paths.get(_)).getOrElse {
+          merge: (DataFrame, DataFrame) => DataFrame): (DataFrame, String) = {
+    val base = {
       val b = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
       // the root (full feed copy + every chained snapshot) lives until
       // JVM exit — long enough for spec chain assertions, bounded across
@@ -107,16 +101,32 @@ object ChainedState {
       tempRoots.add(b)
       b
     }
+    feed.repartition(feedFiles).write.mode("overwrite")
+      .parquet(base.resolve("feed").toString)
+    initState.write.mode("overwrite")
+      .parquet(base.resolve("state").toString + "/state-init")
+    drive(spark, base, merge)
+  }
+
+  /** Resume a PREVIOUS run's base dir (the state root's parent): its
+    * checkpoint decides which of `<base>/feed`'s files are new, and
+    * carried state continues from the last committed snapshot. This
+    * entry point takes NO feed/initState on purpose — a resume
+    * (re)writes nothing; append the new feed files to `<base>/feed`
+    * BEFORE calling, or the resume processes nothing and returns the
+    * carried state unchanged.
+    */
+  def resume(spark: SparkSession, base: String,
+             merge: (DataFrame, DataFrame) => DataFrame): (DataFrame, String) =
+    drive(spark, java.nio.file.Paths.get(base), merge)
+
+  private def drive(spark: SparkSession, base: java.nio.file.Path,
+                    merge: (DataFrame, DataFrame) => DataFrame): (DataFrame, String) = {
     val feedDir = base.resolve("feed").toString
     val stateRoot = base.resolve("state").toString
     val ckptDir = base.resolve("ckpt").toString
-    if (resumeBase.isEmpty)
-      feed.repartition(feedFiles).write.mode("overwrite").parquet(feedDir)
-
     val statePath = new java.util.concurrent.atomic.AtomicReference[String](
       lastCommittedState(stateRoot).getOrElse(s"$stateRoot/state-init"))
-    if (resumeBase.isEmpty)
-      initState.write.mode("overwrite").parquet(statePath.get)
 
     val q = spark.readStream
       .schema(spark.read.parquet(feedDir).schema)

@@ -111,13 +111,19 @@ object Datacard {
     * CASE chain, `text_tokens` counts, `text_quality` punct class,
     * `dedup_exact` hash key).
     */
-  val oracleSql: String =
-    """WITH sig AS (
-      |  SELECT md5(lower(text)) AS h,
+  /** The shared card CTE stem (sig → langid scores → prediction →
+    * volumes → exact-dup mass), composed — not string-patched — into
+    * both oracles below; `keepDocId` threads doc_id through for the
+    * near-dup join.
+    */
+  private def cardCtes(keepDocId: Boolean): String = {
+    val docId = if (keepDocId) "doc_id, " else ""
+    raw"""WITH sig AS (
+      |  SELECT ${docId}md5(lower(text)) AS h,
       |    CAST(length(text) AS BIGINT) AS chars,
       |    CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS wst,
       |    CAST(length(regexp_extract_all(text, '[A-Za-z]+')) + length(regexp_extract_all(text, '[0-9]+')) + length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS bpt,
-      |    CAST(length(regexp_extract_all(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]')) AS BIGINT) AS punct,
+      |    CAST(length(regexp_extract_all(text, '[!"#$$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]')) AS BIGINT) AS punct,
       |    CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
       |  FROM documents),
@@ -145,8 +151,11 @@ object Datacard {
       |  FROM p GROUP BY 1),
       |byh AS (SELECT min(pred) AS pred, count(*) AS hc FROM p GROUP BY h),
       |dup AS (SELECT pred, CAST(sum(CASE WHEN hc > 1 THEN hc ELSE 0 END) AS BIGINT) AS n_dup_docs
-      |  FROM byh GROUP BY 1)
-      |SELECT pred, n_docs, n_chars, n_ws_tokens, n_bpeish_tokens, n_dup_docs,
+      |  FROM byh GROUP BY 1)""".stripMargin
+  }
+
+  val oracleSql: String = cardCtes(keepDocId = false) + "\n" +
+    """SELECT pred, n_docs, n_chars, n_ws_tokens, n_bpeish_tokens, n_dup_docs,
       |  punct_permille, digit_permille
       |FROM vol JOIN dup USING (pred) ORDER BY pred""".stripMargin
 
@@ -159,10 +168,7 @@ object Datacard {
     * means LSH found every chain and invented none.
     */
   val oracleSqlNearDup: String = {
-    val base = oracleSql.replace("SELECT md5(lower(text)) AS h,",
-      "SELECT doc_id, md5(lower(text)) AS h,")
-    val stem = base.substring(0, base.indexOf("\nSELECT pred, n_docs"))
-    stem + ",\n" +
+    cardCtes(keepDocId = true) + ",\n" +
       """elig AS (
         |  SELECT doc_id FROM documents
         |  WHERE doc_id % 2 = 0 AND length(regexp_extract_all(text, '\S+')) >= 60),

@@ -200,6 +200,28 @@ class AvroSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("a required column whose TYPE differs from the writer's fails " +
+    "loudly — a mismatched decimal scale must not silently rescale") {
+    val dir = freshDir()
+    try {
+      sample.select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(12,2)").as("dec"))
+        .write.format("graft-avro").mode("append").save(dir)
+      import org.apache.spark.sql.types._
+      val wrong = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("dec", DecimalType(12, 4)))) // written at scale 2
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graft-avro").schema(wrong).load(dir)
+          .select("dec").collect()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+      assert(msg.contains("dec") && msg.contains("decimal(12,2)") &&
+        msg.contains("decimal(12,4)"),
+        s"must name the column and both types, not rescale 100x: $msg")
+    } finally rm(dir)
+  }
+
   test("schema inference reads one file header, never the data") {
     val dir = freshDir()
     try {

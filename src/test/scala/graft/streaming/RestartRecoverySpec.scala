@@ -103,8 +103,7 @@ class RestartRecoverySpec extends SparkSpec {
 
     // mid-feed: more files arrive, the job restarts on the same base
     half2.repartition(4).write.mode("append").parquet(s"$base/feed")
-    val (state, _) = ChainedState.run(spark, "topk-restart", feed, 4,
-      init, TopKStream.mergeFn(k), resumeBase = Some(base))
+    val (state, _) = ChainedState.resume(spark, base, TopKStream.mergeFn(k))
     val statesAfterResume = new java.io.File(stateRoot).list().count(_.startsWith("state-"))
     assert(statesAfterResume > statesAfterHalf,
       "resume must fold NEW batches (ids continue past the first run's)")
@@ -129,9 +128,8 @@ class RestartRecoverySpec extends SparkSpec {
       base0, (st, b) => MergeStream.latestWins(st.unionByName(b)))
     val base = new java.io.File(stateRoot).getParent
     half2.repartition(4).write.mode("append").parquet(s"$base/feed")
-    val (state, _) = ChainedState.run(spark, "cdc-restart", changes, 4,
-      base0, (st, b) => MergeStream.latestWins(st.unionByName(b)),
-      resumeBase = Some(base))
+    val (state, _) = ChainedState.resume(spark, base,
+      (st, b) => MergeStream.latestWins(st.unionByName(b)))
 
     val got = state.filter(!col("is_delete"))
       .select("o_orderkey", "o_totalprice", "version")
