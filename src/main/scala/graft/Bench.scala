@@ -142,7 +142,14 @@ object Bench {
         // the artifact is this harness's own output: the warm map is the
         // object right after "queries": — cut it out and regex the pairs
         val sfRe = """"sf":"([^"]*)"""".r
-        val sameSf = sfRe.findFirstMatchIn(text).exists(_.group(1) == sfDir)
+        // normalized-path comparison: a trailing slash or relative
+        // spelling must not silently disable the reprobe pass
+        def norm(p: String) = java.nio.file.Paths.get(p)
+          .toAbsolutePath.normalize.toString
+        val sameSf = sfRe.findFirstMatchIn(text)
+          .exists(m => norm(m.group(1)) == norm(sfDir))
+        if (!sameSf) System.err.println(
+          s"[bench] baseline $f recorded a different sf than $sfDir — no reprobes")
         val start = text.indexOf("\"queries\":{")
         if (start < 0 || !sameSf) None
         else {

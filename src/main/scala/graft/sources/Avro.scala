@@ -420,15 +420,12 @@ class AvroPartitionReader(p: AvroInputPartition, required: StructType,
           "user-supplied schema mismatch, or mixed-schema appends in one directory")
     }
     // ... and against TYPE drift, not just presence: the decode applies
-    // the REQUIRED type to the file's bytes, so e.g. a decimal read at
-    // a different scale than written would SILENTLY rescale every value
-    // by a power of ten (and other mismatches surface as unlabeled
-    // ClassCastExceptions). Nullability is resolution's job; types are
-    // not.
-    // nested STRUCTS may be pruned to a field subset (by-name resolution
-    // handles that); leaf types must match EXACTLY — decimal scale in
-    // particular, since a mismatched reader scale would silently rescale
-    // every value by a power of ten
+    // the REQUIRED type to the file's bytes, so a decimal read at a
+    // different scale than written would SILENTLY rescale every value
+    // by a power of ten (other mismatches surface as unlabeled
+    // ClassCastExceptions). Nested structs may be pruned to a field
+    // subset (by-name resolution handles that); LEAF types must match
+    // exactly. Nullability is resolution's job; types are not.
     def compatible(req: DataType, writer: DataType): Boolean = (req, writer) match {
       case (rs: StructType, ws: StructType) =>
         val byName = ws.fields.map(f => f.name -> f.dataType).toMap

@@ -840,7 +840,7 @@ class TfRecordDataWriter(schema: StructType, path: String, queryId: String,
   * Serialization is COMPACTED past a threshold (the 100 TB path): a
   * small set serializes as a plain JSON array; a large one is written
   * ONCE to a content-addressed file under the query's checkpoint
-  * (`graft-tfrecord-seen/<md5>.json`, durable exactly as long as the
+  * (`graft-tfrecord-seen/<md5>.txt`, durable exactly as long as the
   * offsets log that references it) and the offset serializes as
   * `{"compact": "<md5>", "n": <count>}` — O(1) in the offsets log per
   * batch regardless of files seen, the same shape as FileStreamSource's
@@ -934,7 +934,11 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
   private def loadCompact(ref: String): TfRecordStreamOffset = {
     val fs = seenDir.getFileSystem(AvroHadoop.sessionConf())
     val target = new Path(seenDir, s"$ref.txt")
-    val bytes = new Array[Byte](fs.getFileStatus(target).getLen.toInt)
+    val len = fs.getFileStatus(target).getLen
+    if (len > Int.MaxValue - 8) throw new java.io.IOException(
+      s"graft-tfrecord: seen-set snapshot $target is $len bytes — beyond " +
+        "the in-memory offset model; shard the feed across directories")
+    val bytes = new Array[Byte](len.toInt)
     val in = fs.open(target)
     try in.readFully(0, bytes) finally in.close()
     val files = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
@@ -975,7 +979,10 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
 
-  override def reportLatestOffset(): StreamOffset = TfRecordStreamOffset(listNow())
+  // compact form here too: progress events embed this json, and a
+  // plain million-name array per trigger would re-create the unbounded
+  // offset problem in the listener bus / recentProgress retention
+  override def reportLatestOffset(): StreamOffset = maybeCompact(listNow())
 
   override def initialOffset(): StreamOffset = TfRecordStreamOffset(Seq.empty)
 
@@ -996,7 +1003,25 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new TfRecordReaderFactory(required.json, confMap)
 
-  override def commit(end: StreamOffset): Unit = ()
+  /** Prune superseded seen-set snapshots at commit: without pruning
+    * the checkpoint grows one full snapshot per trigger (quadratic
+    * over the stream's life). Retention is the newest K=4 by
+    * modification time, not "only the committed ref": a restart
+    * deserializes BOTH the latest and the previous offsets-log entry
+    * (populateStartOffsets), and reportLatestOffset may persist an
+    * uncommitted listing — reachability is bounded by the last few
+    * writes, so a small newest-K window is both safe and O(1).
+    */
+  override def commit(end: StreamOffset): Unit = {
+    val fs = seenDir.getFileSystem(AvroHadoop.sessionConf())
+    if (fs.exists(seenDir)) {
+      fs.listStatus(seenDir).filter(_.getPath.getName.endsWith(".txt"))
+        .sortBy(-_.getModificationTime)
+        .drop(4)
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+  }
+
   override def stop(): Unit = ()
 }
 

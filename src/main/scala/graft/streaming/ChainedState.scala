@@ -25,12 +25,14 @@ import org.apache.spark.sql.streaming.Trigger
   * the overwrite-mode rewrite replaces it. The replayed-batch spec
   * (ChainedStateSpec) pins both branches.
   *
-  * Restart recovery: `run` takes an optional `resumeBase` — a prior
-  * run's root whose feed dir gained new files. The checkpoint under
-  * the root makes the file source skip already-committed batches, and
-  * the state pointer re-seeds from the highest committed `state-<id>`
-  * dir, so the fold continues from the carried state instead of
-  * re-folding from init (the restart specs pin final state == batch).
+  * Restart recovery: `resume(spark, base, merge)` re-enters a prior
+  * run's root whose feed dir gained new files (append them BEFORE
+  * calling — resume deliberately takes no feed/initState and writes
+  * nothing). The checkpoint under the root makes the file source skip
+  * already-committed batches, and the state pointer re-seeds from the
+  * highest committed `state-<id>` dir, so the fold continues from the
+  * carried state instead of re-folding from init (the restart specs
+  * pin final state == batch).
   */
 object ChainedState {
 

@@ -129,14 +129,21 @@ class TfRecordStreamSpec extends SparkSpec {
         s"final offset must serialize as a compact ref, got: $text")
       // Spark hands the source a per-source checkpoint subdir — locate
       // the persisted seen-set wherever it landed under the root
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-      val persisted = try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.exists(p =>
-          p.getFileName.toString.endsWith(".txt") &&
-            Option(p.getParent).exists(_.getFileName.toString == "graft-tfrecord-seen"))
-      } finally walk.close()
-      assert(persisted, "persisted seen-set missing under the checkpoint")
+      def snapshots(): Seq[java.nio.file.Path] = {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.filter(p =>
+            p.getFileName.toString.endsWith(".txt") &&
+              Option(p.getParent).exists(_.getFileName.toString == "graft-tfrecord-seen"))
+            .toSeq
+        } finally walk.close()
+      }
+      assert(snapshots().nonEmpty, "persisted seen-set missing under the checkpoint")
+      // GC pin: commit() prunes superseded snapshots to a newest-K
+      // window (K=4) — bounded, not one file per trigger forever
+      assert(snapshots().size <= 4,
+        s"superseded snapshots must be pruned at commit, got ${snapshots()}")
       // restart with 4 more shards: only the new files are admitted,
       // resolved THROUGH the compact ref
       val more = TfRecordStream.records(spark, sf0001)
