@@ -172,7 +172,22 @@ object AvroConversions {
       case BinaryType =>
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
         val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
-      case _ => v // int/long/float/double/boolean/date-int/ts-long pass through
+      // Avro numeric promotions (legal per schema resolution): the
+      // datum still carries the WRITER's width, so widen here. The
+      // match-on-value keeps the already-wide common case a no-op.
+      case LongType => v match {
+        case i: java.lang.Integer => i.longValue(); case other => other
+      }
+      case FloatType => v match {
+        case i: java.lang.Integer => i.floatValue()
+        case l: java.lang.Long => l.floatValue(); case other => other
+      }
+      case DoubleType => v match {
+        case i: java.lang.Integer => i.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case f: java.lang.Float => f.doubleValue(); case other => other
+      }
+      case _ => v // int/boolean/date-int/ts-long pass through
     }
   }
 
@@ -425,12 +440,19 @@ class AvroPartitionReader(p: AvroInputPartition, required: StructType,
     // by a power of ten (other mismatches surface as unlabeled
     // ClassCastExceptions). Nested structs may be pruned to a field
     // subset (by-name resolution handles that); LEAF types must match
-    // exactly. Nullability is resolution's job; types are not.
+    // exactly — EXCEPT Avro's own legal numeric promotions (int→long,
+    // int/long→float/double, float→double; Avro spec §Schema
+    // Resolution), which schema resolution has always supported and
+    // user schemas legitimately rely on (toCatalyst widens the decoded
+    // value). Nullability is resolution's job; types are not.
     def compatible(req: DataType, writer: DataType): Boolean = (req, writer) match {
       case (rs: StructType, ws: StructType) =>
         val byName = ws.fields.map(f => f.name -> f.dataType).toMap
         rs.fields.forall(f => byName.get(f.name).exists(compatible(f.dataType, _)))
       case (ra: ArrayType, wa: ArrayType) => compatible(ra.elementType, wa.elementType)
+      case (LongType, IntegerType) => true
+      case (FloatType, IntegerType | LongType) => true
+      case (DoubleType, IntegerType | LongType | FloatType) => true
       case _ => req == writer
     }
     val writerByName = writerStruct.fields.map(f => f.name -> f.dataType).toMap

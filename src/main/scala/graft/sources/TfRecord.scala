@@ -173,9 +173,17 @@ object TfRecordFraming {
 
   def framedSize(payloadLen: Int): Long = 16L + payloadLen
 
-  private def corrupt(file: String, offset: Long, why: String) =
+  private def corrupt(file: String, offset: Long, why: String) = {
+    // the reader counts DECOMPRESSED bytes: for a .gz shard that
+    // position does not exist in the on-disk file, so label it — an
+    // operator seeking the physical file to a record-stream offset
+    // would land on a meaningless byte
+    val where =
+      if (file.endsWith(".gz")) s"uncompressed (record-stream) byte offset $offset"
+      else s"byte offset $offset"
     new java.io.IOException(
-      s"graft-tfrecord: corrupt record in $file at byte offset $offset: $why")
+      s"graft-tfrecord: corrupt record in $file at $where: $why")
+  }
 }
 
 /** Minimal protobuf wire-format writer (public encoding: varints,
@@ -903,6 +911,27 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
   // ---- offset compaction (see TfRecordStreamOffset's scaladoc) ----
   private def seenDir = new Path(checkpointLocation, "graft-tfrecord-seen")
 
+  /** The most recent compact refs this instance handed out
+    * (maybeCompact) or resolved (loadCompact) — a recency ring of 8.
+    * GC retains BY REACHABILITY against this ring, not by file mtime:
+    * a restart resolves the latest AND previous offsets-log entries,
+    * whose refs were handed out within the last two triggers (at most
+    * two persists per trigger: latestOffset + reportLatestOffset), so
+    * the last 8 refs cover everything the offsets log can still name
+    * with 2× slack — where a newest-K-by-mtime window has ZERO slack
+    * and one extra persist (or an mtime tie on a second-granularity
+    * filesystem) could evict a still-referenced snapshot, leaving the
+    * checkpoint unrestartable. The ring (not an unbounded set) keeps
+    * GC real: protecting every ref ever handed out would grow the
+    * checkpoint one snapshot per listing change forever.
+    */
+  private val liveRefs = new java.util.ArrayDeque[String](8)
+  private def registerRef(ref: String): Unit = liveRefs.synchronized {
+    liveRefs.remove(ref) // refresh recency if already present
+    liveRefs.addLast(ref)
+    while (liveRefs.size > 8) liveRefs.pollFirst()
+  }
+
   /** Past the threshold, persist the sorted name list once
     * (content-addressed, so re-persisting the same set is a no-op and
     * equal sets serialize identically) and hand out a ref offset.
@@ -928,6 +957,7 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
           throw new java.io.IOException(s"graft-tfrecord: cannot persist offset $target")
       }
     }
+    registerRef(md5)
     TfRecordStreamOffset(files, Some(md5))
   }
 
@@ -943,6 +973,7 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
     try in.readFully(0, bytes) finally in.close()
     val files = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq
+    registerRef(ref) // a ref the offsets log demonstrably references
     TfRecordStreamOffset(files, Some(ref))
   }
 
@@ -1005,19 +1036,29 @@ class TfRecordMicroBatchStream(required: StructType, path: String,
 
   /** Prune superseded seen-set snapshots at commit: without pruning
     * the checkpoint grows one full snapshot per trigger (quadratic
-    * over the stream's life). Retention is the newest K=4 by
-    * modification time, not "only the committed ref": a restart
-    * deserializes BOTH the latest and the previous offsets-log entry
-    * (populateStartOffsets), and reportLatestOffset may persist an
-    * uncommitted listing — reachability is bounded by the last few
-    * writes, so a small newest-K window is both safe and O(1).
+    * over the stream's life). Retention is BY REACHABILITY: any ref in
+    * the [[liveRefs]] recency ring is never deleted — the ring covers
+    * everything the offsets log can still name (latestOffset persists,
+    * reportLatestOffset persists, and at restart populateStartOffsets
+    * resolves the latest and previous entries through loadCompact,
+    * which re-registers them). A newest-K=4 mtime window is kept ON
+    * TOP as slack for anything in flight, but it is a supplement, not
+    * the safety argument — an mtime tie, a backdated copy, or an extra
+    * persist cannot evict a referenced snapshot. Bound: ≤ 8 + 4 files.
     */
   override def commit(end: StreamOffset): Unit = {
     val fs = seenDir.getFileSystem(AvroHadoop.sessionConf())
     if (fs.exists(seenDir)) {
+      val protect = liveRefs.synchronized {
+        val s = Set.newBuilder[String]
+        liveRefs.forEach(r => s += r)
+        s.result()
+      }
       fs.listStatus(seenDir).filter(_.getPath.getName.endsWith(".txt"))
         .sortBy(-_.getModificationTime)
         .drop(4)
+        .filterNot(st => protect.contains(
+          st.getPath.getName.stripSuffix(".txt")))
         .foreach(st => fs.delete(st.getPath, false))
     }
   }

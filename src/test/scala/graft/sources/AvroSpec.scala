@@ -222,6 +222,40 @@ class AvroSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("Avro's legal numeric promotions read correctly (int->long, " +
+    "int->double, float->double), while a non-promotion still fails " +
+    "loudly (round-11 advice: the drift check must not reject reads " +
+    "schema resolution supports)") {
+    val dir = freshDir()
+    try {
+      sample.select(
+        col("l_linenumber"), // int
+        col("l_quantity").cast("float").as("qty_f"))
+        .write.format("graft-avro").mode("append").save(dir)
+      import org.apache.spark.sql.types._
+      val promoted = StructType(Seq(
+        StructField("l_linenumber", LongType),   // written int
+        StructField("qty_f", DoubleType)))       // written float
+      val back = spark.read.format("graft-avro").schema(promoted).load(dir)
+      val got = back.agg(
+        sum("l_linenumber").as("s"),
+        sum(floor(col("qty_f") * 100 + 0.5)).as("c")).head()
+      val expect = sample.agg(
+        sum(col("l_linenumber").cast("long")).as("s"),
+        sum(floor(col("l_quantity").cast("float").cast("double") * 100 + 0.5))
+          .as("c")).head()
+      assert(got == expect, s"promoted read drift: $got vs $expect")
+      // a DEMOTION (long asked as int) is not an Avro promotion: loud
+      val demoted = StructType(Seq(StructField("l_linenumber", StringType)))
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graft-avro").schema(demoted).load(dir).collect()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+      assert(msg.contains("l_linenumber") && msg.contains("int"),
+        s"non-promotion must still fail loudly naming the types: $msg")
+    } finally rm(dir)
+  }
+
   test("schema inference reads one file header, never the data") {
     val dir = freshDir()
     try {

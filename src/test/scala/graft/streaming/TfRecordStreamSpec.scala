@@ -140,9 +140,10 @@ class TfRecordStreamSpec extends SparkSpec {
         } finally walk.close()
       }
       assert(snapshots().nonEmpty, "persisted seen-set missing under the checkpoint")
-      // GC pin: commit() prunes superseded snapshots to a newest-K
-      // window (K=4) — bounded, not one file per trigger forever
-      assert(snapshots().size <= 4,
+      // GC pin: commit() prunes superseded snapshots to a bounded set
+      // (newest-4 mtime window + the 8-ref reachability ring) — not
+      // one file per trigger forever
+      assert(snapshots().size <= 12,
         s"superseded snapshots must be pruned at commit, got ${snapshots()}")
       // restart with 4 more shards: only the new files are admitted,
       // resolved THROUGH the compact ref
@@ -152,5 +153,50 @@ class TfRecordStreamSpec extends SparkSpec {
       assert(run() == records.count() + more.count(),
         "restart must resolve the compact offset and admit only new files")
     } finally { rm(feed); rm(ckpt); rm(out) }
+  }
+
+  test("seen-set GC retains by REACHABILITY, not mtime: a snapshot the " +
+    "offsets log still references survives commit-time pruning even " +
+    "backdated to the epoch (round-11 advice: an mtime tie or extra " +
+    "persist must not make the checkpoint unrestartable)") {
+    val ckpt = freshDir("graft-tfrs-gc-")
+    try {
+      val seen = java.nio.file.Paths.get(ckpt, "graft-tfrecord-seen")
+      java.nio.file.Files.createDirectories(seen)
+      // 7 snapshots, staggered mtimes; ref0 is the OLDEST — and the one
+      // the offsets log (simulated by deserializeOffset below) names
+      val refs = (0 to 6).map(i => f"ref$i%02x" * 8) // 32-char names
+      refs.zipWithIndex.foreach { case (r, i) =>
+        val p = seen.resolve(s"$r.txt")
+        java.nio.file.Files.write(p, s"file-$r.tfrecord".getBytes("UTF-8"))
+        p.toFile.setLastModified(if (i == 0) 1000L else 1700000000000L + i * 2000L)
+      }
+      val stream = new graft.sources.TfRecordMicroBatchStream(
+        TfRecordStream.feedSchema, ckpt /* unused as a feed here */,
+        None, ckpt, 4)
+      // restart path: populateStartOffsets resolves the logged ref —
+      // this REGISTERS it as reachable
+      val resolved = stream.deserializeOffset(s"""{"compact":"${refs.head}","n":1}""")
+      assert(resolved.asInstanceOf[graft.sources.TfRecordStreamOffset]
+        .files == Seq(s"file-${refs.head}.tfrecord"))
+      stream.commit(new graft.sources.TfRecordStreamOffset(Seq.empty))
+      val left = java.nio.file.Files.list(seen).iterator()
+      val names = {
+        import scala.jdk.CollectionConverters._
+        left.asScala.map(_.getFileName.toString).toSet
+      }
+      assert(names.contains(s"${refs.head}.txt"),
+        s"the REFERENCED snapshot (epoch mtime) must survive GC, left: $names")
+      // the newest-4 window holds, and unreferenced files beyond it go
+      assert(!names.contains(s"${refs(1)}.txt") && !names.contains(s"${refs(2)}.txt"),
+        s"unreferenced snapshots beyond the window must be pruned, left: $names")
+      refs.drop(3).foreach(r => assert(names.contains(s"$r.txt"),
+        s"newest-4 window must be retained, missing $r in $names"))
+      // and a restarted instance can still resolve the survivor
+      val stream2 = new graft.sources.TfRecordMicroBatchStream(
+        TfRecordStream.feedSchema, ckpt, None, ckpt, 4)
+      assert(stream2.deserializeOffset(s"""{"compact":"${refs.head}","n":1}""")
+        .asInstanceOf[graft.sources.TfRecordStreamOffset].files.nonEmpty)
+    } finally rm(ckpt)
   }
 }
