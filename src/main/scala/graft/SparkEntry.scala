@@ -130,6 +130,16 @@ object SparkEntry {
     // avg balance, executed ONCE — plan-pinned to one SubqueryExec) +
     // NOT EXISTS + substring-IN, one SQL text both engines.
     "q_global_scalar" -> GlobalScalar.qGlobalScalar _,
+    // TPC-H Q2 shape: correlated scalar MIN over a multi-table join,
+    // decorrelated to a per-part min aggregate + equi-join (no nested
+    // loop — plan-pinned); offers CTE derived once from lineitem.
+    "q_min_cost_supplier" -> graft.queries.MinCostSupplier.qMinCostSupplier _,
+    // TPC-H Q15 shape: revenue view joined AND max'd in one statement;
+    // the global MAX runs once (plan-pinned single scalar subquery).
+    "q_top_revenue_view" -> graft.queries.TopRevenueView.qTopRevenueView _,
+    // TPC-H Q20 shape: nested IN containing an inner IN + a correlated
+    // scalar aggregate — stacked left-semi joins, decorrelated agg.
+    "q_nested_in_scalar" -> graft.queries.NestedInScalar.qNestedInScalar _,
     // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against
     // the SAME fact with an inequality correlation (other-supplier
     // lines on the same order) — left-semi + left-anti, both equi on
@@ -1166,6 +1176,17 @@ object SparkEntry {
     // Q22 class: the uncorrelated global-scalar + NOT EXISTS text,
     // verbatim in both engines; money as exact integer cents.
     "q_global_scalar" -> graft.queries.GlobalScalar.sql("customer", "orders"),
+    // Q2 class: correlated scalar MIN over a multi-table join, one
+    // text both engines; min-equality in exact integer cents.
+    "q_min_cost_supplier" -> graft.queries.MinCostSupplier.sql(
+      "lineitem", "part", "supplier", "nation", "region"),
+    // Q15 class: view consumed twice — join input and global MAX in an
+    // uncorrelated scalar; revenue in exact integer units.
+    "q_top_revenue_view" -> graft.queries.TopRevenueView.sql("lineitem", "supplier"),
+    // Q20 class: two-level nested IN containing a correlated scalar
+    // aggregate; disjoint date windows keep the predicate selective.
+    "q_nested_in_scalar" -> graft.queries.NestedInScalar.sql(
+      "lineitem", "part", "supplier", "nation"),
     // Q21 class: DuckDB decorrelates the double EXISTS/NOT EXISTS
     // itself — agreement pins the semi/anti rewrite cross-engine.
     "q_multi_exists" -> graft.queries.MultiExists.oracleSql,
