@@ -560,7 +560,12 @@ object SparkEntry {
     // graft-tfrecord MicroBatchStream (file-name-set offsets,
     // maxFilesPerTrigger admission): per-language census converges to
     // the batch census of the original table.
-    "stream_tfrecord" -> ((s: SparkSession, d: String) => TfRecordStream.streamTfRecord(s, d))
+    "stream_tfrecord" -> ((s: SparkSession, d: String) => TfRecordStream.streamTfRecord(s, d)),
+    // Streaming WRITE of the trainer hand-off: stream in -> curate ->
+    // TFRecord shards out EXACTLY-ONCE (per-batch manifests over the
+    // staged-rename batch write; replayed batch ids are no-ops);
+    // census from the read-back of the sink's committed files.
+    "stream_tfrecord_sink" -> ((s: SparkSession, d: String) => graft.streaming.TfRecordSink.streamTfRecordSink(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -2038,6 +2043,9 @@ object SparkEntry {
     // Streaming census over the TFRecord feed == batch census of the
     // original documents (bounded-parity oracle).
     "stream_tfrecord" -> graft.streaming.TfRecordStream.oracleSql,
+    // the sink row's census carries the curation filter: same pinned
+    // tokenizer-equivalence regex census, thresholded.
+    "stream_tfrecord_sink" -> graft.streaming.TfRecordSink.oracleSql,
     "ann_recall_atk" ->
       """SELECT * FROM (VALUES
         |  ('ivf', true, true),

@@ -557,7 +557,7 @@ private[sources] object TfRecordTypes {
   * `option("compression", "gzip")`; a directory may mix both and the
   * reader dispatches on suffix.
   */
-private[sources] object TfRecordFiles {
+private[graft] object TfRecordFiles { // graft-wide: the streaming sink shares the suffix rule
   def isData(name: String): Boolean =
     name.endsWith(".tfrecord") || name.endsWith(".tfrecord.gz")
 

@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** `stream_tfrecord_sink` (SURVEY §2d): the streaming WRITE of the
+  * trainer hand-off (round-11 verdict #3) — closing the loop
+  * "stream in → curate → shards out" that a continual-pretraining feed
+  * runs: TFRecord shards arrive as a stream (the graft-tfrecord
+  * MicroBatchStream), a curation filter runs per micro-batch, and the
+  * surviving rows are published as NEW TFRecord shards EXACTLY-ONCE
+  * against the query's checkpoint.
+  *
+  * Exactly-once protocol (the FileStreamSink discipline applied to
+  * TfRecordBatchWrite): each micro-batch writes its shards through the
+  * normal batch path (task-level staged-rename: zombies never publish
+  * — TfRecord.scala), then publishes a per-batch MANIFEST naming the
+  * files it added, via tmp+rename (the atomic commit point). A
+  * replayed batch id (restart between the sink commit and the offsets
+  * commit — foreachBatch's documented re-delivery window) finds its
+  * manifest and is a NO-OP; a crashed attempt's unmanifested files are
+  * swept before the retry writes, and readers resolve the committed
+  * file set THROUGH the manifests, so stray physical files are never
+  * data. This is the ChainedState `_SUCCESS` batch-id idempotence
+  * (round-10 verdict #2) applied to a file sink.
+  *
+  * Scale shape: one manifest (O(files-per-batch) bytes) per batch; the
+  * sweep and read-back list one directory; shard = file = read
+  * partition exactly as in batch TFRecord IO, so downstream dataloader
+  * parallelism is the shard count the stream was sized to.
+  */
+object TfRecordSink {
+
+  private val CommitsDir = "_graft_commits"
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def listData(dir: String): Seq[String] = {
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(graft.sources.TfRecordFiles.isData).sorted.toSeq
+  }
+
+  /** File names published by committed manifests, in manifest order. */
+  def committedFiles(outDir: String): Seq[String] = {
+    val fs = fsOf(outDir)
+    val commits = new Path(outDir, CommitsDir)
+    if (!fs.exists(commits)) Seq.empty
+    else fs.listStatus(commits)
+      .filter(_.getPath.getName.forall(_.isDigit))
+      .sortBy(_.getPath.getName.toLong)
+      .flatMap { st =>
+        val len = st.getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(st.getPath)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+      }.toSeq
+  }
+
+  /** Publish one micro-batch exactly-once: skip if this batch id's
+    * manifest exists (replay), sweep unmanifested residue (a crashed
+    * attempt), write shards, manifest the delta atomically.
+    */
+  def commitBatch(df: DataFrame, batchId: Long, outDir: String): Unit = {
+    val fs = fsOf(outDir)
+    val commits = new Path(outDir, CommitsDir)
+    val manifest = new Path(commits, batchId.toString)
+    if (fs.exists(manifest)) return // replayed batch: already published
+    if (!fs.exists(commits)) fs.mkdirs(commits)
+    val published = committedFiles(outDir).toSet
+    // residue from a crashed attempt of this (or any) uncommitted
+    // batch: physically present, named by no manifest — sweep so the
+    // retry's before/after diff and the final directory stay clean
+    listData(outDir).filterNot(published)
+      .foreach(n => fs.delete(new Path(outDir, n), false))
+    val before = listData(outDir).toSet
+    df.write.format("graft-tfrecord").mode("append").save(outDir)
+    val added = listData(outDir).filterNot(before)
+    val tmp = new Path(commits, s".${batchId}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(added.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(
+        s"graft-tfrecord-sink: cannot commit batch $batchId manifest")
+  }
+
+  /** Read back exactly the manifested shards (stray files are not
+    * data), each file one partition — the sink's own commit log is the
+    * source of truth, as with Spark's parquet streaming sink.
+    */
+  def readCommitted(spark: SparkSession, schema: StructType,
+                    outDir: String): DataFrame = {
+    val files = committedFiles(outDir)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    files.foldLeft(empty) { (acc, n) =>
+      acc.unionAll(spark.read.format("graft-tfrecord").schema(schema)
+        .load(new Path(outDir, n).toString))
+    }
+  }
+
+  /** Minimum token count a document must reach to ship to the trainer
+    * — the curation step between stream-in and shards-out.
+    */
+  val MinTokens = 16L
+
+  /** The §2d gate: feed shards → stream (3 micro-batches) → curate →
+    * exactly-once TFRecord shards out → census FROM THE READ-BACK of
+    * the sink's committed files; the oracle computes the identical
+    * census over the ORIGINAL documents table with the same filter.
+    */
+  def streamTfRecordSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val feed = java.nio.file.Files.createTempDirectory("graft-tfrsink-feed-")
+    val out = java.nio.file.Files.createTempDirectory("graft-tfrsink-out-")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tfrsink-ckpt-")
+    try {
+      TfRecordStream.records(spark, sfDir)
+        .repartition(TfRecordStream.FeedShards)
+        .write.format("graft-tfrecord").mode("append").save(feed.toString)
+      runCurateToSink(spark, feed.toString, out.toString, ckpt.toString)
+      val census = readCommitted(spark, TfRecordStream.feedSchema, out.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("doc_id").as("sum_doc_id"))
+        .orderBy("lang")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(census.collect().toSeq.asJava, census.schema)
+    } finally {
+      graft.util.Fs.deleteRecursively(feed)
+      graft.util.Fs.deleteRecursively(out)
+      graft.util.Fs.deleteRecursively(ckpt)
+    }
+  }
+
+  /** One bounded run of the curate-and-publish stream against a
+    * checkpoint (restartable: the spec drives waves through it).
+    */
+  def runCurateToSink(spark: SparkSession, feedDir: String,
+                      outDir: String, ckptDir: String): Unit = {
+    val q = spark.readStream.format("graft-tfrecord")
+      .schema(TfRecordStream.feedSchema)
+      .option("maxFilesPerTrigger", TfRecordStream.FilesPerTrigger)
+      .load(feedDir)
+      .filter(col("n_tokens") >= MinTokens)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch((batch: DataFrame, id: Long) => commitBatch(batch, id, outDir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The identical census over the ORIGINAL documents table (DuckDB's
+    * tokenizer-equivalence expression — the pinned regex census).
+    */
+  val oracleSql: String =
+    s"""SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(length(regexp_extract_all(text, '[A-Za-z]+'))
+       |       + length(regexp_extract_all(text, '[0-9]+'))
+       |       + length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |WHERE n_tokens >= ${MinTokens}
+       |GROUP BY lang ORDER BY lang""".stripMargin
+}
