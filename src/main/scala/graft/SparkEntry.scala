@@ -107,6 +107,14 @@ object SparkEntry {
     // dense guard; dictionary re-densification (bucket-ranked, no
     // global sort) feeds the same exact bitmap machinery.
     "q_bitmap_sparse" -> ((s: SparkSession, d: String) => Sketches.qBitmapSparse(s, d)),
+    // The >2^31-distinct tier of the sparse path, forced at toy scale
+    // with shardCapacity=8: the contiguous dictionary index space
+    // range-shards into per-shard constant-size bitmaps (shard =
+    // idx / capacity), cardinalities summed across disjoint shards,
+    // union OR'd WITHIN each shard then summed. In production the
+    // capacity defaults to Int.MaxValue and the dispatch is automatic.
+    "q_bitmap_sharded" -> ((s: SparkSession, d: String) =>
+      Sketches.qBitmapSparse(s, d, shardCapacity = 8L)),
     // Segment-intersection matrix: one corpus scan into per-type
     // bitmaps, pairwise AND+popcount on k rows (ReusedExchange-pinned).
     "q_segment_overlap" -> ((s: SparkSession, d: String) => graft.queries.SegmentOverlap.qSegmentOverlap(s, d)),
@@ -1129,6 +1137,19 @@ object SparkEntry {
     "q_segment_overlap" -> graft.queries.SegmentOverlap.oracleSql,
     // Same strict equality oracle over the sparse-id plant.
     "q_bitmap_sparse" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    user_id * 1099511627776 + user_id % 7 AS sid
+        |  FROM events
+        |)
+        |SELECT event_type AS scope, count(DISTINCT sid) AS n_distinct
+        |FROM e GROUP BY 1
+        |UNION ALL
+        |SELECT '__union', count(DISTINCT sid) FROM e
+        |ORDER BY scope""".stripMargin,
+    // The sharded tier answers the IDENTICAL strict-equality question:
+    // exactness must survive the range split.
+    "q_bitmap_sharded" ->
       """WITH e AS (
         |  SELECT event_type,
         |    user_id * 1099511627776 + user_id % 7 AS sid

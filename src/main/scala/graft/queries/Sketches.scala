@@ -101,9 +101,12 @@ object Sketches {
     * unchanged from the dense row.
     */
   def qBitmapSparse(spark: SparkSession, sfDir: String,
-                    buckets: Int = 32): DataFrame = {
+                    buckets: Int = 32,
+                    shardCapacity: Long = Int.MaxValue.toLong): DataFrame = {
     import graft.functions.GraftFunctions
     import org.apache.spark.sql.expressions.Window
+    require(shardCapacity > 0 && shardCapacity <= Int.MaxValue.toLong,
+      s"q_bitmap_sparse: shardCapacity $shardCapacity must fit one bitmap's index space")
     val sparse = sparseIdEvents(spark, sfDir)
 
     // localCheckpoint: the distinct-id set feeds BOTH the bucket-count
@@ -117,9 +120,6 @@ object Sketches {
     val counts = ids.groupBy("b").agg(count(lit(1)).as("c"))
       .orderBy("b").collect().map(r => r.getInt(0) -> r.getLong(1))
     val n = counts.map(_._2).sum
-    require(n <= Int.MaxValue.toLong,
-      s"q_bitmap_sparse: $n distinct ids exceed one bitmap's index space — " +
-        "range-shard the dictionary into per-shard bitmaps")
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
     val offsetsDf = spark.createDataFrame(
       counts.zip(offsets.init.map(_._2)).map { case ((b, _), off) => (b, off) }.toSeq)
@@ -128,10 +128,54 @@ object Sketches {
       .withColumn("rn", row_number().over(Window.partitionBy("b").orderBy("sid")))
       .join(broadcast(offsetsDf), "b")
       .select(col("sid"), (col("off") + col("rn") - 1).as("idx"))
+    val indexed = sparse.join(dict, "sid")
 
-    bitmapCensus(sparse.join(dict, "sid")
-      .groupBy("event_type")
-      .agg(GraftFunctions.bitmap_build(col("idx"), n.toInt).as("bm")))
+    if (n <= shardCapacity)
+      // one bitmap covers the whole re-densified domain: the dense
+      // path's one-scan aggregate, unchanged
+      bitmapCensus(indexed
+        .groupBy("event_type")
+        .agg(GraftFunctions.bitmap_build(col("idx"), n.toInt).as("bm")))
+    else
+      // the >capacity tier (at the default capacity: >2^31 distinct
+      // ids): RANGE-SHARD the contiguous index space — shard =
+      // idx / capacity, each shard its own constant-size bitmap
+      bitmapShardedCensus(indexed, shardCapacity)
+  }
+
+  /** The range-sharded census: per (group, shard) bitmaps over the
+    * shard-local index, cardinalities SUMMED across shards — exact
+    * because the dictionary index space is contiguous and the shards
+    * partition it (an id lands in exactly one shard, so per-shard
+    * cardinalities are disjoint). The union row ORs bitmaps WITHIN a
+    * shard across groups (the only sound direction — OR across shards
+    * would conflate different ids that share a local index), then sums
+    * the per-shard union cardinalities. Scale shape: identical to the
+    * dense path with `shards`× more (constant-size) aggregate states;
+    * the shuffle still carries bitmaps, never ids.
+    */
+  private[graft] def bitmapShardedCensus(indexed: DataFrame,
+                                         shardCapacity: Long): DataFrame = {
+    import graft.functions.GraftFunctions
+    val sharded = indexed
+      .withColumn("shard", (col("idx") / shardCapacity).cast("int"))
+      .withColumn("local", (col("idx") % shardCapacity).cast("long"))
+    val perShard = sharded
+      .groupBy("event_type", "shard")
+      .agg(GraftFunctions.bitmap_build(col("local"), shardCapacity.toInt).as("bm"))
+      // feeds BOTH the per-type rollup and the union row: cut the
+      // lineage so the fact join + bitmap aggregation runs once
+      .localCheckpoint()
+    val perTypeRows = perShard
+      .select(col("event_type"), GraftFunctions.bitmap_card(col("bm")).as("c"))
+      .groupBy(col("event_type").as("scope"))
+      .agg(sum("c").as("n_distinct"))
+    val unionRow = perShard
+      .groupBy("shard")
+      .agg(GraftFunctions.bitmap_or_count(col("bm")).as("c"))
+      .agg(sum("c").as("n_distinct"))
+      .select(lit("__union").as("scope"), col("n_distinct"))
+    perTypeRows.unionByName(unionRow).orderBy("scope")
   }
 
   /** The sparse plant: user ids spread to ~2^40 offsets, injectively.
