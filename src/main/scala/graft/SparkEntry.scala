@@ -445,6 +445,10 @@ object SparkEntry {
     // interchange format): census from the read-back vs the oracle's
     // census of the original parquet.
     "src_tfrecord_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.TfRecordQueries.srcTfRecordRoundtrip(s, d)),
+    // WebDataset tar-shard DSv2 source/sink round-trip (the PyTorch
+    // dataloader interchange format): POSIX ustar + consecutive-member
+    // sample grouping; census from the read-back incl. __key__.
+    "src_webdataset_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.WdsQueries.srcWebdatasetRoundtrip(s, d)),
     // The final trainer hand-off: tokenized corpus → TFRecord shards
     // (variable-length int64 lists) → read-back census.
     "corpus_export_tfrecord" -> ((s: SparkSession, d: String) => graft.text.Export.corpusExportTfRecord(s, d)),
@@ -1574,6 +1578,7 @@ object SparkEntry {
     "src_avro_roundtrip" -> graft.sources.AvroQueries.oracleSql,
     // Census of the ORIGINAL lineitem vs the TFRecord read-back census.
     "src_tfrecord_roundtrip" -> graft.sources.TfRecordQueries.oracleSql,
+    "src_webdataset_roundtrip" -> graft.sources.WdsQueries.oracleSql,
     // Census of the ORIGINAL documents vs the exported-shard read-back.
     "corpus_export_tfrecord" -> graft.text.Export.tfRecordOracleSql,
     // Every sub-formula copied verbatim from the oracle row that

@@ -1,0 +1,657 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-webdataset`: the PyTorch-ecosystem dataloader interchange
+  * format (SURVEY.md §2e) — POSIX tar shards in the WebDataset
+  * convention, the second trainer hand-off format next to
+  * `graft-tfrecord` (TF/JAX). Same shard=file discipline, different
+  * wire format, both built against PUBLIC specs:
+  *
+  *   - POSIX.1-1988 ustar tar layout: 512-byte headers (name, octal
+  *     size, checksum-over-header-with-spaces, typeflag), payload
+  *     padded to 512, two zero blocks at end;
+  *   - the WebDataset sample convention: a SAMPLE is the run of
+  *     CONSECUTIVE tar members sharing a basename key (everything
+  *     before the FIRST dot); the extension (everything after it) is
+  *     the field name. `__key__` is the sample key pseudo-column.
+  *
+  * Contracts (mirroring graft-tfrecord's):
+  *   - SHARD = FILE = read partition: tar has no sync markers or
+  *     random-access index, so the shard count IS the read
+  *     parallelism — size shards upstream (the same knob the TFRecord
+  *     gate exercises).
+  *   - Writes are exactly-once via staged-rename task commit
+  *     (`.inprogress` → `.tar` inside DataWriter.commit) + the shared
+  *     [[StagedCommit]] job protocol — zombies never publish.
+  *   - CORRUPTION IS LOUD: header checksums verify on every member;
+  *     a mismatch or truncated frame names the file and member —
+  *     never a silent sample drop.
+  *   - Column pruning reaches the scan: non-required members' payloads
+  *     are SKIPPED, not read (headers must still stream past — tar is
+  *     sequential by design).
+  *
+  * Type surface (column ↔ member payload): string ↔ UTF-8 bytes,
+  * binary ↔ raw bytes, long/double ↔ ASCII decimal (the WebDataset
+  * `.cls`-style convention; `Double.toString` round-trips exactly).
+  * A NULL column value is an ABSENT member (the absent↔null convention
+  * shared with tf.Example). A row whose non-key fields are all null
+  * would be an invisible sample — the writer rejects it loudly.
+  * Nested/array/decimal types fail at write-plan time.
+  *
+  * The sample KEY comes from the `__key__` string column (override
+  * with `option("keyColumn", ...)`); it becomes the member basename,
+  * so it must be tar-name-safe and UNIQUE PER ROW — the writer rejects
+  * adjacent duplicates (consecutive-grouping readers would silently
+  * merge the samples; WebDataset's own loaders have the same rule).
+  *
+  * Reference for surface shape: the reference engine hands trainers
+  * their data as files consumed directly
+  * (uditapatel/Parallel_SVMs Driver.java:31-49); graft-webdataset is
+  * that hand-off for tar-shard dataloaders.
+  */
+object WdsTar {
+  val BlockSize = 512
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    // POSIX numeric field: zero-padded octal, NUL terminator
+    val s = java.lang.Long.toOctalString(v)
+    val b = new Array[Byte](width)
+    val pad = width - 1 - s.length
+    require(pad >= 0, s"tar numeric field overflow: $v in $width")
+    var i = 0
+    while (i < pad) { b(i) = '0'; i += 1 }
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .copyToArray(b, pad)
+    b(width - 1) = 0
+    b
+  }
+
+  /** One member header + payload + padding. Names must fit the ustar
+    * name field (our writer generates `<key>.<column>` ≤ 100 bytes).
+    */
+  def writeEntry(out: java.io.OutputStream, name: String,
+                 payload: Array[Byte]): Unit = {
+    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nameBytes.length <= 100,
+      s"graft-webdataset: member name '$name' exceeds the 100-byte ustar field")
+    val h = new Array[Byte](BlockSize)
+    nameBytes.copyToArray(h, 0)
+    octal(420 /* 0644 */, 8).copyToArray(h, 100) // mode
+    octal(0, 8).copyToArray(h, 108) // uid
+    octal(0, 8).copyToArray(h, 116) // gid
+    octal(payload.length.toLong, 12).copyToArray(h, 124) // size
+    octal(0, 12).copyToArray(h, 136) // mtime: fixed 0 — deterministic shards
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum = spaces while summing
+    h(156) = '0' // typeflag: regular file
+    "ustar".getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(h, 257)
+    h(262) = 0; h(263) = '0'; h(264) = '0' // magic NUL + version "00"
+    var sum = 0L
+    var i = 0
+    while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+    // chksum field: 6-digit octal, NUL, space (the historical layout)
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPad = 6 - cs.length
+    i = 0
+    while (i < csPad) { h(148 + i) = '0'; i += 1 }
+    cs.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(h, 148 + csPad)
+    h(154) = 0; h(155) = ' '
+    out.write(h)
+    out.write(payload)
+    val rem = payload.length % BlockSize
+    if (rem != 0) out.write(new Array[Byte](BlockSize - rem))
+  }
+
+  def writeTrailer(out: java.io.OutputStream): Unit =
+    out.write(new Array[Byte](2 * BlockSize))
+
+  /** Sequential member reader: returns (name, payloadReader) pairs;
+    * verifies every header checksum; `skip=true` streams past the
+    * payload without materializing it (column pruning's read path).
+    */
+  final class Reader(in: java.io.InputStream, file: String) {
+    private val header = new Array[Byte](BlockSize)
+    private var sawZero = false
+
+    private def readFully(buf: Array[Byte], len: Int, what: String): Boolean = {
+      var got = 0
+      while (got < len) {
+        val n = in.read(buf, got, len - got)
+        if (n == -1) {
+          if (got == 0) return false
+          throw corrupt(s"truncated $what ($got of $len bytes)")
+        }
+        got += n
+      }
+      true
+    }
+
+    private def corrupt(why: String) = new java.io.IOException(
+      s"graft-webdataset: corrupt tar $file: $why")
+
+    private def parseOctal(off: Int, width: Int, what: String): Long = {
+      var v = 0L
+      var i = off
+      val end = off + width
+      while (i < end && (header(i) == ' '.toByte || header(i) == 0)) i += 1
+      var any = false
+      while (i < end && header(i) != 0 && header(i) != ' '.toByte) {
+        val c = header(i) - '0'
+        if (c < 0 || c > 7) throw corrupt(s"bad octal in $what")
+        v = v * 8 + c
+        any = true
+        i += 1
+      }
+      if (!any) throw corrupt(s"empty octal $what")
+      v
+    }
+
+    /** Next member as (name, size); null at clean end-of-archive. The
+      * caller must then either [[readPayload]] or [[skipPayload]].
+      */
+    def nextHeader(): (String, Long) = {
+      while (true) {
+        if (!readFully(header, BlockSize, "header")) {
+          // archives SHOULD end with two zero blocks, but a stream cut
+          // exactly at a member boundary is indistinguishable from a
+          // trailer-less archive; GNU tar accepts it, so do we
+          return null
+        }
+        if (header.forall(_ == 0)) {
+          if (sawZero) return null
+          sawZero = true
+          // one zero block: look for the second
+        } else {
+          if (sawZero) throw corrupt("data after end-of-archive zero block")
+          var sum = 0L
+          var i = 0
+          while (i < BlockSize) {
+            sum += (if (i >= 148 && i < 156) ' '.toByte else header(i)) & 0xff
+            i += 1
+          }
+          val stored = parseOctal(148, 8, "chksum")
+          if (sum != stored)
+            throw corrupt(f"header checksum mismatch ($sum%d vs $stored%d)")
+          val size = parseOctal(124, 12, "size")
+          val nameEnd = {
+            var e = 0
+            while (e < 100 && header(e) != 0) e += 1
+            e
+          }
+          var name = new String(header, 0, nameEnd,
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (header(345) != 0) { // ustar prefix field in use
+            var pe = 345
+            while (pe < 500 && header(pe) != 0) pe += 1
+            name = new String(header, 345, pe - 345,
+              java.nio.charset.StandardCharsets.UTF_8) + "/" + name
+          }
+          val tf = header(156)
+          if (tf != '0'.toByte && tf != 0)
+            throw corrupt(s"unsupported tar entry type '${tf.toChar}' for $name " +
+              "(pax/gnu extensions are outside the WebDataset shard convention)")
+          return (name, size)
+        }
+      }
+      null // unreachable
+    }
+
+    def readPayload(size: Long, name: String): Array[Byte] = {
+      if (size > Int.MaxValue - 16)
+        throw corrupt(s"member $name implausibly large ($size bytes)")
+      val buf = new Array[Byte](size.toInt)
+      if (!readFully(buf, size.toInt, s"payload of $name") && size > 0)
+        throw corrupt(s"truncated payload of $name")
+      skipPadding(size)
+      buf
+    }
+
+    def skipPayload(size: Long, name: String): Unit = {
+      var left = size
+      while (left > 0) {
+        val n = in.skip(left)
+        if (n <= 0) {
+          if (in.read() == -1) throw corrupt(s"truncated payload of $name")
+          left -= 1
+        } else left -= n
+      }
+      skipPadding(size)
+    }
+
+    private def skipPadding(size: Long): Unit = {
+      val rem = size % BlockSize
+      if (rem != 0) {
+        var left = BlockSize - rem
+        while (left > 0) {
+          val n = in.skip(left)
+          if (n <= 0) {
+            if (in.read() == -1) throw corrupt("truncated padding")
+            left -= 1
+          } else left -= n
+        }
+      }
+    }
+  }
+}
+
+private[graft] object WdsTypes {
+  val KeyColumn = "__key__"
+
+  def validate(schema: StructType, context: String): Unit =
+    schema.fields.foreach { f =>
+      if (f.name == KeyColumn) {
+        require(f.dataType == StringType,
+          s"graft-webdataset $context: $KeyColumn must be string, got ${f.dataType.simpleString}")
+      } else f.dataType match {
+        case LongType | DoubleType | StringType | BinaryType => ()
+        case other => throw new IllegalArgumentException(
+          s"graft-webdataset $context: column '${f.name}' has unsupported type " +
+            s"${other.simpleString} — the member-payload surface is " +
+            "long/double (ASCII), string (UTF-8), binary (raw)")
+      }
+    }
+
+  /** Catalyst value → member payload bytes; null → absent member. */
+  def encode(row: InternalRow, i: Int, dt: DataType): Array[Byte] =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case LongType => row.getLong(i).toString
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      case DoubleType => row.getDouble(i).toString
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      case StringType => row.getUTF8String(i).getBytes
+      case BinaryType => row.getBinary(i)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  /** Member payload bytes → Catalyst value under the required type. */
+  def decode(bytes: Array[Byte], dt: DataType, file: String, field: String): Any = {
+    def ascii = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII).trim
+    try dt match {
+      case LongType => java.lang.Long.parseLong(ascii)
+      case DoubleType => java.lang.Double.parseDouble(ascii)
+      case StringType => UTF8String.fromBytes(bytes)
+      case BinaryType => bytes
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    } catch {
+      case e: NumberFormatException => throw new java.io.IOException(
+        s"graft-webdataset: member '$field' in $file is not a valid " +
+          s"${dt.simpleString} payload", e)
+    }
+  }
+}
+
+class GraftWebDataset extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-webdataset"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-webdataset requires a path")
+    p
+  }
+
+  /** Inference = the FIRST sample of the first shard — headers + that
+    * sample's payloads only, never a data scan. Payload type guess:
+    * ASCII long → long, ASCII double → double, valid UTF-8 → string,
+    * else binary. A user schema (supportsExternalMetadata) overrides —
+    * and should, when "123" means the string. `__key__` leads.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = AvroHadoop.sessionConf()
+    val dir = new Path(pathOf(options))
+    val fs = dir.getFileSystem(conf)
+    val first = fs.listStatus(dir).filter(st => WdsFiles.isData(st.getPath.getName))
+      .sortBy(_.getPath.getName).headOption
+      .getOrElse(throw new IllegalArgumentException(s"no .tar shards under $dir"))
+    val in = new java.io.BufferedInputStream(fs.open(first.getPath), 1 << 16)
+    try {
+      val r = new WdsTar.Reader(in, first.getPath.toString)
+      val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+      var key: String = null
+      var done = false
+      while (!done) {
+        val h = r.nextHeader()
+        if (h == null) done = true
+        else {
+          val (name, size) = h
+          val dot = name.indexOf('.')
+          val (k, ext) =
+            if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+          if (key == null) key = k
+          if (k != key) done = true // first sample complete
+          else {
+            val payload = r.readPayload(size, name)
+            val ascii = new String(payload,
+              java.nio.charset.StandardCharsets.US_ASCII).trim
+            val guess: DataType =
+              if (scala.util.Try(java.lang.Long.parseLong(ascii)).isSuccess) LongType
+              else if (scala.util.Try(java.lang.Double.parseDouble(ascii)).isSuccess) DoubleType
+              else if (scala.util.Try(
+                java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+                  .decode(java.nio.ByteBuffer.wrap(payload))).isSuccess) StringType
+              else BinaryType
+            fields += ext -> guess
+          }
+        }
+      }
+      if (fields.isEmpty) throw new IllegalArgumentException(
+        s"graft-webdataset: ${first.getPath} holds no samples — supply a schema")
+      StructType(
+        StructField(WdsTypes.KeyColumn, StringType, nullable = true) +:
+          fields.map { case (n, dt) => StructField(n, dt, nullable = true) }.toSeq)
+    } finally in.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new WdsTable(schema, properties.get("path"))
+}
+
+private[graft] object WdsFiles {
+  def isData(name: String): Boolean = name.endsWith(".tar")
+}
+
+class WdsTable(tableSchema: StructType, path: String) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-webdataset:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WdsScanBuilder(tableSchema, path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    WdsTypes.validate(info.schema(), "write")
+    val keyCol = Option(info.options().get("keyColumn"))
+      .getOrElse(WdsTypes.KeyColumn)
+    require(info.schema().fieldNames.contains(keyCol),
+      s"graft-webdataset: key column '$keyCol' absent from the written schema — " +
+        "every sample needs a unique tar basename")
+    new WdsWriteBuilder(info.schema(), path, info.queryId(), truncate = false, keyCol)
+  }
+}
+
+class WdsScanBuilder(full: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = {
+    WdsTypes.validate(required, "read")
+    new WdsScan(required, path)
+  }
+}
+
+case class WdsInputPartition(file: String) extends InputPartition
+
+class WdsScan(required: StructType, path: String) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-webdataset $path ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
+    fs.listStatus(dir).filter(st => WdsFiles.isData(st.getPath.getName))
+      .sortBy(_.getPath.getName)
+      .map(st => WdsInputPartition(st.getPath.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WdsReaderFactory(required.json, AvroHadoop.toMap(AvroHadoop.sessionConf()))
+}
+
+class WdsReaderFactory(requiredJson: String, confMap: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WdsInputPartition]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    new WdsPartitionReader(p.file, required, AvroHadoop.fromMap(confMap))
+  }
+}
+
+/** Consecutive-member grouping (the WebDataset sample contract): a
+  * sample's row materializes when the basename key changes or the
+  * archive ends. Non-required members' payloads are skipped byte-wise.
+  */
+class WdsPartitionReader(file: String, required: StructType,
+                         conf: Configuration) extends PartitionReader[InternalRow] {
+  private val in = new java.io.BufferedInputStream(
+    new Path(file).getFileSystem(conf).open(new Path(file)), 1 << 16)
+  private val reader = new WdsTar.Reader(in, file)
+  private val fieldIdx: Map[String, Int] =
+    required.fieldNames.zipWithIndex.toMap
+  private val keyIdx: Int = fieldIdx.getOrElse(WdsTypes.KeyColumn, -1)
+  private val types = required.fields.map(_.dataType)
+
+  private var pendingKey: String = null
+  private var pending: Array[Any] = null
+  private var rowOut: Array[Any] = null
+  private var exhausted = false
+
+  private def flush(): Unit = {
+    if (keyIdx >= 0) pending(keyIdx) = UTF8String.fromString(pendingKey)
+    rowOut = pending
+    pending = null
+    pendingKey = null
+  }
+
+  override def next(): Boolean = {
+    if (rowOut != null) return true
+    while (!exhausted) {
+      val h = reader.nextHeader()
+      if (h == null) {
+        exhausted = true
+        if (pendingKey != null) { flush(); return true }
+        return false
+      }
+      val (name, size) = h
+      val dot = name.indexOf('.')
+      val (k, ext) = if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+      if (pendingKey != null && k != pendingKey) {
+        // current sample complete; the new member opens the next one —
+        // stash it after flushing
+        flush()
+        pendingKey = k
+        pending = new Array[Any](required.length)
+        consume(name, ext, size)
+        return true
+      }
+      if (pendingKey == null) {
+        pendingKey = k
+        pending = new Array[Any](required.length)
+      }
+      consume(name, ext, size)
+    }
+    false
+  }
+
+  private def consume(name: String, ext: String, size: Long): Unit =
+    fieldIdx.get(ext) match {
+      case Some(i) if i != keyIdx =>
+        pending(i) = WdsTypes.decode(reader.readPayload(size, name), types(i), file, ext)
+      case _ => reader.skipPayload(size, name) // pruned column: skip bytes
+    }
+
+  override def get(): InternalRow = {
+    val r = new GenericInternalRow(rowOut)
+    rowOut = null
+    r
+  }
+
+  override def close(): Unit = in.close()
+}
+
+class WdsWriteBuilder(schema: StructType, path: String, queryId: String,
+                      truncate: Boolean, keyCol: String)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new WdsWriteBuilder(schema, path, queryId, truncate = true, keyCol)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new WdsBatchWrite(schema, path, queryId, truncate, keyCol)
+  }
+}
+
+class WdsBatchWrite(schema: StructType, path: String, queryId: String,
+                    truncate: Boolean, keyCol: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(AvroHadoop.sessionConf())
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    new WdsWriterFactory(schema.json, path, queryId, keyCol,
+      AvroHadoop.toMap(AvroHadoop.sessionConf()))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    StagedCommit.jobCommit(path, queryId, truncate, WdsFiles.isData)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StagedCommit.jobAbort(path, queryId)
+}
+
+case class WdsCommit(file: String, rows: Long) extends WriterCommitMessage
+
+class WdsWriterFactory(schemaJson: String, path: String, queryId: String,
+                       keyCol: String,
+                       confMap: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new WdsDataWriter(schema, path, queryId, partitionId, taskId, keyCol,
+      AvroHadoop.fromMap(confMap))
+  }
+}
+
+class WdsDataWriter(schema: StructType, path: String, queryId: String,
+                    partitionId: Int, taskId: Long, keyCol: String,
+                    conf: Configuration) extends DataWriter[InternalRow] {
+  private val finalFile = new Path(path,
+    f"part-$partitionId%05d-$queryId-$taskId.tar")
+  private val stagedFile = new Path(path, finalFile.getName + ".inprogress")
+  private val fs = stagedFile.getFileSystem(conf)
+  private val out = new java.io.BufferedOutputStream(
+    fs.create(stagedFile, false), 1 << 16)
+  private val keyIdx = schema.fieldIndex(keyCol)
+  private val fields = schema.fields
+  private var lastKey: String = null
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(keyIdx),
+      s"graft-webdataset: null sample key (column '$keyCol')")
+    val key = row.getUTF8String(keyIdx).toString
+    require(key.nonEmpty && !key.contains('.') && !key.contains('/'),
+      s"graft-webdataset: key '$key' must be non-empty without '.' or '/' " +
+        "(the basename-to-first-dot convention)")
+    require(key != lastKey,
+      s"graft-webdataset: adjacent rows share key '$key' — consecutive-" +
+        "grouping readers would merge the samples; keys must be unique")
+    lastKey = key
+    var wrote = 0
+    var i = 0
+    while (i < fields.length) {
+      if (i != keyIdx) {
+        val payload = WdsTypes.encode(row, i, fields(i).dataType)
+        if (payload != null) {
+          WdsTar.writeEntry(out, s"$key.${fields(i).name}", payload)
+          wrote += 1
+        }
+      }
+      i += 1
+    }
+    require(wrote > 0,
+      s"graft-webdataset: sample '$key' has every field null — it would " +
+        "vanish on read (absent member == null); keep one non-null field")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    WdsTar.writeTrailer(out)
+    out.close()
+    if (!fs.rename(stagedFile, finalFile))
+      throw new java.io.IOException(
+        s"graft-webdataset: rename $stagedFile -> $finalFile failed")
+    WdsCommit(finalFile.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    if (fs.exists(stagedFile)) fs.delete(stagedFile, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** The §2e gate query for `graft-webdataset`: write a typed lineitem
+  * slice as tar shards, read it back, and report a content census FROM
+  * THE READ-BACK; the oracle computes the identical census over the
+  * ORIGINAL parquet — a hash match proves the wire format preserved
+  * every value. Census covers the full payload surface: long + double
+  * (ASCII), string (UTF-8), binary (raw), plus the `__key__` column
+  * (distinct-count pins key round-tripping). Shard count is sized to
+  * the cluster's parallelism — the format's own knob, exactly as in
+  * the TFRecord gate.
+  */
+object WdsQueries {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  def srcWebdatasetRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    // sample keys must be unique per row ((l_orderkey, l_linenumber)
+    // is NOT unique in this corpus): a partition-salted monotonic id —
+    // key VALUES vary run to run, but the census only counts them
+    // (n_keys == n_rows), which is run-stable
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        format_string("%018d", monotonically_increasing_id())
+          .as(WdsTypes.KeyColumn),
+        col("l_orderkey"),
+        col("l_quantity").as("l_qty"),
+        col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_ship"),
+        encode(col("l_returnflag"), "UTF-8").as("l_flagbin"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds-rt-")
+    try {
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.format("graft-webdataset").mode("append").save(dir.toString)
+      val census = spark.read.format("graft-webdataset").schema(df.schema)
+        .load(dir.toString).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(WdsTypes.KeyColumn).as("n_keys"),
+          sum("l_orderkey").as("sum_orderkey"),
+          sum(floor(col("l_qty") * 100 + 0.5)).as("qty_cents"),
+          countDistinct("l_returnflag").as("n_flags"),
+          sum(length(col("l_flagbin")).cast("long")).as("bin_bytes"),
+          min("l_ship").as("min_ship"),
+          max("l_ship").as("max_ship"))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(census.collect().toSeq.asJava, census.schema)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  /** The identical census over the ORIGINAL table. */
+  val oracleSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+      |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents,
+      |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+      |  CAST(sum(octet_length(encode(l_returnflag))) AS BIGINT) AS bin_bytes,
+      |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+      |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+      |FROM lineitem""".stripMargin
+}
