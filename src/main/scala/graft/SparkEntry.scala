@@ -42,6 +42,11 @@ object SparkEntry {
     "svm_solver_pin" -> ((s: SparkSession, d: String) => graft.svm.SolverPin.solverPin(s, d)),
     "svm_predict" -> SvmQueries.predictFixed _,
     "svm_evaluate" -> SvmQueries.centroidEvaluate _,
+    // Held-out evaluation of the meta-algorithms (id-parity split):
+    // per-class train AND holdout accuracy side by side for cascade +
+    // bagging — the number the reference never reports (it evaluates
+    // on its own training set). Literal-pinned trace oracle.
+    "svm_holdout_eval" -> SvmQueries.holdoutEval _,
     "svm_model_io" -> SvmQueries.modelIo _,
     "svm_kernel_gram" -> SvmQueries.kernelGram _,
     // Distributed (C, γ) grid search with 5-fold CV on the fixed noisy
@@ -904,6 +909,180 @@ object SparkEntry {
         |  SELECT vec_id, c AS pred, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM s
         |)
         |SELECT pred, count(*) AS n FROM b WHERE rn = 1 GROUP BY pred ORDER BY pred""".stripMargin,
+    // Held-out evaluation pin: like the training traces, every
+    // number is a pure function of the corpus (id-sorted SMO,
+    // deterministic split/vote), literal-pinned per corpus via the
+    // embeddings composite key; an unknown corpus selects zero rows
+    // = loud mismatch. Regenerate alongside the trace pins after
+    // touching Smo/ParallelSvm (tools/gen_trace_oracle.py notes).
+    "svm_holdout_eval" ->
+      """WITH t(algo, split, label, n, n_hit, sfc) AS (VALUES
+      |  ('bagging', 'holdout', 0, 23, 17, 50002268),
+      |  ('bagging', 'holdout', 1, 20, 5, 50002268),
+      |  ('bagging', 'holdout', 2, 33, 1, 50002268),
+      |  ('bagging', 'holdout', 3, 26, 0, 50002268),
+      |  ('bagging', 'holdout', 4, 25, 0, 50002268),
+      |  ('bagging', 'holdout', 5, 26, 1, 50002268),
+      |  ('bagging', 'holdout', 6, 21, 0, 50002268),
+      |  ('bagging', 'holdout', 7, 23, 0, 50002268),
+      |  ('bagging', 'holdout', 8, 23, 0, 50002268),
+      |  ('bagging', 'holdout', 9, 30, 3, 50002268),
+      |  ('bagging', 'train', 0, 33, 30, 50002268),
+      |  ('bagging', 'train', 1, 27, 5, 50002268),
+      |  ('bagging', 'train', 2, 21, 2, 50002268),
+      |  ('bagging', 'train', 3, 17, 0, 50002268),
+      |  ('bagging', 'train', 4, 23, 1, 50002268),
+      |  ('bagging', 'train', 5, 25, 2, 50002268),
+      |  ('bagging', 'train', 6, 21, 5, 50002268),
+      |  ('bagging', 'train', 7, 27, 5, 50002268),
+      |  ('bagging', 'train', 8, 23, 0, 50002268),
+      |  ('bagging', 'train', 9, 33, 21, 50002268),
+      |  ('cascade', 'holdout', 0, 23, 5, 50002268),
+      |  ('cascade', 'holdout', 1, 20, 2, 50002268),
+      |  ('cascade', 'holdout', 2, 33, 0, 50002268),
+      |  ('cascade', 'holdout', 3, 26, 0, 50002268),
+      |  ('cascade', 'holdout', 4, 25, 2, 50002268),
+      |  ('cascade', 'holdout', 5, 26, 4, 50002268),
+      |  ('cascade', 'holdout', 6, 21, 1, 50002268),
+      |  ('cascade', 'holdout', 7, 23, 2, 50002268),
+      |  ('cascade', 'holdout', 8, 23, 1, 50002268),
+      |  ('cascade', 'holdout', 9, 30, 2, 50002268),
+      |  ('cascade', 'train', 0, 33, 29, 50002268),
+      |  ('cascade', 'train', 1, 27, 15, 50002268),
+      |  ('cascade', 'train', 2, 21, 7, 50002268),
+      |  ('cascade', 'train', 3, 17, 10, 50002268),
+      |  ('cascade', 'train', 4, 23, 9, 50002268),
+      |  ('cascade', 'train', 5, 25, 14, 50002268),
+      |  ('cascade', 'train', 6, 21, 11, 50002268),
+      |  ('cascade', 'train', 7, 27, 20, 50002268),
+      |  ('cascade', 'train', 8, 23, 11, 50002268),
+      |  ('cascade', 'train', 9, 33, 26, 50002268),
+      |  ('bagging', 'holdout', 0, 26, 4, 50002270),
+      |  ('bagging', 'holdout', 1, 24, 9, 50002270),
+      |  ('bagging', 'holdout', 2, 17, 2, 50002270),
+      |  ('bagging', 'holdout', 3, 29, 4, 50002270),
+      |  ('bagging', 'holdout', 4, 25, 0, 50002270),
+      |  ('bagging', 'holdout', 5, 23, 0, 50002270),
+      |  ('bagging', 'holdout', 6, 22, 0, 50002270),
+      |  ('bagging', 'holdout', 7, 23, 0, 50002270),
+      |  ('bagging', 'holdout', 8, 26, 1, 50002270),
+      |  ('bagging', 'holdout', 9, 35, 0, 50002270),
+      |  ('bagging', 'train', 0, 24, 8, 50002270),
+      |  ('bagging', 'train', 1, 22, 16, 50002270),
+      |  ('bagging', 'train', 2, 30, 10, 50002270),
+      |  ('bagging', 'train', 3, 30, 16, 50002270),
+      |  ('bagging', 'train', 4, 27, 4, 50002270),
+      |  ('bagging', 'train', 5, 21, 1, 50002270),
+      |  ('bagging', 'train', 6, 24, 2, 50002270),
+      |  ('bagging', 'train', 7, 30, 6, 50002270),
+      |  ('bagging', 'train', 8, 23, 1, 50002270),
+      |  ('bagging', 'train', 9, 19, 2, 50002270),
+      |  ('cascade', 'holdout', 0, 26, 1, 50002270),
+      |  ('cascade', 'holdout', 1, 24, 5, 50002270),
+      |  ('cascade', 'holdout', 2, 17, 3, 50002270),
+      |  ('cascade', 'holdout', 3, 29, 6, 50002270),
+      |  ('cascade', 'holdout', 4, 25, 3, 50002270),
+      |  ('cascade', 'holdout', 5, 23, 0, 50002270),
+      |  ('cascade', 'holdout', 6, 22, 0, 50002270),
+      |  ('cascade', 'holdout', 7, 23, 1, 50002270),
+      |  ('cascade', 'holdout', 8, 26, 0, 50002270),
+      |  ('cascade', 'holdout', 9, 35, 1, 50002270),
+      |  ('cascade', 'train', 0, 24, 16, 50002270),
+      |  ('cascade', 'train', 1, 22, 12, 50002270),
+      |  ('cascade', 'train', 2, 30, 19, 50002270),
+      |  ('cascade', 'train', 3, 30, 25, 50002270),
+      |  ('cascade', 'train', 4, 27, 17, 50002270),
+      |  ('cascade', 'train', 5, 21, 6, 50002270),
+      |  ('cascade', 'train', 6, 24, 18, 50002270),
+      |  ('cascade', 'train', 7, 30, 20, 50002270),
+      |  ('cascade', 'train', 8, 23, 11, 50002270),
+      |  ('cascade', 'train', 9, 19, 7, 50002270),
+      |  ('bagging', 'holdout', 0, 104, 26, 200009063),
+      |  ('bagging', 'holdout', 1, 86, 9, 200009063),
+      |  ('bagging', 'holdout', 2, 118, 16, 200009063),
+      |  ('bagging', 'holdout', 3, 104, 10, 200009063),
+      |  ('bagging', 'holdout', 4, 100, 5, 200009063),
+      |  ('bagging', 'holdout', 5, 80, 9, 200009063),
+      |  ('bagging', 'holdout', 6, 83, 8, 200009063),
+      |  ('bagging', 'holdout', 7, 107, 6, 200009063),
+      |  ('bagging', 'holdout', 8, 111, 7, 200009063),
+      |  ('bagging', 'holdout', 9, 107, 1, 200009063),
+      |  ('bagging', 'train', 0, 95, 52, 200009063),
+      |  ('bagging', 'train', 1, 96, 18, 200009063),
+      |  ('bagging', 'train', 2, 100, 20, 200009063),
+      |  ('bagging', 'train', 3, 97, 25, 200009063),
+      |  ('bagging', 'train', 4, 96, 12, 200009063),
+      |  ('bagging', 'train', 5, 109, 31, 200009063),
+      |  ('bagging', 'train', 6, 111, 31, 200009063),
+      |  ('bagging', 'train', 7, 104, 24, 200009063),
+      |  ('bagging', 'train', 8, 107, 13, 200009063),
+      |  ('bagging', 'train', 9, 85, 5, 200009063),
+      |  ('cascade', 'holdout', 0, 104, 9, 200009063),
+      |  ('cascade', 'holdout', 1, 86, 3, 200009063),
+      |  ('cascade', 'holdout', 2, 118, 15, 200009063),
+      |  ('cascade', 'holdout', 3, 104, 7, 200009063),
+      |  ('cascade', 'holdout', 4, 100, 6, 200009063),
+      |  ('cascade', 'holdout', 5, 80, 11, 200009063),
+      |  ('cascade', 'holdout', 6, 83, 4, 200009063),
+      |  ('cascade', 'holdout', 7, 107, 8, 200009063),
+      |  ('cascade', 'holdout', 8, 111, 13, 200009063),
+      |  ('cascade', 'holdout', 9, 107, 0, 200009063),
+      |  ('cascade', 'train', 0, 95, 22, 200009063),
+      |  ('cascade', 'train', 1, 96, 19, 200009063),
+      |  ('cascade', 'train', 2, 100, 32, 200009063),
+      |  ('cascade', 'train', 3, 97, 26, 200009063),
+      |  ('cascade', 'train', 4, 96, 34, 200009063),
+      |  ('cascade', 'train', 5, 109, 47, 200009063),
+      |  ('cascade', 'train', 6, 111, 31, 200009063),
+      |  ('cascade', 'train', 7, 104, 44, 200009063),
+      |  ('cascade', 'train', 8, 107, 30, 200009063),
+      |  ('cascade', 'train', 9, 85, 18, 200009063),
+      |  ('bagging', 'holdout', 0, 1040, 214, 2000090630),
+      |  ('bagging', 'holdout', 1, 860, 134, 2000090630),
+      |  ('bagging', 'holdout', 2, 1180, 193, 2000090630),
+      |  ('bagging', 'holdout', 3, 1040, 111, 2000090630),
+      |  ('bagging', 'holdout', 4, 1000, 62, 2000090630),
+      |  ('bagging', 'holdout', 5, 800, 65, 2000090630),
+      |  ('bagging', 'holdout', 6, 830, 40, 2000090630),
+      |  ('bagging', 'holdout', 7, 1070, 57, 2000090630),
+      |  ('bagging', 'holdout', 8, 1110, 65, 2000090630),
+      |  ('bagging', 'holdout', 9, 1070, 19, 2000090630),
+      |  ('bagging', 'train', 0, 950, 486, 2000090630),
+      |  ('bagging', 'train', 1, 960, 372, 2000090630),
+      |  ('bagging', 'train', 2, 1000, 381, 2000090630),
+      |  ('bagging', 'train', 3, 970, 311, 2000090630),
+      |  ('bagging', 'train', 4, 960, 213, 2000090630),
+      |  ('bagging', 'train', 5, 1090, 291, 2000090630),
+      |  ('bagging', 'train', 6, 1110, 214, 2000090630),
+      |  ('bagging', 'train', 7, 1040, 211, 2000090630),
+      |  ('bagging', 'train', 8, 1070, 122, 2000090630),
+      |  ('bagging', 'train', 9, 850, 58, 2000090630),
+      |  ('cascade', 'holdout', 0, 1040, 102, 2000090630),
+      |  ('cascade', 'holdout', 1, 860, 69, 2000090630),
+      |  ('cascade', 'holdout', 2, 1180, 145, 2000090630),
+      |  ('cascade', 'holdout', 3, 1040, 104, 2000090630),
+      |  ('cascade', 'holdout', 4, 1000, 110, 2000090630),
+      |  ('cascade', 'holdout', 5, 800, 100, 2000090630),
+      |  ('cascade', 'holdout', 6, 830, 79, 2000090630),
+      |  ('cascade', 'holdout', 7, 1070, 89, 2000090630),
+      |  ('cascade', 'holdout', 8, 1110, 98, 2000090630),
+      |  ('cascade', 'holdout', 9, 1070, 32, 2000090630),
+      |  ('cascade', 'train', 0, 950, 227, 2000090630),
+      |  ('cascade', 'train', 1, 960, 215, 2000090630),
+      |  ('cascade', 'train', 2, 1000, 294, 2000090630),
+      |  ('cascade', 'train', 3, 970, 290, 2000090630),
+      |  ('cascade', 'train', 4, 960, 255, 2000090630),
+      |  ('cascade', 'train', 5, 1090, 361, 2000090630),
+      |  ('cascade', 'train', 6, 1110, 302, 2000090630),
+      |  ('cascade', 'train', 7, 1040, 302, 2000090630),
+      |  ('cascade', 'train', 8, 1070, 215, 2000090630),
+      |  ('cascade', 'train', 9, 850, 116, 2000090630))
+      |SELECT algo, split, CAST(label AS INTEGER) AS label,
+      |  CAST(n AS BIGINT) AS n, CAST(n_hit AS BIGINT) AS n_hit,
+      |  CAST(n_hit AS DOUBLE) / n AS acc
+      |FROM t
+      |WHERE sfc = (SELECT count(*)*100000 + sum(label) FROM embeddings)
+      |ORDER BY algo, split, label""".stripMargin,
     "svm_evaluate" ->
       """WITH ex AS (
         |  SELECT vec_id, label, unnest(embedding) AS x, unnest(generate_series(1, length(embedding))) AS i FROM embeddings
