@@ -105,7 +105,7 @@ object TfRecordSink {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     files.foldLeft(empty) { (acc, n) =>
-      acc.unionAll(spark.read.format("graft-tfrecord").schema(schema)
+      acc.union(spark.read.format("graft-tfrecord").schema(schema)
         .load(new Path(outDir, n).toString))
     }
   }
