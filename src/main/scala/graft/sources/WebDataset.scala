@@ -248,6 +248,19 @@ object WdsTar {
 private[graft] object WdsTypes {
   val KeyColumn = "__key__"
 
+  /** (key, extension) of a member path — the WebDataset convention:
+    * the extension is everything after the FIRST dot of the BASENAME,
+    * the key is the full path up to it. Splitting the basename (not
+    * the whole path) keeps foreign shards with dotted directory names
+    * ('imgs.v2/0001.jpg') grouping per sample instead of collapsing
+    * the whole directory into one key.
+    */
+  def splitMember(name: String): (String, String) = {
+    val base = name.lastIndexOf('/') + 1
+    val dot = name.indexOf('.', base)
+    if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+  }
+
   def validate(schema: StructType, context: String): Unit =
     schema.fields.foreach { f =>
       if (f.name == KeyColumn) {
@@ -326,9 +339,7 @@ class GraftWebDataset extends TableProvider with DataSourceRegister {
         if (h == null) done = true
         else {
           val (name, size) = h
-          val dot = name.indexOf('.')
-          val (k, ext) =
-            if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+          val (k, ext) = WdsTypes.splitMember(name)
           if (key == null) key = k
           if (k != key) done = true // first sample complete
           else {
@@ -371,8 +382,13 @@ class WdsTable(tableSchema: StructType, path: String) extends Table
     java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  // the SAME option spells the key column on both sides: a write under
+  // option("keyColumn", c) reads back under option("keyColumn", c) —
+  // a reader-side default of __key__ alone would return the custom key
+  // column as silent NULLs (round-12 self-review)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WdsScanBuilder(tableSchema, path)
+    new WdsScanBuilder(tableSchema, path,
+      Option(options.get("keyColumn")).getOrElse(WdsTypes.KeyColumn))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     WdsTypes.validate(info.schema(), "write")
@@ -381,23 +397,32 @@ class WdsTable(tableSchema: StructType, path: String) extends Table
     require(info.schema().fieldNames.contains(keyCol),
       s"graft-webdataset: key column '$keyCol' absent from the written schema — " +
         "every sample needs a unique tar basename")
+    val keyType = info.schema()(keyCol).dataType
+    require(keyType == StringType,
+      s"graft-webdataset: key column '$keyCol' must be string (it becomes the " +
+        s"tar member basename), got ${keyType.simpleString} — cast it first")
     new WdsWriteBuilder(info.schema(), path, info.queryId(), truncate = false, keyCol)
   }
 }
 
-class WdsScanBuilder(full: StructType, path: String)
+class WdsScanBuilder(full: StructType, path: String, keyCol: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = {
     WdsTypes.validate(required, "read")
-    new WdsScan(required, path)
+    required.fields.find(f => f.name == keyCol && f.dataType != StringType)
+      .foreach(f => throw new IllegalArgumentException(
+        s"graft-webdataset: key column '$keyCol' must be string, got " +
+          s"${f.dataType.simpleString}"))
+    new WdsScan(required, path, keyCol)
   }
 }
 
 case class WdsInputPartition(file: String) extends InputPartition
 
-class WdsScan(required: StructType, path: String) extends Scan with Batch {
+class WdsScan(required: StructType, path: String,
+              keyCol: String = WdsTypes.KeyColumn) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -412,15 +437,17 @@ class WdsScan(required: StructType, path: String) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WdsReaderFactory(required.json, AvroHadoop.toMap(AvroHadoop.sessionConf()))
+    new WdsReaderFactory(required.json, keyCol,
+      AvroHadoop.toMap(AvroHadoop.sessionConf()))
 }
 
-class WdsReaderFactory(requiredJson: String, confMap: Map[String, String])
+class WdsReaderFactory(requiredJson: String, keyCol: String,
+                       confMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WdsInputPartition]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    new WdsPartitionReader(p.file, required, AvroHadoop.fromMap(confMap))
+    new WdsPartitionReader(p.file, required, keyCol, AvroHadoop.fromMap(confMap))
   }
 }
 
@@ -428,14 +455,14 @@ class WdsReaderFactory(requiredJson: String, confMap: Map[String, String])
   * sample's row materializes when the basename key changes or the
   * archive ends. Non-required members' payloads are skipped byte-wise.
   */
-class WdsPartitionReader(file: String, required: StructType,
+class WdsPartitionReader(file: String, required: StructType, keyCol: String,
                          conf: Configuration) extends PartitionReader[InternalRow] {
   private val in = new java.io.BufferedInputStream(
     new Path(file).getFileSystem(conf).open(new Path(file)), 1 << 16)
   private val reader = new WdsTar.Reader(in, file)
   private val fieldIdx: Map[String, Int] =
     required.fieldNames.zipWithIndex.toMap
-  private val keyIdx: Int = fieldIdx.getOrElse(WdsTypes.KeyColumn, -1)
+  private val keyIdx: Int = fieldIdx.getOrElse(keyCol, -1)
   private val types = required.fields.map(_.dataType)
 
   private var pendingKey: String = null
@@ -460,8 +487,7 @@ class WdsPartitionReader(file: String, required: StructType,
         return false
       }
       val (name, size) = h
-      val dot = name.indexOf('.')
-      val (k, ext) = if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+      val (k, ext) = WdsTypes.splitMember(name)
       if (pendingKey != null && k != pendingKey) {
         // current sample complete; the new member opens the next one —
         // stash it after flushing

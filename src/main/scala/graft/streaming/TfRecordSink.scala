@@ -27,10 +27,14 @@ import org.apache.spark.sql.types.StructType
   * data. This is the ChainedState `_SUCCESS` batch-id idempotence
   * (round-10 verdict #2) applied to a file sink.
   *
-  * Scale shape: one manifest (O(files-per-batch) bytes) per batch; the
-  * sweep and read-back list one directory; shard = file = read
-  * partition exactly as in batch TFRecord IO, so downstream dataloader
-  * parallelism is the shard count the stream was sized to.
+  * Scale shape: one delta manifest (O(files-per-batch) bytes) per
+  * batch, COMPACTED every 10 batches into one `<id>.compact` (the
+  * FileStreamSink compact-log discipline) so a commit reads one
+  * compact + ≤10 deltas regardless of stream age — never one file per
+  * historical batch; the sweep and read-back list one directory;
+  * shard = file = read partition exactly as in batch TFRecord IO, so
+  * downstream dataloader parallelism is the shard count the stream
+  * was sized to.
   */
 object TfRecordSink {
 
@@ -48,33 +52,67 @@ object TfRecordSink {
       .filter(graft.sources.TfRecordFiles.isData).sorted.toSeq
   }
 
-  /** File names published by committed manifests, in manifest order. */
+  /** Merge every `CompactEvery`-th batch's manifests into one
+    * `<id>.compact` (the FileStreamSink compact-log discipline): the
+    * per-batch commit cost stays one compacted read + O(K) delta reads
+    * instead of growing one manifest file per batch forever — at batch
+    * 10,000 the naive shape would open 10,000 files per trigger.
+    */
+  private val CompactEvery = 10L
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path, len: Long): Seq[String] = {
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  /** (newest compact id or -1, that compact's files). */
+  private def newestCompact(fs: org.apache.hadoop.fs.FileSystem,
+                            commits: Path): (Long, Seq[String]) = {
+    if (!fs.exists(commits)) return (-1L, Seq.empty)
+    val compacts = fs.listStatus(commits)
+      .filter(_.getPath.getName.endsWith(".compact"))
+      .filter(_.getPath.getName.stripSuffix(".compact").forall(_.isDigit))
+    if (compacts.isEmpty) (-1L, Seq.empty)
+    else {
+      val st = compacts.maxBy(_.getPath.getName.stripSuffix(".compact").toLong)
+      (st.getPath.getName.stripSuffix(".compact").toLong,
+        readLines(fs, st.getPath, st.getLen))
+    }
+  }
+
+  /** File names published by committed manifests, in batch order: the
+    * newest compact's list plus the delta manifests after it.
+    */
   def committedFiles(outDir: String): Seq[String] = {
     val fs = fsOf(outDir)
     val commits = new Path(outDir, CommitsDir)
-    if (!fs.exists(commits)) Seq.empty
-    else fs.listStatus(commits)
+    if (!fs.exists(commits)) return Seq.empty
+    val (compactId, base) = newestCompact(fs, commits)
+    val deltas = fs.listStatus(commits)
       .filter(_.getPath.getName.forall(_.isDigit))
+      .filter(_.getPath.getName.toLong > compactId)
       .sortBy(_.getPath.getName.toLong)
-      .flatMap { st =>
-        val len = st.getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(st.getPath)
-        try in.readFully(0, buf) finally in.close()
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty)
-      }.toSeq
+      .flatMap(st => readLines(fs, st.getPath, st.getLen))
+    base ++ deltas
   }
 
-  /** Publish one micro-batch exactly-once: skip if this batch id's
-    * manifest exists (replay), sweep unmanifested residue (a crashed
-    * attempt), write shards, manifest the delta atomically.
+  /** Publish one micro-batch exactly-once: skip if this batch id is
+    * already committed (its delta manifest exists, or it is covered by
+    * a compact — replay), sweep unmanifested residue (a crashed
+    * attempt), write shards, manifest the delta atomically, compact
+    * every `CompactEvery` batches.
     */
   def commitBatch(df: DataFrame, batchId: Long, outDir: String): Unit = {
     val fs = fsOf(outDir)
     val commits = new Path(outDir, CommitsDir)
     val manifest = new Path(commits, batchId.toString)
     if (fs.exists(manifest)) return // replayed batch: already published
+    val (compactId, _) = newestCompact(fs, commits)
+    if (batchId <= compactId) return // replay of a compacted batch
     if (!fs.exists(commits)) fs.mkdirs(commits)
     val published = committedFiles(outDir).toSet
     // residue from a crashed attempt of this (or any) uncommitted
@@ -85,14 +123,34 @@ object TfRecordSink {
     val before = listData(outDir).toSet
     df.write.format("graft-tfrecord").mode("append").save(outDir)
     val added = listData(outDir).filterNot(before)
-    val tmp = new Path(commits, s".${batchId}.tmp")
+    writeAtomic(fs, commits, new Path(commits, s".${batchId}.tmp"), manifest,
+      added, s"batch $batchId manifest")
+    if (batchId % CompactEvery == CompactEvery - 1) {
+      val full = committedFiles(outDir) // includes the delta just written
+      val target = new Path(commits, s"$batchId.compact")
+      writeAtomic(fs, commits, new Path(commits, s".$batchId.compact.tmp"),
+        target, full, s"batch $batchId compact")
+      // superseded logs go last: a crash here leaves both forms, and
+      // committedFiles resolves compact-first so nothing double-counts
+      fs.listStatus(commits).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.forall(_.isDigit) && n.toLong <= batchId) ||
+          (n.endsWith(".compact") && n != target.getName &&
+            n.stripSuffix(".compact").forall(_.isDigit)))
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
+
+  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+                          tmp: Path, target: Path, lines: Seq[String],
+                          what: String): Unit = {
     val out = fs.create(tmp, true)
-    try out.write(added.mkString("\n").getBytes(
+    try out.write(lines.mkString("\n").getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, manifest))
-      throw new java.io.IOException(
-        s"graft-tfrecord-sink: cannot commit batch $batchId manifest")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"graft-tfrecord-sink: cannot commit $what")
   }
 
   /** Read back exactly the manifested shards (stray files are not

@@ -201,10 +201,7 @@ object SvmQueries {
       val (stats, _) = ParallelSvm.cascade(data, K, ParallelSvm.defaultParams(64),
         modelPath = Some(s"$dir/final.model"), maxSvFraction = 1.0)
       ParallelSvm.statsDf(spark, stats)
-    } finally {
-      val d = new java.io.File(dir)
-      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
-    }
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   def baggingTrain(spark: SparkSession, sfDir: String): DataFrame = {
@@ -217,10 +214,7 @@ object SvmQueries {
     try {
       val (stats, _) = ParallelSvm.bagging(data, K, ParallelSvm.defaultParams(64), modelDir)
       ParallelSvm.statsDf(spark, stats)
-    } finally {
-      val d = new java.io.File(modelDir)
-      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
-    }
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(modelDir))
   }
 
   def iterativeTrain(spark: SparkSession, sfDir: String): DataFrame = {
@@ -335,9 +329,6 @@ object SvmQueries {
         .unionByName(score("bagging", "train", train))
         .unionByName(score("bagging", "holdout", holdout))
         .orderBy("algo", "split", "label")
-    } finally {
-      val d = new java.io.File(modelDir)
-      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
-    }
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(modelDir))
   }
 }

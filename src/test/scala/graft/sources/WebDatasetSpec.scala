@@ -122,6 +122,58 @@ class WebDatasetSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("a CUSTOM keyColumn round-trips through BOTH sides of the option " +
+    "(write names the members by it, read populates it back), and a " +
+    "non-string key column fails loudly at plan time") {
+    val dir = freshDir()
+    try {
+      import spark.implicits._
+      val df = Seq(("r1", 7L, "x"), ("r2", 8L, "y"), ("r3", 9L, "z"))
+        .toDF("id", "n", "s")
+      df.coalesce(1).write.format("graft-webdataset")
+        .option("keyColumn", "id").mode("append").save(dir)
+      val back = spark.read.format("graft-webdataset")
+        .option("keyColumn", "id").schema(df.schema).load(dir)
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+        "the key column must come back populated, not silent NULLs")
+      val e = intercept[Exception] {
+        Seq((1L, "x")).toDF("id", "s").write.format("graft-webdataset")
+          .option("keyColumn", "id").mode("append").save(freshDir())
+      }
+      assert(e.getMessage.contains("must be string"),
+        s"non-string key must fail at plan time naming the rule: $e")
+    } finally rm(dir)
+  }
+
+  test("foreign shards with dotted DIRECTORY names group per sample " +
+    "(the extension splits at the basename's first dot, not the path's)") {
+    val dir = freshDir()
+    try {
+      val tar = java.nio.file.Paths.get(dir, "shard-0.tar")
+      val out = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tar))
+      // ustar prefix field is exercised by short names too — write the
+      // dotted-dir members our own writer never generates
+      WdsTar.writeEntry(out, "imgs.v2/0001.n", "1".getBytes)
+      WdsTar.writeEntry(out, "imgs.v2/0001.s", "a".getBytes)
+      WdsTar.writeEntry(out, "imgs.v2/0002.n", "2".getBytes)
+      WdsTar.writeEntry(out, "imgs.v2/0002.s", "b".getBytes)
+      WdsTar.writeTrailer(out)
+      out.close()
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("__key__", StringType), StructField("n", LongType),
+        StructField("s", StringType)))
+      val back = spark.read.format("graft-webdataset").schema(schema)
+        .load(dir).collect().sortBy(_.getString(0))
+      assert(back.length == 2, s"two samples expected, got ${back.length}")
+      assert(back.map(_.getString(0)).toSeq ==
+        Seq("imgs.v2/0001", "imgs.v2/0002"))
+      assert(back.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+      assert(back.map(_.getString(2)).toSeq == Seq("a", "b"))
+    } finally rm(dir)
+  }
+
   test("wire golden: one member's bytes are IDENTICAL to Python tarfile's " +
     "USTAR_FORMAT output (md5-pinned) — cross-implementation, not just " +
     "self-consistent") {

@@ -56,6 +56,35 @@ class TfRecordSinkSpec extends SparkSpec {
     } finally { rm(feed); rm(out); rm(ckpt) }
   }
 
+  test("manifest COMPACTION: after 12 batches the commit log is one " +
+    "compact + <=2 deltas (never one file per historical batch), " +
+    "committedFiles is unchanged across the compaction, and a replayed " +
+    "COMPACTED batch id is still a no-op") {
+    val out = freshDir("graft-tfrsink-cmp-")
+    try {
+      val records = TfRecordStream.records(spark, sf0001).limit(240)
+      (0L until 12L).foreach { id =>
+        TfRecordSink.commitBatch(
+          records.filter(col("doc_id") % 12 === id).coalesce(1), id, out)
+      }
+      val files = TfRecordSink.committedFiles(out)
+      assert(files.size == 12, s"12 batches -> 12 shards, got ${files.size}")
+      val logNames = new java.io.File(out, "_graft_commits").listFiles()
+        .map(_.getName).sorted.toSeq
+      assert(logNames.count(_.endsWith(".compact")) == 1 &&
+        logNames.count(_.forall(_.isDigit)) <= 2,
+        s"compaction must bound the commit log, got $logNames")
+      val total = TfRecordSink
+        .readCommitted(spark, TfRecordStream.feedSchema, out).count()
+      // replaying a batch id that only lives inside the compact: no-op
+      TfRecordSink.commitBatch(records.limit(7), 3L, out)
+      assert(TfRecordSink.committedFiles(out) == files &&
+        TfRecordSink.readCommitted(spark, TfRecordStream.feedSchema, out)
+          .count() == total,
+        "a replayed compacted batch id must publish nothing")
+    } finally rm(out)
+  }
+
   test("unmanifested residue (a crashed attempt's files) is swept on retry " +
     "and never read back as data") {
     val out = freshDir("graft-tfrsink-res-")
