@@ -153,6 +153,16 @@ object SparkEntry {
     // TPC-H Q20 shape: nested IN containing an inner IN + a correlated
     // scalar aggregate — stacked left-semi joins, decorrelated agg.
     "q_nested_in_scalar" -> graft.queries.NestedInScalar.qNestedInScalar _,
+    // TPC-H Q7 shape: six-table join with the disjunctive cross-nation
+    // predicate riding the equi joins as a filter (no nested loop).
+    "q_volume_shipping" -> graft.queries.VolumeShipping.qVolumeShipping _,
+    // TPC-H Q8 shape: the eight-table join feeding a CASE-inside-SUM
+    // conditional ratio; exact integer sums, one double division.
+    "q_market_share" -> graft.queries.MarketShare.qMarketShare _,
+    // TPC-H Q11 shape: grouped aggregate filtered against a fraction
+    // of its own global total — two uncorrelated scalars over one CTE,
+    // cross-multiplied to pure integer arithmetic.
+    "q_important_stock" -> graft.queries.ImportantStock.qImportantStock _,
     // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against
     // the SAME fact with an inequality correlation (other-supplier
     // lines on the same order) — left-semi + left-anti, both equi on
@@ -1396,6 +1406,15 @@ object SparkEntry {
     // aggregate; disjoint date windows keep the predicate selective.
     "q_nested_in_scalar" -> graft.queries.NestedInScalar.sql(
       "lineitem", "part", "supplier", "nation"),
+    // Q7 class: disjunctive cross-nation predicate over six tables.
+    "q_volume_shipping" -> graft.queries.VolumeShipping.sql(
+      "lineitem", "orders", "customer", "supplier", "nation"),
+    // Q8 class: eight-table conditional-ratio market share.
+    "q_market_share" -> graft.queries.MarketShare.sql(
+      "lineitem", "orders", "customer", "supplier", "part", "nation", "region"),
+    // Q11 class: fraction-of-own-total filter, integer cross-multiplied.
+    "q_important_stock" -> graft.queries.ImportantStock.sql(
+      "lineitem", "supplier", "nation"),
     // Q21 class: DuckDB decorrelates the double EXISTS/NOT EXISTS
     // itself — agreement pins the semi/anti rewrite cross-engine.
     "q_multi_exists" -> graft.queries.MultiExists.oracleSql,
