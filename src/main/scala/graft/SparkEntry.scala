@@ -163,6 +163,11 @@ object SparkEntry {
     // of its own global total — two uncorrelated scalars over one CTE,
     // cross-multiplied to pure integer arithmetic.
     "q_important_stock" -> graft.queries.ImportantStock.qImportantStock _,
+    // TPC-H Q19 shape: disjunction-of-conjunctions join predicate; the
+    // common equi conjunct must factor out (hash join, never a loop).
+    "q_disjunctive_join" -> graft.queries.DisjunctiveJoin.qDisjunctiveJoin _,
+    // TPC-H Q12 shape: two-way CASE-count priority split per class.
+    "q_ship_priority" -> graft.queries.ShipPriority.qShipPriority _,
     // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against
     // the SAME fact with an inequality correlation (other-supplier
     // lines on the same order) — left-semi + left-anti, both equi on
@@ -1415,6 +1420,10 @@ object SparkEntry {
     // Q11 class: fraction-of-own-total filter, integer cross-multiplied.
     "q_important_stock" -> graft.queries.ImportantStock.sql(
       "lineitem", "supplier", "nation"),
+    // Q19 class: both engines factor the same disjunction.
+    "q_disjunctive_join" -> graft.queries.DisjunctiveJoin.sql("lineitem", "part"),
+    // Q12 class: integer CASE counts — no rounding surface.
+    "q_ship_priority" -> graft.queries.ShipPriority.sql("lineitem", "orders"),
     // Q21 class: DuckDB decorrelates the double EXISTS/NOT EXISTS
     // itself — agreement pins the semi/anti rewrite cross-engine.
     "q_multi_exists" -> graft.queries.MultiExists.oracleSql,

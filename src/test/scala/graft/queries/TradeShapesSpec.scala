@@ -71,6 +71,49 @@ class TradeShapesSpec extends SparkSpec {
       s"degenerate shares: ${rows.mkString(", ")}")
   }
 
+  test("Q19 shape (q_disjunctive_join): the common equi conjunct factors " +
+    "out of the disjunction — a HASH join with the branch ranges as a " +
+    "residual filter, never a loop join over |lineitem|x|part|") {
+    val df = DisjunctiveJoin.qDisjunctiveJoin(spark, sf001)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"the disjunction must not degrade the join:\n$planStr")
+    assert(planStr.contains("HashJoin"),
+      s"expected a hash join on the factored p_partkey = l_partkey:\n$planStr")
+    val r = df.head()
+    assert(r.getLong(1) > 0, "the three branches must select rows")
+
+    // semantic cross-check: union of the three explicit branch filters
+    val lineitem = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf001/part.parquet")
+    val joined = lineitem.join(part, col("l_partkey") === col("p_partkey"))
+    def branch(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      joined.filter(col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) && col("l_quantity").between(qLo, qHi))
+    val expect = branch("Brand#1", 15, 1, 20)
+      .unionByName(branch("Brand#2", 25, 10, 30))
+      .unionByName(branch("Brand#3", 35, 20, 40))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(r.getLong(1) == expect,
+      s"Q19 item count drifted: ${r.getLong(1)} vs $expect")
+  }
+
+  test("Q12 shape (q_ship_priority): high + low counts partition each " +
+    "class exactly") {
+    val df = ShipPriority.qShipPriority(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val lineitem = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val total = lineitem.count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == total,
+      "every line item lands in exactly one of high/low")
+    assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(3) > 0),
+      "both CASE arms must discriminate")
+  }
+
   test("Q11 shape (q_important_stock): exactly TWO uncorrelated scalar " +
     "subqueries (count and total, each executed once), no nested loop, " +
     "and rows equal the explicit above-2x-average pipeline") {
