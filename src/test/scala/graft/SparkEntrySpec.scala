@@ -22,7 +22,9 @@ class SparkEntrySpec extends AnyFunSuite {
   test("no oracle SQL references a table outside the test schema") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    // the trailing lookahead skips EXTRACT(YEAR FROM o.o_orderdate):
+    // a qualified COLUMN after FROM is not a table reference
+    val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)(?![a-z0-9_.])".r
     SparkEntry.oracleSql.foreach { case (name, rawSql) =>
       val sql = rawSql.replaceAll("--[^\n]*", "") // prose in comments is not a reference
         .replaceAll("(?i)IS\\s+NOT\\s+DISTINCT\\s+FROM", "<=>") // the FROM in the null-safe operator is not a table ref
