@@ -597,7 +597,11 @@ object SparkEntry {
     // TFRecord shards out EXACTLY-ONCE (per-batch manifests over the
     // staged-rename batch write; replayed batch ids are no-ops);
     // census from the read-back of the sink's committed files.
-    "stream_tfrecord_sink" -> ((s: SparkSession, d: String) => graft.streaming.TfRecordSink.streamTfRecordSink(s, d))
+    "stream_tfrecord_sink" -> ((s: SparkSession, d: String) => graft.streaming.TfRecordSink.streamTfRecordSink(s, d)),
+    // Streaming ingest of WebDataset tar shards — the PyTorch-format
+    // twin of stream_tfrecord, driving the SHARED FileSetMicroBatch
+    // machinery (name-set offsets, compaction, admission control).
+    "stream_webdataset" -> ((s: SparkSession, d: String) => graft.streaming.WdsStream.streamWebdataset(s, d))
   )
 
   // DuckDB-dialect equivalents. Notes:
@@ -2279,6 +2283,9 @@ object SparkEntry {
     // the sink row's census carries the curation filter: same pinned
     // tokenizer-equivalence regex census, thresholded.
     "stream_tfrecord_sink" -> graft.streaming.TfRecordSink.oracleSql,
+    // the webdataset ingest answers the IDENTICAL census question as
+    // stream_tfrecord — same oracle text by design.
+    "stream_webdataset" -> graft.streaming.TfRecordStream.oracleSql,
     "ann_recall_atk" ->
       """SELECT * FROM (VALUES
         |  ('ivf', true, true),

@@ -380,7 +380,7 @@ class WdsTable(tableSchema: StructType, path: String) extends Table
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   // the SAME option spells the key column on both sides: a write under
   // option("keyColumn", c) reads back under option("keyColumn", c) —
@@ -388,7 +388,9 @@ class WdsTable(tableSchema: StructType, path: String) extends Table
   // column as silent NULLs (round-12 self-review)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WdsScanBuilder(tableSchema, path,
-      Option(options.get("keyColumn")).getOrElse(WdsTypes.KeyColumn))
+      Option(options.get("keyColumn")).getOrElse(WdsTypes.KeyColumn),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("offsetCompactionThreshold")).map(_.toInt).getOrElse(4096))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     WdsTypes.validate(info.schema(), "write")
@@ -405,7 +407,9 @@ class WdsTable(tableSchema: StructType, path: String) extends Table
   }
 }
 
-class WdsScanBuilder(full: StructType, path: String, keyCol: String)
+class WdsScanBuilder(full: StructType, path: String, keyCol: String,
+                     maxFilesPerTrigger: Option[Int] = None,
+                     compactionThreshold: Int = 4096)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -415,16 +419,35 @@ class WdsScanBuilder(full: StructType, path: String, keyCol: String)
       .foreach(f => throw new IllegalArgumentException(
         s"graft-webdataset: key column '$keyCol' must be string, got " +
           s"${f.dataType.simpleString}"))
-    new WdsScan(required, path, keyCol)
+    new WdsScan(required, path, keyCol, maxFilesPerTrigger, compactionThreshold)
   }
 }
 
 case class WdsInputPartition(file: String) extends InputPartition
 
 class WdsScan(required: StructType, path: String,
-              keyCol: String = WdsTypes.KeyColumn) extends Scan with Batch {
+              keyCol: String = WdsTypes.KeyColumn,
+              maxFilesPerTrigger: Option[Int] = None,
+              compactionThreshold: Int = 4096) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The webdataset instantiation of the shared shard-directory stream
+    * machinery ([[FileSetMicroBatchStream]] — file-name-set offsets,
+    * content-addressed compaction, reachability-ring snapshot GC,
+    * admission control): the PyTorch-format twin of graft-tfrecord's
+    * round-11 stream, sharing one spec-hardened implementation.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FileSetMicroBatchStream(
+      path, maxFilesPerTrigger, checkpointLocation, compactionThreshold,
+      formatName = "graft-webdataset", seenDirName = "graft-webdataset-seen",
+      isData = WdsFiles.isData,
+      makePartition = f => WdsInputPartition(f),
+      factory = () => new WdsReaderFactory(required.json, keyCol,
+        AvroHadoop.toMap(AvroHadoop.sessionConf())))
+
   override def description(): String =
     s"graft-webdataset $path ReadSchema: ${required.simpleString}"
 

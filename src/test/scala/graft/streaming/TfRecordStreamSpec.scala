@@ -90,8 +90,8 @@ class TfRecordStreamSpec extends SparkSpec {
   }
 
   test("offset json round-trips the file-name set") {
-    val o = graft.sources.TfRecordStreamOffset(Seq("b.tfrecord", "a.tfrecord.gz"))
-    val back = graft.sources.TfRecordStreamOffset.fromJson(o.json())
+    val o = graft.sources.FileSetStreamOffset(Seq("b.tfrecord", "a.tfrecord.gz"))
+    val back = graft.sources.FileSetStreamOffset.fromJson(o.json())
     assert(back.files == o.files)
   }
 
@@ -177,9 +177,9 @@ class TfRecordStreamSpec extends SparkSpec {
       // restart path: populateStartOffsets resolves the logged ref —
       // this REGISTERS it as reachable
       val resolved = stream.deserializeOffset(s"""{"compact":"${refs.head}","n":1}""")
-      assert(resolved.asInstanceOf[graft.sources.TfRecordStreamOffset]
+      assert(resolved.asInstanceOf[graft.sources.FileSetStreamOffset]
         .files == Seq(s"file-${refs.head}.tfrecord"))
-      stream.commit(new graft.sources.TfRecordStreamOffset(Seq.empty))
+      stream.commit(new graft.sources.FileSetStreamOffset(Seq.empty))
       val left = java.nio.file.Files.list(seen).iterator()
       val names = {
         import scala.jdk.CollectionConverters._
@@ -196,7 +196,7 @@ class TfRecordStreamSpec extends SparkSpec {
       val stream2 = new graft.sources.TfRecordMicroBatchStream(
         TfRecordStream.feedSchema, ckpt, None, ckpt, 4)
       assert(stream2.deserializeOffset(s"""{"compact":"${refs.head}","n":1}""")
-        .asInstanceOf[graft.sources.TfRecordStreamOffset].files.nonEmpty)
+        .asInstanceOf[graft.sources.FileSetStreamOffset].files.nonEmpty)
     } finally rm(ckpt)
   }
 }
