@@ -39,13 +39,30 @@ object TfRecordStream {
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("n_tokens", LongType)))
 
-  def streamTfRecord(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-tfr-stream-")
+  def streamTfRecord(spark: SparkSession, sfDir: String): DataFrame =
+    censusOverStream(spark, sfDir, format = "graft-tfrecord",
+      queryName = "graft_stream_tfrecord", schema = feedSchema,
+      prepare = identity)
+
+  /** One gate harness for BOTH dataloader-format ingest rows (34n/34p
+    * — round-12 self-review: the webdataset gate started as a
+    * line-for-line copy; since both answer the SAME census oracle, a
+    * census change must land in one place or the gates silently
+    * diverge): write the prepared feed as `format` shards, stream them
+    * back at [[FilesPerTrigger]], converge the per-language census in
+    * Complete mode under AvailableNow, materialize before the feed
+    * dir dies.
+    */
+  private[streaming] def censusOverStream(
+      spark: SparkSession, sfDir: String, format: String,
+      queryName: String, schema: StructType,
+      prepare: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$queryName-")
     try {
-      records(spark, sfDir).repartition(FeedShards)
-        .write.format("graft-tfrecord").mode("append").save(dir.toString)
-      val q = spark.readStream.format("graft-tfrecord")
-        .schema(feedSchema)
+      prepare(records(spark, sfDir)).repartition(FeedShards)
+        .write.format(format).mode("append").save(dir.toString)
+      val q = spark.readStream.format(format)
+        .schema(schema)
         .option("maxFilesPerTrigger", FilesPerTrigger)
         .load(dir.toString)
         .groupBy("lang")
@@ -55,11 +72,11 @@ object TfRecordStream {
         .writeStream
         .outputMode(OutputMode.Complete())
         .format("memory")
-        .queryName("graft_stream_tfrecord")
+        .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val out = spark.table("graft_stream_tfrecord").orderBy("lang")
+      val out = spark.table(queryName).orderBy("lang")
       // materialize before the feed dir is deleted
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(out.collect().toSeq.asJava, out.schema)

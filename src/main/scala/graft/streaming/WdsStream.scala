@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** `stream_webdataset` (SURVEY §2d): STREAMING ingest of a WebDataset
@@ -27,33 +26,11 @@ object WdsStream {
     StructField(graft.sources.WdsTypes.KeyColumn, StringType) +:
       TfRecordStream.feedSchema.fields.toSeq)
 
-  def streamWebdataset(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-wds-stream-")
-    try {
-      TfRecordStream.records(spark, sfDir)
-        .withColumn(graft.sources.WdsTypes.KeyColumn,
-          format_string("%012d", col("doc_id")))
-        .repartition(TfRecordStream.FeedShards)
-        .write.format("graft-webdataset").mode("append").save(dir.toString)
-      val q = spark.readStream.format("graft-webdataset")
-        .schema(feedSchema)
-        .option("maxFilesPerTrigger", TfRecordStream.FilesPerTrigger)
-        .load(dir.toString)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_tokens").as("sum_tokens"),
-          sum("doc_id").as("sum_doc_id"))
-        .writeStream
-        .outputMode(OutputMode.Complete())
-        .format("memory")
-        .queryName("graft_stream_webdataset")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = spark.table("graft_stream_webdataset").orderBy("lang")
-      // materialize before the feed dir is deleted
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
-    } finally graft.util.Fs.deleteRecursively(dir)
-  }
+  def streamWebdataset(spark: SparkSession, sfDir: String): DataFrame =
+    TfRecordStream.censusOverStream(spark, sfDir,
+      format = "graft-webdataset",
+      queryName = "graft_stream_webdataset", schema = feedSchema,
+      // every sample needs a unique tar basename — the format's key rule
+      prepare = _.withColumn(graft.sources.WdsTypes.KeyColumn,
+        format_string("%012d", col("doc_id"))))
 }
