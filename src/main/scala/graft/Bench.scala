@@ -324,9 +324,21 @@ object Bench {
     // provenance.
     val base = baselineWarm(sfDir)
     val results = acc.result()
+    // Two reprobe classes (round-12 verdict #1 / ADVICE): rows above
+    // 1.35× their committed baseline (possible contamination OR real
+    // regression — the fresh fork arbitrates), and rows with NO
+    // baseline at all (new queries), whose first published number
+    // would otherwise be an in-batch, possibly neighbor-warmed figure
+    // with no fork-per-query trust behind it. Baseline-less rows carry
+    // baseline = -1 in the artifact's `reprobed` block. The second
+    // class only fires when a baseline file parsed at all — with no
+    // baseline EVERY row is "new" and re-forking the whole suite
+    // defeats the batching.
     val blips = results.collect {
       case (n, Some((_, warm))) if base.get(n).exists(b => warm > 1.35 * b) =>
         (n, warm, base(n))
+      case (n, Some((_, warm))) if base.nonEmpty && !base.contains(n) =>
+        (n, warm, -1.0)
     }
     val reprobed = blips.map { case (n, first, b) =>
       System.err.println(f"[bench] reprobe $n: first=$first%.2f vs baseline=$b%.2f")
@@ -355,6 +367,21 @@ object Bench {
     java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
     System.err.println(s"[bench] wrote $outFile")
     println(json)
+    // Round-12 verdict #1: the driver keeps only a 2,000-byte stdout
+    // tail, and the full line above is ~6 KB — so BENCH_r{10,11,12}
+    // .json all carried `parsed: null`. Emit a SECOND, compact summary
+    // line LAST (headline total, failure list, slowest five, pointer
+    // to the complete file artifact) that stays well under the tail
+    // window, so the driver-side artifact finally parses. Failure
+    // names are capped at 10 to keep the bound even in a disaster run.
+    val warmRows = finalResults.collect { case (n, Some((_, w))) => (n, w) }
+    val slowest = warmRows.sortBy(-_._2).take(5)
+      .map { case (n, w) => f""""$n":$w%.2f""" }.mkString("{", ",", "}")
+    val failedNames = finalResults.collect { case (n, None) => n }
+    val failShown = failedNames.take(10).map("\"" + _ + "\"").mkString(",")
+    val totalWarm = warmRows.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$totalWarm%.2f,"unit":"sec","n":${finalResults.size},"failed_n":${failedNames.size},"failed":[$failShown],"slowest":$slowest,"reprobed_n":${reprobed.size},"sf":"$sfDir","harness":"$harness","full_artifact":"BENCH.out.json"}""")
   }
 }
 

@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, GlobalScalar, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, SkewAqe, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
-import graft.streaming.{AnnStream, EventStream, TfRecordStream}
+import graft.streaming.{AnnStream, EventStream, TfRecordStream, UserStatsTws}
 import graft.svm.SvmQueries
 import graft.text.TextOps
 
@@ -168,6 +168,17 @@ object SparkEntry {
     "q_disjunctive_join" -> graft.queries.DisjunctiveJoin.qDisjunctiveJoin _,
     // TPC-H Q12 shape: two-way CASE-count priority split per class.
     "q_ship_priority" -> graft.queries.ShipPriority.qShipPriority _,
+    // TPC-H Q9 shape: LIKE-filtered part through the five-table chain,
+    // expression group keys, three-table profit measure.
+    "q_profit_measure" -> graft.queries.ProfitMeasure.qProfitMeasure _,
+    // TPC-H Q10 shape: top-20 returned-item customer report —
+    // TakeOrdered, never a full sort of |customers|.
+    "q_returned_item" -> graft.queries.ReturnedItem.qReturnedItem _,
+    // TPC-H Q14 shape: two conditional aggregates over ONE fact scan.
+    "q_promo_effect" -> graft.queries.PromoEffect.qPromoEffect _,
+    // TPC-H Q16 shape: per-bucket distinct-supplier count with a
+    // NOT IN exclusion (null-aware anti + distinct expansion).
+    "q_parts_supplier" -> graft.queries.PartsSupplier.qPartsSupplier _,
     // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against
     // the SAME fact with an inequality correlation (other-supplier
     // lines on the same order) — left-semi + left-anti, both equi on
@@ -359,6 +370,10 @@ object SparkEntry {
     // and the fit row pins Lloyd's objective against its own seed.
     "corpus_cluster" -> ((s: SparkSession, d: String) => graft.dedup.Semantic.clusterRecall(s, d)),
     "ann_near_top1" -> ((s: SparkSession, d: String) => graft.dedup.NearDup.annNearTop1(s, d)),
+    // attribute-filtered ANN: the predicate runs INSIDE the list scan
+    // before top-k — the planted exact-dup decoy fails the filter, so
+    // post-filtering could not produce the pinned answer.
+    "ann_filtered" -> ((s: SparkSession, d: String) => graft.similarity.FilteredAnn.filteredTop1(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     // recall@10 among DENSE competition: every center gets 12 planted
     // neighbors at graded cosines 0.99..0.88, ground truth is the
@@ -484,6 +499,9 @@ object SparkEntry {
     "svm_feature_auc" -> ((s: SparkSession, d: String) => graft.svm.FeatureAuc.featureAuc(s, d)),
     "mm_metadata" -> Multimodal.metadataStats _,
     "mm_features" -> Multimodal.featureSummary _,
+    // real-codec leg: PNG lossless round-trip with exact channel sums,
+    // JPEG lossy round-trip with exact dims + bounded distortion.
+    "mm_jpeg" -> graft.multimodal.ImageCodec.jpegSummary _,
     "mm_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSummary(s, d)),
     // Perceptual-hash image dedup over REAL decoded PPM rasters.
     "mm_phash" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
@@ -580,6 +598,10 @@ object SparkEntry {
     // view-only and purchase-only padding per user.
     "stream_stream_full" -> ((s: SparkSession, d: String) => EventStream.runAttributionFullBounded(s, d)),
     "stream_user_stats" -> ((s: SparkSession, d: String) => EventStream.runUserStatsBounded(s, d)),
+    // the same per-user custom state on Spark 4's transformWithState
+    // (typed ValueState + TTL, RocksDB store) — must converge to the
+    // identical batch aggregate.
+    "stream_user_stats_tws" -> ((s: SparkSession, d: String) => UserStatsTws.runBounded(s, d)),
     // Streaming ordered funnel (custom state machine); must converge
     // to the batch chain, so it shares q_funnel's oracle.
     "stream_funnel" -> ((s: SparkSession, d: String) => EventStream.runFunnelBounded(s, d)),
@@ -1428,6 +1450,18 @@ object SparkEntry {
     "q_disjunctive_join" -> graft.queries.DisjunctiveJoin.sql("lineitem", "part"),
     // Q12 class: integer CASE counts — no rounding surface.
     "q_ship_priority" -> graft.queries.ShipPriority.sql("lineitem", "orders"),
+    // Q9 class: five-table profit chain, exact integer profit units.
+    "q_profit_measure" -> graft.queries.ProfitMeasure.sql(
+      "lineitem", "orders", "part", "supplier", "nation"),
+    // Q10 class: top-20 by exact-integer-derived revenue, total-order
+    // tiebreak under the LIMIT.
+    "q_returned_item" -> graft.queries.ReturnedItem.sql(
+      "lineitem", "orders", "customer", "nation"),
+    // Q14 class: one scan, two conditional BIGINT sums, one division.
+    "q_promo_effect" -> graft.queries.PromoEffect.sql("lineitem", "part"),
+    // Q16 class: NOT IN exclusion + distinct supplier count.
+    "q_parts_supplier" -> graft.queries.PartsSupplier.sql(
+      "lineitem", "part", "supplier"),
     // Q21 class: DuckDB decorrelates the double EXISTS/NOT EXISTS
     // itself — agreement pins the semi/anti rewrite cross-engine.
     "q_multi_exists" -> graft.queries.MultiExists.oracleSql,
@@ -2273,6 +2307,13 @@ object SparkEntry {
         |  ('ivf', true),
         |  ('lsh', true)) AS t(method, top1_ok)
         |ORDER BY method""".stripMargin,
+    // the filtered top-1 is the PASSING rotated plant at ≥0.90 rate
+    // (the ann_near_top1 bar); the exact-dup decoy — unfiltered top-1
+    // for EVERY probe (exact pin) — fails the filter.
+    "ann_filtered" ->
+      """SELECT * FROM (VALUES
+        |  ('ivf_filtered', true, true)
+        |) AS t(method, filtered_hit_rate_ok, decoy_is_unfiltered_top1)""".stripMargin,
     "stream_ann" ->
       """SELECT * FROM (VALUES
         |  ('lsh_stream', true, true, true)
@@ -2498,6 +2539,36 @@ object SparkEntry {
     // w=2+id%6, h=2+id%4; id%13=0 payloads truncated => malformed).
     // A parser off by one header byte shifts every raster value and
     // the histograms diverge.
+    // Real-codec gate: the oracle recomputes the PNG round-trip's exact
+    // per-channel pixel sums from the GENERATION formula (pixel (x,y)
+    // channel c value = (id*31 + c*53) % 128 + 16 + 2x + 3y — a smooth
+    // gradient, JPEG-friendly by design; dims w=4+id%5, h=3+id%4) —
+    // the engine only matches if javax.imageio decoded the PNG it
+    // encoded bit-exactly; JPEG leg pinned to exact dims + the
+    // bounded-distortion boolean (true for every well-formed image).
+    // id%13 payloads truncated to the 8-byte signature => ok=false.
+    "mm_jpeg" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |         CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents
+        |), series AS (SELECT unnest(generate_series(0, 47)) AS p),
+        |sums AS (
+        |  SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+        |    CAST(sum((media_id*31) % 128 + 16 + 2*(p % w) + 3*(p // w)) AS BIGINT) AS r_sum,
+        |    CAST(sum((media_id*31 + 53) % 128 + 16 + 2*(p % w) + 3*(p // w)) AS BIGINT) AS g_sum,
+        |    CAST(sum((media_id*31 + 106) % 128 + 16 + 2*(p % w) + 3*(p // w)) AS BIGINT) AS b_sum
+        |  FROM m JOIN series ON p < w*h WHERE media_id % 13 <> 0
+        |  GROUP BY media_id
+        |)
+        |SELECT media_id, true AS ok, w AS width, h AS height,
+        |  r_sum, g_sum, b_sum, true AS jpeg_ok,
+        |  w AS jpeg_width, h AS jpeg_height, true AS jpeg_close
+        |FROM sums
+        |UNION ALL
+        |SELECT media_id, false, 0, 0, 0, 0, 0, false, 0, 0, false
+        |FROM m WHERE media_id % 13 = 0
+        |ORDER BY media_id""".stripMargin,
     "mm_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, CAST(2 + doc_id % 6 AS INTEGER) AS w,
@@ -2888,6 +2959,14 @@ object SparkEntry {
     // batch aggregate — the custom state store is an implementation
     // detail, not a semantic.
     "stream_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value,
+        |  max(epoch_us(ts)) AS last_seen
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // transformWithState (typed ValueState + TTL) must converge to the
+    // SAME batch aggregate as the legacy flatMapGroupsWithState row —
+    // the state API is an implementation surface, not a semantic.
+    "stream_user_stats_tws" ->
       """SELECT user_id, count(*) AS n_events,
         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value,
         |  max(epoch_us(ts)) AS last_seen

@@ -157,9 +157,13 @@ object Sketches {
   private[graft] def bitmapShardedCensus(indexed: DataFrame,
                                          shardCapacity: Long): DataFrame = {
     import graft.functions.GraftFunctions
+    // `div`, not `/`: Spark's `/` on longs is IEEE double division then
+    // truncation — exact only below 2^53; integer floor division makes
+    // shard = idx div capacity hold by construction at ANY index scale
+    // (this tier exists precisely for >2^31 index spaces).
     val sharded = indexed
-      .withColumn("shard", (col("idx") / shardCapacity).cast("int"))
-      .withColumn("local", (col("idx") % shardCapacity).cast("long"))
+      .withColumn("shard", expr(s"idx div ${shardCapacity}L").cast("int"))
+      .withColumn("local", expr(s"idx % ${shardCapacity}L").cast("long"))
     val perShard = sharded
       .groupBy("event_type", "shard")
       .agg(GraftFunctions.bitmap_build(col("local"), shardCapacity.toInt).as("bm"))

@@ -121,6 +121,31 @@ object Opq {
     (r, dist)
   }
 
+  /** Bounded deterministic TRAINING sample (the Faiss practice for
+    * rotation/codebook training at scale): keep rows whose id-hash
+    * falls in a keep-window sized to ~`maxRows` of the corpus, then
+    * localCheckpoint so the alternation's repeated passes scan the
+    * sample, never the corpus. Deterministic (xxhash64 of vec_id —
+    * same rows every run, every partitioning), unbiased w.r.t. id
+    * structure (hash, not modulo — an id-stride sample would alias
+    * any id-periodic corpus structure, and the planted corpora here
+    * ARE id-periodic). Corpora at/below `maxRows` pass through whole.
+    *
+    * Size chosen by measurement on the sf1 block-structured corpus
+    * (n = 41,600): a ~1k sample underfits (sampled/fixed 0.80 vs the
+    * 0.75 contract bar), ~2k is marginal (0.76), ~4k thin (0.71),
+    * ~8k holds with margin (0.62, sampled/aligned 2.96 vs bar 3.5)
+    * while training in 10.6 s vs the full corpus's 43 s — and the
+    * cost stays CONSTANT as the corpus grows past that.
+    */
+  def trainingSample(corpus: DataFrame, maxRows: Long = 8192L): DataFrame = {
+    val n = corpus.count()
+    if (n <= maxRows) corpus
+    else corpus
+      .filter(pmod(xxhash64(col("vec_id")), lit(n)) < maxRows)
+      .localCheckpoint()
+  }
+
   /** One E+M pass for rotation `r`: (flattened Σ x·ŷᵀ, distortion
     * Σ‖R·x − ŷ‖²). Also the measurement primitive — the distortion of
     * any FIXED rotation is this pass's second component.
@@ -345,8 +370,17 @@ object Opq {
     val fixedD = distortionOf(corpus, rotationMatrix(64))
     val q = rotationMatrix(64, seed = 7777L)
     val alignedD = distortionOf(corpus, Array.tabulate(64, 64)((i, j) => q(j)(i)))
-    val (trainedR, _) = trainRotation(corpus, opqIters = 8, pqIters = 3,
-      init = Some(parametricInit(corpus)))
+    // Round-13 verdict #6 — the Faiss practice: the rotation (and its
+    // PCA init) train on a BOUNDED deterministic sample, so the ~30
+    // alternation passes scan O(sampleRows) instead of the corpus; the
+    // distortion MEASUREMENTS (and any downstream encode) stay
+    // full-corpus. At 100 TB this turns rotation training from ~30
+    // corpus scans into a constant-cost driver-side loop; the contrast
+    // booleans below hold unchanged because the sample sees every
+    // latent block (the corpus structure is id-uniform).
+    val sample = trainingSample(corpus)
+    val (trainedR, _) = trainRotation(sample, opqIters = 8, pqIters = 3,
+      init = Some(parametricInit(sample)))
     val trainedD = distortionOf(corpus, trainedR)
     Seq(
       ("fixed_insufficient", fixedD >= minFixedVsAligned * alignedD),

@@ -52,9 +52,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The sample KEY comes from the `__key__` string column (override
   * with `option("keyColumn", ...)`); it becomes the member basename,
-  * so it must be tar-name-safe and UNIQUE PER ROW — the writer rejects
-  * adjacent duplicates (consecutive-grouping readers would silently
-  * merge the samples; WebDataset's own loaders have the same rule).
+  * so it must be tar-name-safe and UNIQUE PER ROW — each writer task
+  * rejects ANY duplicate within its partition (a full per-task seen
+  * set, not just adjacency). Uniqueness ACROSS partitions is the
+  * caller's responsibility — a global check would need a shuffle the
+  * writer cannot introduce; derive keys from a unique id (the gates
+  * use monotonically_increasing_id / natural keys) and duplicates
+  * cannot arise.
   *
   * Reference for surface shape: the reference engine hands trainers
   * their data as files consumed directly
@@ -340,6 +344,13 @@ class GraftWebDataset extends TableProvider with DataSourceRegister {
         else {
           val (name, size) = h
           val (k, ext) = WdsTypes.splitMember(name)
+          // a dot-less member has no extension → it would infer a
+          // field named "" (unaddressable); fail naming the member,
+          // like the other corruption paths, rather than emit it
+          if (ext.isEmpty) throw new IllegalArgumentException(
+            s"graft-webdataset: member '$name' in ${first.getPath} has no " +
+              "extension — every member must be <key>.<field>; supply an " +
+              "explicit schema to skip inference")
           if (key == null) key = k
           if (k != key) done = true // first sample complete
           else {
@@ -596,7 +607,14 @@ class WdsDataWriter(schema: StructType, path: String, queryId: String,
     fs.create(stagedFile, false), 1 << 16)
   private val keyIdx = schema.fieldIndex(keyCol)
   private val fields = schema.fields
-  private var lastKey: String = null
+  // Uniqueness is enforced per WRITER TASK with a full seen-set, not
+  // just adjacency: a (k1, k2, k1) task would otherwise emit two tar
+  // samples with the same __key__, which the doc contract ("unique per
+  // row") and downstream WebDataset loaders assume cannot exist.
+  // Cross-partition duplicates remain the CALLER's responsibility (a
+  // global check would need a shuffle the writer cannot introduce) —
+  // stated in the WdsTable scaladoc.
+  private val seenKeys = new java.util.HashSet[String]()
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -606,10 +624,10 @@ class WdsDataWriter(schema: StructType, path: String, queryId: String,
     require(key.nonEmpty && !key.contains('.') && !key.contains('/'),
       s"graft-webdataset: key '$key' must be non-empty without '.' or '/' " +
         "(the basename-to-first-dot convention)")
-    require(key != lastKey,
-      s"graft-webdataset: adjacent rows share key '$key' — consecutive-" +
-        "grouping readers would merge the samples; keys must be unique")
-    lastKey = key
+    require(seenKeys.add(key),
+      s"graft-webdataset: duplicate sample key '$key' in this writer task — " +
+        "consecutive-grouping readers would merge adjacent duplicates and " +
+        "loaders assume __key__ is unique; keys must be unique per row")
     var wrote = 0
     var i = 0
     while (i < fields.length) {

@@ -18,7 +18,7 @@ object EventStream {
     * instants), so every bounded-parity oracle is independent of which
     * generation of test data is underneath.
     */
-  private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private[streaming] def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     FileStreams.readStream(spark, s"$sfDir/events.parquet")
   }
@@ -30,7 +30,7 @@ object EventStream {
   /** Event time as a plain micros LONG under `name` (state-fold form —
     * the custom-state operators only need ordering/arithmetic).
     */
-  private def tsAsMicrosLong(df: DataFrame, name: String): DataFrame =
+  private[streaming] def tsAsMicrosLong(df: DataFrame, name: String): DataFrame =
     tsAsTimestamp(df).withColumn(name, unix_micros(col("ts")))
 
   /** Windowed aggregation over a streaming DataFrame (1h tumbling
@@ -125,7 +125,7 @@ object EventStream {
     * largest n_events per user (the counter strictly increases across a
     * user's emissions), packed through one struct-max aggregation.
     */
-  private def finalUserStats(emissions: DataFrame): DataFrame =
+  private[streaming] def finalUserStats(emissions: DataFrame): DataFrame =
     emissions
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("total_value"), col("last_seen"))).as("fin"))

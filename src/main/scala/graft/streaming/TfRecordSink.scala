@@ -35,6 +35,13 @@ import org.apache.spark.sql.types.StructType
   * shard = file = read partition exactly as in batch TFRecord IO, so
   * downstream dataloader parallelism is the shard count the stream
   * was sized to.
+  *
+  * OWNERSHIP: the sink owns `outDir` EXCLUSIVELY. The crash-residue
+  * sweep deletes any data file its manifests do not name, so pointing
+  * a second streaming query (or a manual batch append) at the same
+  * directory loses that data — each swept file is logged by name so
+  * such a misconfiguration is visible, but the contract is one sink,
+  * one directory.
   */
 object TfRecordSink {
 
@@ -117,9 +124,19 @@ object TfRecordSink {
     val published = committedFiles(outDir).toSet
     // residue from a crashed attempt of this (or any) uncommitted
     // batch: physically present, named by no manifest — sweep so the
-    // retry's before/after diff and the final directory stay clean
-    listData(outDir).filterNot(published)
-      .foreach(n => fs.delete(new Path(outDir, n), false))
+    // retry's before/after diff and the final directory stay clean.
+    // EXCLUSIVE-OWNERSHIP CONTRACT: this sink assumes it is the only
+    // writer of outDir — any data file not named by its manifests is
+    // treated as crash residue, so a second streaming query or a
+    // manual batch append into the same directory WOULD be deleted
+    // here. Each sweep victim is logged by name so foreign-data loss
+    // is visible in the driver log, never silent.
+    listData(outDir).filterNot(published).foreach { n =>
+      System.err.println(
+        s"graft-tfrecord-sink: sweeping unmanifested file '$n' from $outDir " +
+          "(crash residue — this sink owns the directory exclusively)")
+      fs.delete(new Path(outDir, n), false)
+    }
     val before = listData(outDir).toSet
     df.write.format("graft-tfrecord").mode("append").save(outDir)
     val added = listData(outDir).filterNot(before)

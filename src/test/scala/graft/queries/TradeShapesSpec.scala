@@ -148,4 +148,122 @@ class TradeShapesSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty,
       s"Q11 drifted (${got.size} vs ${expect.size})")
   }
+
+  test("Q9 shape (q_profit_measure): no loop join through the five-table " +
+    "chain, the p_name LIKE filter reaches the part scan, and profit " +
+    "equals the explicit DataFrame pipeline") {
+    val df = ProfitMeasure.qProfitMeasure(spark, sf001)
+    assertNoLoopJoin(df)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("StringContains(p_name,red)"),
+      s"the LIKE filter must be pushed to the part scan:\n$planStr")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+
+    val lineitem = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val part = spark.read.parquet(s"$sf001/part.parquet")
+    val supplier = spark.read.parquet(s"$sf001/supplier.parquet")
+    val nation = spark.read.parquet(s"$sf001/nation.parquet")
+    val expect = lineitem
+      .join(part.filter(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg((sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100) - floor(col("l_discount") * 100 + 0.5).cast("long")) -
+        floor(col("p_retailprice") * 100 + 0.5).cast("long") * 100 *
+          floor(col("l_quantity") + 0.5).cast("long"))
+        .cast("double") / 10000).as("sum_profit"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == expect, s"Q9 drifted: ${got.size} vs ${expect.size} groups")
+  }
+
+  test("Q10 shape (q_returned_item): the LIMIT-over-aggregate is a " +
+    "TakeOrderedAndProject (per-partition top-k), never a global Sort, " +
+    "and the cut matches the explicit pipeline") {
+    val df = ReturnedItem.qReturnedItem(spark, sf001)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("TakeOrderedAndProject(limit=20"),
+      s"top-k must be TakeOrdered, not Sort+Limit:\n$planStr")
+    assert(!planStr.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort defeats the top-k:\n$planStr")
+    assert(planStr.contains("EqualTo(l_returnflag,R)"),
+      s"the returnflag filter must reach the lineitem scan:\n$planStr")
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // the cut is sorted by revenue DESC then custkey — a total order
+    val keys = rows.map(r => (-r.getDouble(2), r.getLong(0))).toSeq
+    assert(keys == keys.sorted, "result must honor the ORDER BY")
+  }
+
+  test("Q14 shape (q_promo_effect): ONE lineitem scan feeds both " +
+    "conditional aggregates (never the two-query spelling), and the " +
+    "percentage equals the explicit two-filter ratio") {
+    val df = PromoEffect.qPromoEffect(spark, sf001)
+    // pre-AQE physical plan: adaptive toString repeats the tree
+    val planStr = df.queryExecution.sparkPlan.toString
+    val scans = "lineitem\\.parquet".r.findAllIn(planStr).size
+    assert(scans == 1, s"expected exactly one lineitem scan, got $scans:\n$planStr")
+    val pct = df.head().getDouble(0)
+    assert(pct > 0.0 && pct < 100.0, s"degenerate promo share: $pct")
+
+    val lineitem = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+    val part = spark.read.parquet(s"$sf001/part.parquet")
+    val joined = lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .withColumn("volume_u",
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+    val r = joined.agg(
+      sum(when(col("p_type") === "PROMO", col("volume_u")).otherwise(0L)),
+      sum(col("volume_u"))).head()
+    val expect = 100.0 * r.getLong(0) / r.getLong(1).toDouble
+    assert(pct == expect, s"Q14 drifted: $pct vs $expect")
+  }
+
+  test("Q16 shape (q_parts_supplier): NOT IN plans as a null-aware " +
+    "broadcast anti join, the distinct count uses the two-phase " +
+    "expansion, and counts partition the supplier relation") {
+    val df = PartsSupplier.qPartsSupplier(spark, sf001)
+    // pre-AQE plan: at tiny SF, AQE may elide the anti join entirely
+    // once it observes an empty build side — the PLANNED shape is the
+    // 100 TB contract being pinned
+    val planStr = df.queryExecution.sparkPlan.toString
+    assert(planStr.contains("LeftAnti"),
+      s"NOT IN must decorrelate to an anti join:\n$planStr")
+    assert(planStr.contains("partial_count(distinct"),
+      s"distinct count must be the two-phase expansion:\n$planStr")
+    assertNoLoopJoin(df)
+
+    // semantic cross-check: per bucket, included + excluded suppliers
+    // = all suppliers of the bucket (the NOT IN partitions the set)
+    val lineitem = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf001/part.parquet")
+      .filter(col("p_brand") =!= "Brand#13" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    val supplier = spark.read.parquet(s"$sf001/supplier.parquet")
+    val bad = supplier.filter(col("s_acctbal") < 2500)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val buckets = lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct().collect()
+      .groupBy(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .map { case (k, rs) =>
+        k -> rs.map(_.getLong(3)).count(s => !bad.contains(s)).toLong
+      }
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    // buckets whose every supplier is excluded vanish (the NOT IN
+    // filters BEFORE the group-by) — they must not appear as zeros
+    assert(got == buckets.filter(_._2 > 0),
+      s"Q16 drifted: ${got.size} vs ${buckets.count(_._2 > 0)} buckets")
+    assert(got.nonEmpty && got.values.forall(_ > 0))
+  }
 }
