@@ -212,7 +212,10 @@ object Bench {
           java.nio.file.Paths.get(f)), "UTF-8")
         // the artifact is this harness's own output: the warm map is the
         // object right after "queries": — cut it out and regex the pairs
-        val sfRe = """"sf":"([^"]*)"""".r
+        // whitespace-tolerant: a hand-merged artifact (python json.dump
+        // default separators) writes `"sf": "..."` — the r13 batched run
+        // silently lost its whole baseline to the strict form
+        val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
         // normalized-path comparison: a trailing slash or relative
         // spelling must not silently disable the reprobe pass
         def norm(p: String) = java.nio.file.Paths.get(p)
@@ -225,7 +228,7 @@ object Bench {
         if (start < 0 || !sameSf) None
         else {
           val body = text.substring(start + 11, text.indexOf("}", start))
-          val pair = """"([a-z0-9_]+)":(-?[0-9.eE+-]+)""".r
+          val pair = """"([a-z0-9_]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
           Some(pair.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter(_._2 > 0) // -1 = failed row, not a baseline
