@@ -224,10 +224,17 @@ object Bench {
           .exists(m => norm(m.group(1)) == norm(sfDir))
         if (!sameSf) System.err.println(
           s"[bench] baseline $f recorded a different sf than $sfDir — no reprobes")
-        val start = text.indexOf("\"queries\":{")
-        if (start < 0 || !sameSf) None
+        // anchor must be whitespace-tolerant like the pairs: a strict
+        // "queries":{ missed python-json.dump artifacts entirely (the
+        // r13 run-1 incident), and a silent None here disarms BOTH
+        // reprobe classes — so log the parse failure loudly too
+        val anchor = """"queries"\s*:\s*\{""".r.findFirstMatchIn(text)
+        if (anchor.isEmpty) System.err.println(
+          s"[bench] baseline $f has no parseable queries map — no reprobes")
+        if (anchor.isEmpty || !sameSf) None
         else {
-          val body = text.substring(start + 11, text.indexOf("}", start))
+          val start = anchor.get.end
+          val body = text.substring(start, text.indexOf("}", start))
           val pair = """"([a-z0-9_]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
           Some(pair.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble)
@@ -318,7 +325,9 @@ object Bench {
     // then if the blip was load noise) — both numbers land in the
     // artifact so judges can separate host noise from regressions
     // without a manual re-probe cycle. Rows without a baseline (new
-    // queries) are skipped. In `full` mode the headline `queries` map
+    // queries) reprobe too, but only in `batched` mode — in `full`
+    // mode their in-suite numbers already ARE fresh-fork numbers. In
+    // `full` mode the headline `queries` map
     // keeps the original in-suite numbers (they ARE fresh-fork
     // numbers); in `batched` mode a successful reprobe REPLACES the
     // headline row — the fresh fork is the trustworthy measurement and
@@ -334,13 +343,15 @@ object Bench {
     // would otherwise be an in-batch, possibly neighbor-warmed figure
     // with no fork-per-query trust behind it. Baseline-less rows carry
     // baseline = -1 in the artifact's `reprobed` block. The second
-    // class only fires when a baseline file parsed at all — with no
-    // baseline EVERY row is "new" and re-forking the whole suite
+    // class only fires in BATCHED mode (full-mode numbers are already
+    // fresh-fork) and only when a baseline file parsed at all — with
+    // no baseline EVERY row is "new" and re-forking the whole suite
     // defeats the batching.
     val blips = results.collect {
       case (n, Some((_, warm))) if base.get(n).exists(b => warm > 1.35 * b) =>
         (n, warm, base(n))
-      case (n, Some((_, warm))) if base.nonEmpty && !base.contains(n) =>
+      case (n, Some((_, warm)))
+        if mode != "full" && base.nonEmpty && !base.contains(n) =>
         (n, warm, -1.0)
     }
     val reprobed = blips.map { case (n, first, b) =>

@@ -69,9 +69,14 @@ object ImageCodec {
     if (id % 13 == 0) java.util.Arrays.copyOf(full, 8) else full
   }
 
+  // NonFatal, not just IOException: the count-don't-crash contract must
+  // hold for REAL corrupt payloads too, and ImageIO plugin readers
+  // throw RuntimeExceptions (IndexOutOfBounds, NegativeArraySize …) on
+  // many malformed inputs the gate's signature-only truncation never
+  // exercises.
   private def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

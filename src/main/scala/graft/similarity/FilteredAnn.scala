@@ -33,9 +33,12 @@ object FilteredAnn {
 
   /** Offsets for the two planted copies per probe. Natural vec_ids stay
     * far below both (the [[graft.dedup.Dedup.PlantOffset]] discipline).
+    * `private[graft]` so the rate diagnostic ([[graft.tools
+    * .FilteredAnnProbe]]) measures the SAME plants, never a drifted
+    * hardcoded copy.
     */
-  private val FailOffset = 2000000L
-  private val PassOffset = 3000000L
+  private[graft] val FailOffset = 2000000L
+  private[graft] val PassOffset = 3000000L
 
   /** IVF query with the metadata predicate applied to the candidate
     * (vector-table) side BEFORE ranking. `vectors` must carry the

@@ -613,8 +613,13 @@ class WdsDataWriter(schema: StructType, path: String, queryId: String,
   // row") and downstream WebDataset loaders assume cannot exist.
   // Cross-partition duplicates remain the CALLER's responsibility (a
   // global check would need a shuffle the writer cannot introduce) —
-  // stated in the WdsTable scaladoc.
-  private val seenKeys = new java.util.HashSet[String]()
+  // stated in the WdsTable scaladoc. The set holds 64-bit key HASHES,
+  // not the keys (~16 B/row boxed vs ~100 B+ for strings — a
+  // many-million-row writer task must not OOM on bookkeeping); a hash
+  // collision rejects a non-duplicate LOUDLY (p ≈ n²/2⁶⁵ — vanishing
+  // below billions of rows per task, and a spurious error beats a
+  // silent duplicate).
+  private val seenKeys = new java.util.HashSet[java.lang.Long]()
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -624,7 +629,14 @@ class WdsDataWriter(schema: StructType, path: String, queryId: String,
     require(key.nonEmpty && !key.contains('.') && !key.contains('/'),
       s"graft-webdataset: key '$key' must be non-empty without '.' or '/' " +
         "(the basename-to-first-dot convention)")
-    require(seenKeys.add(key),
+    val keyHash = {
+      val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42).toLong << 32 |
+        (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 43).toLong & 0xFFFFFFFFL)
+    }
+    require(seenKeys.add(keyHash),
       s"graft-webdataset: duplicate sample key '$key' in this writer task — " +
         "consecutive-grouping readers would merge adjacent duplicates and " +
         "loaders assume __key__ is unique; keys must be unique per row")

@@ -91,6 +91,12 @@ object UserStatsTws {
       var sawData = false
       var idle = 0
       while (idle < 3) {
+        // a dead query never progresses — surface ITS failure now
+        // rather than burning the deadline and blaming the feed
+        q.exception.foreach(e => throw e)
+        if (!q.isActive)
+          throw new IllegalStateException(
+            "graft-tws: query terminated before the feed drained")
         if (System.nanoTime() > deadlineNs)
           throw new IllegalStateException(
             "graft-tws: stream did not drain within 180s — feed stuck?")

@@ -26,10 +26,11 @@ object FilteredAnnProbe {
     val unfiltered = Ivf.queryIndex(cent, index,
       data.select("vec_id", "embedding"), probes, 1, 4)
     val n = probes.count()
-    val hits = filtered.filter(col("neighbor_id") === col("probe_id") + 3000000L &&
-      col("cosine") < 1.0).count()
+    val hits = filtered.filter(
+      col("neighbor_id") === col("probe_id") + FilteredAnn.PassOffset &&
+        col("cosine") < 1.0).count()
     val decoy = unfiltered.filter(
-      col("neighbor_id") === col("probe_id") + 2000000L).count()
+      col("neighbor_id") === col("probe_id") + FilteredAnn.FailOffset).count()
     println(f"FILTANN sf=$sfDir n=$n hitRate=${hits.toDouble / n}%.4f " +
       f"decoyRate=${decoy.toDouble / n}%.4f")
     spark.stop()
