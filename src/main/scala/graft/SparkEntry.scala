@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, GlobalScalar, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, SkewAqe, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
-import graft.streaming.{AnnStream, EventStream, TfRecordStream, UserStatsTws}
+import graft.streaming.{AnnStream, EventStream, InactivityTws, TfRecordStream, UserStatsTws}
 import graft.svm.SvmQueries
 import graft.text.TextOps
 
@@ -602,6 +602,10 @@ object SparkEntry {
     // (typed ValueState + TTL, RocksDB store) — must converge to the
     // identical batch aggregate.
     "stream_user_stats_tws" -> ((s: SparkSession, d: String) => UserStatsTws.runBounded(s, d)),
+    // the TIMER leg of the same API: inactivity-closed sessions via
+    // ListState + per-key processing-time timers; timers decide WHEN
+    // rows emit, never WHAT — census equals the batch aggregate.
+    "stream_inactivity_tws" -> ((s: SparkSession, d: String) => InactivityTws.runBounded(s, d)),
     // Streaming ordered funnel (custom state machine); must converge
     // to the batch chain, so it shares q_funnel's oracle.
     "stream_funnel" -> ((s: SparkSession, d: String) => EventStream.runFunnelBounded(s, d)),
@@ -2970,6 +2974,13 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value,
         |  max(epoch_us(ts)) AS last_seen
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // timer-closed sessions: with a bounded feed every session goes
+    // inactive, so the timer emissions census == the batch aggregate.
+    "stream_inactivity_tws" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_token_budget" ->
       """WITH t AS (
