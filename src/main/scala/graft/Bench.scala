@@ -231,10 +231,14 @@ object Bench {
         val anchor = """"queries"\s*:\s*\{""".r.findFirstMatchIn(text)
         if (anchor.isEmpty) System.err.println(
           s"[bench] baseline $f has no parseable queries map — no reprobes")
-        if (anchor.isEmpty || !sameSf) None
+        val bodyEnd = anchor.map(a => text.indexOf("}", a.end)).getOrElse(-1)
+        if (anchor.nonEmpty && bodyEnd < 0) System.err.println(
+          s"[bench] baseline $f queries map is unterminated (truncated " +
+            "artifact?) — no reprobes")
+        if (anchor.isEmpty || bodyEnd < 0 || !sameSf) None
         else {
           val start = anchor.get.end
-          val body = text.substring(start, text.indexOf("}", start))
+          val body = text.substring(start, bodyEnd)
           val pair = """"([a-z0-9_]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
           Some(pair.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble)

@@ -631,10 +631,10 @@ class WdsDataWriter(schema: StructType, path: String, queryId: String,
         "(the basename-to-first-dot convention)")
     val keyHash = {
       val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42).toLong << 32 |
-        (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 43).toLong & 0xFFFFFFFFL)
+      // one 64-bit pass (XXH64), not two 32-bit Murmur passes — this is
+      // the per-row write path of a many-million-row task
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
     }
     require(seenKeys.add(keyHash),
       s"graft-webdataset: duplicate sample key '$key' in this writer task — " +

@@ -94,39 +94,37 @@ object InactivityTws {
       EventStream.rawEventStream(spark, sfDir), "ts")
     val expected = graft.queries.Analytics.loadEvents(spark, sfDir)
       .select("user_id").distinct().count()
-    withRocksDbOf(spark) {
+    UserStatsTws.withRocksDb(spark) {
       val q = closedSessions(stream, timeoutMs)
         .writeStream
         .outputMode(OutputMode.Update())
         .format("memory")
         .queryName(queryName)
         .start()
-      val deadlineNs = System.nanoTime() + 180L * 1000 * 1000 * 1000
-      try {
-        while (spark.table(queryName).count() < expected) {
-          q.exception.foreach(e => throw e)
-          if (!q.isActive) throw new IllegalStateException(
-            "graft-tws-timers: query terminated before all sessions closed")
-          if (System.nanoTime() > deadlineNs) throw new IllegalStateException(
-            s"graft-tws-timers: ${spark.table(queryName).count()} of $expected " +
-              "sessions closed within 180s — timers not firing?")
-          Thread.sleep(200)
-        }
-      } finally q.stop()
+      try awaitSessions(spark, q, queryName, expected, timeoutSec = 180)
+      finally q.stop()
       spark.table(queryName).orderBy("user_id")
     }
   }
 
-  // the same per-query RocksDB scoping as UserStatsTws
-  private[streaming] def withRocksDbOf[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  /** Poll the memory sink until `expected` sessions have emitted —
+    * failing fast on a dead query (its own exception, or a clean
+    * termination before the count is reached) rather than burning the
+    * deadline. Shared by the gate runner and the re-arm spec.
+    */
+  private[streaming] def awaitSessions(spark: SparkSession,
+                                       q: org.apache.spark.sql.streaming.StreamingQuery,
+                                       tableName: String, expected: Long,
+                                       timeoutSec: Long): Unit = {
+    val deadlineNs = System.nanoTime() + timeoutSec * 1000 * 1000 * 1000
+    while (spark.table(tableName).count() < expected) {
+      q.exception.foreach(e => throw e)
+      if (!q.isActive) throw new IllegalStateException(
+        "graft-tws-timers: query terminated before all sessions closed")
+      if (System.nanoTime() > deadlineNs) throw new IllegalStateException(
+        s"graft-tws-timers: ${spark.table(tableName).count()} of $expected " +
+          s"sessions closed within ${timeoutSec}s — timers not firing?")
+      Thread.sleep(200)
     }
   }
 }

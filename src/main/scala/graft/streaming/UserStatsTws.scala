@@ -115,7 +115,7 @@ object UserStatsTws {
     * session value after — other streaming gates in the same session
     * keep their default provider.
     */
-  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+  private[streaming] def withRocksDb[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,

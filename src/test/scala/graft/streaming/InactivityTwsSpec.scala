@@ -42,24 +42,22 @@ class InactivityTwsSpec extends SparkSpec {
     half2.repartition(1).write.mode("append").parquet(feedDir)
 
     val schema = spark.read.parquet(feedDir).schema
-    // maxFilesPerTrigger=1 → two data batches, milliseconds apart —
-    // far inside the 5 s timeout, so batch 2 must RE-ARM every timer
-    // batch 1 set; a non-re-arming processor splits each user's
-    // session in two and doubles the row count
+    // maxFilesPerTrigger=1 → two data batches, normally milliseconds
+    // apart; the 15 s timeout gives two orders of magnitude of margin
+    // over a loaded host's batch gap (wall cost only accrues AFTER the
+    // last batch), so batch 2 must RE-ARM every timer batch 1 set — a
+    // non-re-arming processor splits each user's session in two and
+    // doubles the row count
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(feedDir)
     val expected = events.select("user_id").distinct().count()
-    InactivityTws.withRocksDbOf(spark) {
-      val q = InactivityTws.closedSessions(stream, timeoutMs = 5000L)
+    UserStatsTws.withRocksDb(spark) {
+      val q = InactivityTws.closedSessions(stream, timeoutMs = 15000L)
         .writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName("inact_rearm").start()
-      val deadlineNs = System.nanoTime() + 120L * 1000 * 1000 * 1000
       try {
-        while (spark.table("inact_rearm").count() < expected) {
-          q.exception.foreach(e => throw e)
-          assert(System.nanoTime() < deadlineNs, "sessions did not close in 120s")
-          Thread.sleep(200)
-        }
+        InactivityTws.awaitSessions(spark, q, "inact_rearm", expected,
+          timeoutSec = 120)
         // give any (wrong) second emission a chance to appear
         Thread.sleep(1000)
         val rows = spark.table("inact_rearm").collect()
