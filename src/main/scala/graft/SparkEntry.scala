@@ -5,7 +5,8 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, GlobalScalar, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, SkewAqe, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
-import graft.streaming.{AnnStream, EventStream, InactivityTws, TfRecordStream, UserStatsTws}
+import graft.streaming.{AnnStream, EventStream, InactivityTws, TfRecordStream,
+  TypeCensusTws, UserStatsTws}
 import graft.svm.SvmQueries
 import graft.text.TextOps
 
@@ -606,6 +607,10 @@ object SparkEntry {
     // ListState + per-key processing-time timers; timers decide WHEN
     // rows emit, never WHAT — census equals the batch aggregate.
     "stream_inactivity_tws" -> ((s: SparkSession, d: String) => InactivityTws.runBounded(s, d)),
+    // the MAP-STATE leg: per-user event-type counters as individual
+    // store entries (per-batch work ∝ types touched, not history);
+    // TimeMode.None, so AvailableNow terminates normally.
+    "stream_type_census_tws" -> ((s: SparkSession, d: String) => TypeCensusTws.runBounded(s, d)),
     // Streaming ordered funnel (custom state machine); must converge
     // to the batch chain, so it shares q_funnel's oracle.
     "stream_funnel" -> ((s: SparkSession, d: String) => EventStream.runFunnelBounded(s, d)),
@@ -2982,6 +2987,10 @@ object SparkEntry {
         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value,
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // map-state counters must converge to the plain two-key census.
+    "stream_type_census_tws" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_token_budget" ->
       """WITH t AS (
         |  SELECT length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t,
