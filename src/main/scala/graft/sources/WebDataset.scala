@@ -55,10 +55,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * so it must be tar-name-safe and UNIQUE PER ROW — each writer task
   * rejects ANY duplicate within its partition (a full per-task seen
   * set, not just adjacency). Uniqueness ACROSS partitions is the
-  * caller's responsibility — a global check would need a shuffle the
-  * writer cannot introduce; derive keys from a unique id (the gates
-  * use monotonically_increasing_id / natural keys) and duplicates
-  * cannot arise.
+  * caller's responsibility by default — a global check would need a
+  * shuffle the writer cannot introduce; derive keys from a unique id
+  * (the gates use monotonically_increasing_id / natural keys) and
+  * duplicates cannot arise. Callers who want the guarantee enforced
+  * can `option("auditUniqueKeys", "true")`: job commit then reads the
+  * key members back (payloads pruned) and fails LOUDLY if
+  * count(distinct key) != rows across all shards in the directory —
+  * one count-distinct shuffle, off the write path.
   *
   * Reference for surface shape: the reference engine hands trainers
   * their data as files consumed directly
@@ -414,7 +418,9 @@ class WdsTable(tableSchema: StructType, path: String) extends Table
     require(keyType == StringType,
       s"graft-webdataset: key column '$keyCol' must be string (it becomes the " +
         s"tar member basename), got ${keyType.simpleString} — cast it first")
-    new WdsWriteBuilder(info.schema(), path, info.queryId(), truncate = false, keyCol)
+    val audit = Option(info.options().get("auditUniqueKeys")).exists(_.toBoolean)
+    new WdsWriteBuilder(info.schema(), path, info.queryId(), truncate = false,
+      keyCol, audit)
   }
 }
 
@@ -557,18 +563,22 @@ class WdsPartitionReader(file: String, required: StructType, keyCol: String,
 }
 
 class WdsWriteBuilder(schema: StructType, path: String, queryId: String,
-                      truncate: Boolean, keyCol: String)
+                      truncate: Boolean, keyCol: String,
+                      auditUniqueKeys: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new WdsWriteBuilder(schema, path, queryId, truncate = true, keyCol)
+    new WdsWriteBuilder(schema, path, queryId, truncate = true, keyCol,
+      auditUniqueKeys)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new WdsBatchWrite(schema, path, queryId, truncate, keyCol)
+      new WdsBatchWrite(schema, path, queryId, truncate, keyCol,
+        auditUniqueKeys)
   }
 }
 
 class WdsBatchWrite(schema: StructType, path: String, queryId: String,
-                    truncate: Boolean, keyCol: String) extends BatchWrite {
+                    truncate: Boolean, keyCol: String,
+                    auditUniqueKeys: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(AvroHadoop.sessionConf())
@@ -577,8 +587,32 @@ class WdsBatchWrite(schema: StructType, path: String, queryId: String,
       AvroHadoop.toMap(AvroHadoop.sessionConf()))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     StagedCommit.jobCommit(path, queryId, truncate, WdsFiles.isData)
+    // Opt-in CROSS-PARTITION duplicate-key audit (`auditUniqueKeys`):
+    // the per-task seen-set above cannot see across writer partitions
+    // without a shuffle the write path must not introduce, so this
+    // closes that documented hole OFF the write path — a post-publish
+    // read-back of key members only (payloads are pruned/skipped by
+    // the scan) with one count-distinct shuffle over the whole output
+    // directory. Failure is LOUD: the job errors after publish, naming
+    // the duplicate count — preferred to a silent corrupt dataset, and
+    // the caller opted into exactly this trade.
+    if (auditUniqueKeys) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val keys = spark.read.format("graft-webdataset")
+        .option("keyColumn", keyCol).load(path)
+        .select(org.apache.spark.sql.functions.col(keyCol))
+      val row = keys.agg(
+        org.apache.spark.sql.functions.count(keyCol).as("n"),
+        org.apache.spark.sql.functions.countDistinct(keyCol).as("d")).head()
+      val (n, d) = (row.getLong(0), row.getLong(1))
+      if (n != d) throw new IllegalStateException(
+        s"graft-webdataset: auditUniqueKeys found ${n - d} cross-partition " +
+          s"duplicate key(s) across $path ($n rows, $d distinct '$keyCol') — " +
+          "derive keys from a unique id so shards compose into one dataset")
+    }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     StagedCommit.jobAbort(path, queryId)
@@ -614,12 +648,13 @@ class WdsDataWriter(schema: StructType, path: String, queryId: String,
   // Cross-partition duplicates remain the CALLER's responsibility (a
   // global check would need a shuffle the writer cannot introduce) —
   // stated in the WdsTable scaladoc. The set holds 64-bit key HASHES,
-  // not the keys (~16 B/row boxed vs ~100 B+ for strings — a
-  // many-million-row writer task must not OOM on bookkeeping); a hash
-  // collision rejects a non-duplicate LOUDLY (p ≈ n²/2⁶⁵ — vanishing
-  // below billions of rows per task, and a spurious error beats a
-  // silent duplicate).
-  private val seenKeys = new java.util.HashSet[java.lang.Long]()
+  // not the keys, in a primitive open-addressing table (~16 B/row
+  // amortized, zero boxing — a many-million-row writer task must not
+  // OOM on bookkeeping; a boxed java.util.HashSet[Long] runs ~50-60
+  // B/entry); a hash collision rejects a non-duplicate LOUDLY
+  // (p ≈ n²/2⁶⁵ — vanishing below billions of rows per task, and a
+  // spurious error beats a silent duplicate).
+  private val seenKeys = new graft.util.LongHashSet()
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {

@@ -44,12 +44,16 @@ object TypeCensusTws {
       // batch changed — the point of MapState over a value-blob
       val delta = scala.collection.mutable.Map.empty[String, Long]
       rows.foreach { case (_, t) => delta(t) = delta.getOrElse(t, 0L) + 1 }
-      delta.foreach { case (t, d) =>
+      // Materialize emissions EAGERLY while the implicit grouping key
+      // is still set: a lazy iterator would call the state handle
+      // during downstream consumption, after this method returns.
+      val out = delta.iterator.map { case (t, d) =>
         val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
-        counts.updateValue(t, prev + d)
-      }
-      // emit the touched entries' new totals (Update-mode semantics)
-      delta.keysIterator.map(t => (user, t, counts.getValue(t)))
+        val total = prev + d
+        counts.updateValue(t, total)
+        (user, t, total)
+      }.toList
+      out.iterator
     }
   }
 

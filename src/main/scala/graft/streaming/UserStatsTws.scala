@@ -90,6 +90,11 @@ object UserStatsTws {
     try {
       var sawData = false
       var idle = 0
+      // Count a progress object once: lastProgress can return the SAME
+      // batch across several 200 ms polls, which would tally one empty
+      // timer-sweep batch as three and stop before a pending feed file
+      // is read. Only a batchId ADVANCE counts toward the idle quorum.
+      var prevBatchId = -1L
       while (idle < 3) {
         // a dead query never progresses — surface ITS failure now
         // rather than burning the deadline and blaming the feed
@@ -102,7 +107,8 @@ object UserStatsTws {
             "graft-tws: stream did not drain within 180s — feed stuck?")
         Thread.sleep(200)
         val p = q.lastProgress
-        if (p != null) {
+        if (p != null && p.batchId != prevBatchId) {
+          prevBatchId = p.batchId
           if (p.numInputRows > 0) { sawData = true; idle = 0 }
           else if (sawData) idle += 1
         }

@@ -98,6 +98,42 @@ class WebDatasetSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("auditUniqueKeys catches CROSS-PARTITION duplicates the per-task " +
+    "guard cannot see, and passes clean multi-partition writes") {
+    import spark.implicits._
+    // same key in two different partitions: each writer task sees it once
+    val dupAcross = Seq(("samekey", 1L), ("samekey", 2L), ("other", 3L))
+      .toDF("__key__", "n")
+      .repartition(2, col("n")) // split the dup keys across writer tasks
+    val dirBad = freshDir()
+    try {
+      // without the option the write SUCCEEDS (documented default: the
+      // global check is the caller's opt-in)
+      dupAcross.write.format("graft-webdataset").mode("append").save(dirBad)
+    } finally rm(dirBad)
+    val dirBad2 = freshDir()
+    try {
+      val e = intercept[Exception] {
+        dupAcross.write.format("graft-webdataset")
+          .option("auditUniqueKeys", "true").mode("append").save(dirBad2)
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+      assert(msg.contains("auditUniqueKeys") && msg.contains("duplicate"),
+        s"cross-partition duplicate must fail the audited write loudly: $msg")
+    } finally rm(dirBad2)
+    val dirOk = freshDir()
+    try {
+      val clean = sample.cache()
+      clean.count()
+      clean.repartition(3).write.format("graft-webdataset")
+        .option("auditUniqueKeys", "true").mode("append").save(dirOk)
+      assert(spark.read.format("graft-webdataset").schema(clean.schema)
+        .load(dirOk).count() == clean.count(),
+        "audited clean write must publish all rows")
+      clean.unpersist()
+    } finally rm(dirOk)
+  }
+
   test("corruption is loud: a flipped byte in a member header fails with " +
     "the file name and a checksum message, never a silent sample drop") {
     val dir = freshDir()
