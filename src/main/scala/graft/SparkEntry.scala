@@ -5,8 +5,8 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.queries.{Analytics, Attribution, BloomJoin, Cohort, Compact, Dpp, ExistsSubquery, Funnel, GlobalScalar, Hierarchy, HeavyHitters, Integrity, IntervalOverlap, Lateral, MarketBasket, Merge, Nested, Pagerank, Paths, RateSpike, RecursiveCte, Rfm, Sample, ScalarSubquery, Sketches, SkewAqe, Skyline, Stats, Timeline, Triangle, VariantOps, Zorder}
 import graft.similarity.{Ann, Ivf}
-import graft.streaming.{AnnStream, EventStream, InactivityTws, TfRecordStream,
-  TypeCensusTws, UserStatsTws}
+import graft.streaming.{AnnStream, EventStream, EventTimeSessionsTws,
+  InactivityTws, TfRecordStream, TypeCensusTws, UserStatsTws}
 import graft.svm.SvmQueries
 import graft.text.TextOps
 
@@ -611,6 +611,11 @@ object SparkEntry {
     // store entries (per-batch work ∝ types touched, not history);
     // TimeMode.None, so AvailableNow terminates normally.
     "stream_type_census_tws" -> ((s: SparkSession, d: String) => TypeCensusTws.runBounded(s, d)),
+    // the EVENT-TIME leg: gap sessions closed by watermark-driven
+    // timers — replay-deterministic where ProcessingTime is not;
+    // decided-region census equals the batch lag-rule sessionization
+    // under the same cutoff literal.
+    "stream_sessions_etime" -> ((s: SparkSession, d: String) => EventTimeSessionsTws.runBounded(s, d)),
     // Streaming ordered funnel (custom state machine); must converge
     // to the batch chain, so it shares q_funnel's oracle.
     "stream_funnel" -> ((s: SparkSession, d: String) => EventStream.runFunnelBounded(s, d)),
@@ -3032,6 +3037,25 @@ object SparkEntry {
         |  SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 2) AS total_value FROM f GROUP BY 1, 2
         |)
         |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events, round(sum(total_value), 2) AS total_value
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stream_sessionize's census restricted to the watermark-DECIDED
+    // region: sessions whose close horizon (last ts + 30 min gap)
+    // cleared the final watermark (max ts - 1 h delay) by a 1 s guard
+    // — the same cutoff literal the engine-side runner applies
+    // (EventTimeSessionsTws.runBounded): 1800 + 3600 + 1 = 5401 s.
+    "stream_sessions_etime" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events
+        |), f AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 2) AS total_value, max(epoch_us(ts)) AS last_us FROM f GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events, round(sum(total_value), 2) AS total_value
+        |FROM s WHERE last_us <= (SELECT max(epoch_us(ts)) FROM events) - 5401000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
