@@ -375,6 +375,7 @@ object SparkEntry {
     // before top-k — the planted exact-dup decoy fails the filter, so
     // post-filtering could not produce the pinned answer.
     "ann_filtered" -> ((s: SparkSession, d: String) => graft.similarity.FilteredAnn.filteredTop1(s, d)),
+    "ann_filtered_hnsw" -> ((s: SparkSession, d: String) => graft.similarity.FilteredAnn.filteredTop1Hnsw(s, d)),
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteForceTopK(s, d)),
     // recall@10 among DENSE competition: every center gets 12 planted
     // neighbors at graded cosines 0.99..0.88, ground truth is the
@@ -515,6 +516,11 @@ object SparkEntry {
     // Scene segmentation over the sampled frames: cut where adjacent
     // frame peaks differ > τ; peaks are bit-identical cross-engine.
     "mm_scene_cut" -> ((s: SparkSession, d: String) => Multimodal.sceneCut(s, d)),
+    // REAL video container: MJPEG-in-AVI demux (strict RIFF walk) +
+    // per-frame javax.imageio JPEG decode + luminance scene cuts;
+    // oracle recomputes frame count / dims / cut count from the id
+    // formula codec-free, malformed containers counted not crashed.
+    "mm_video" -> ((s: SparkSession, d: String) => graft.multimodal.Avi.videoSummary(s, d)),
     // REAL RIFF/PCM WAV parse (magic strings, little-endian fields,
     // chunk sizing) over arithmetic-generated audio; rate/samples/
     // duration/loudness recomputed by the oracle from the generation
@@ -2328,6 +2334,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('ivf_filtered', true, true)
         |) AS t(method, filtered_hit_rate_ok, decoy_is_unfiltered_top1)""".stripMargin,
+    // the same planted contract on the GRAPH tier: predicate evaluated
+    // inside the beam (expand-through, results passing-only) under the
+    // IVF-equal eval budget; rate bars on both legs (graph search is
+    // approximate in both directions), budget accounting pinned.
+    "ann_filtered_hnsw" ->
+      """SELECT * FROM (VALUES
+        |  ('hnsw_filtered', true, true, true)
+        |) AS t(method, filtered_hit_rate_ok, decoy_rate_ok, budget_ok)""".stripMargin,
     "stream_ann" ->
       """SELECT * FROM (VALUES
         |  ('lsh_stream', true, true, true)
@@ -2390,18 +2404,20 @@ object SparkEntry {
         |  ('plain_ivfpq', true, true)) AS t(method, planted_ok, contract_ok)
         |ORDER BY method""".stripMargin,
     // Planted duplicate shares coarse list and PQ code word -> must be
-    // the top-1 IVF-PQ neighbor at cosine 1.0.
+    // the top-1 IVF-PQ neighbor at cosine 1.0. Probe set = the shared
+    // gate rule (every 50th id under the 20k workload cap — inactive
+    // at sf <= 1, pins probes at 400 beyond: Ann.ProbeIdCap).
     "ann_ivf_pq" ->
       """SELECT vec_id AS probe_id, vec_id + 1000000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
-        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+        |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 20000 ORDER BY 1""".stripMargin,
     // Each probe's exact duplicate is planted in the corpus; the index
     // must return it as the top-1 neighbor at cosine 1.0.
     "ann_lsh" ->
       """SELECT vec_id AS probe_id, vec_id + 1000000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
-        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+        |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 20000 ORDER BY 1""".stripMargin,
     "ann_ivf" ->
       """SELECT vec_id AS probe_id, vec_id + 1000000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cosine
-        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+        |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 20000 ORDER BY 1""".stripMargin,
     "ann_ivf_delete" ->
       """SELECT * FROM (VALUES
         |  ('after', true, true),
@@ -2436,7 +2452,7 @@ object SparkEntry {
         |  round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) / length(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
     "ann_bruteforce" ->
-      """WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 50 = 0),
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 20000),
         |sc AS (
         |  SELECT p.probe_id, e.vec_id,
         |    round(CASE WHEN sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 0.0
@@ -2702,6 +2718,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND abs(peak - prev) > 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND abs(peak - prev) > 0.03 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_segments
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Expected demux+decode output from the AVI generation formula
+    // (codec-free): nFrames = 3 + id%3, dims = (8 + id%5, 6 + id%4),
+    // exactly one planted scene cut unless id%7 == 0 (flat video) or
+    // id%13 == 0 (truncated container → ok=false zero row). The
+    // engine can only reproduce n_cuts by actually decoding frames —
+    // the cut detector runs on decoded pixel luminance.
+    "mm_video" ->
+      """SELECT doc_id AS media_id,
+        |  (doc_id % 13 <> 0) AS ok,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 3 + doc_id % 3 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 8 + doc_id % 5 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 6 + doc_id % 4 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_cuts
+        |FROM documents ORDER BY media_id""".stripMargin,
     // Expected decode output from the WAV generation formula: sample i
     // of clip id is (id*31 + i*7) mod 256; 8-bit mono PCM at 8 kHz.
     "mm_audio" ->

@@ -72,16 +72,36 @@ object Ann {
         .select((col("vec_id") + offset).as("vec_id"), col("embedding")))
   }
 
+  /** Probe-id cap for the gate probe sets (round-14, the sf10 lesson):
+    * "every 50th vector" made probes a CORPUS property, so every
+    * planted-top-1 gate's cost was probes × scan = quadratic in the
+    * corpus — measured 71× at 10× data on ann_ivf_pq. Probes are a
+    * WORKLOAD property in any real serving system; bounding the probe
+    * ids to the first 20,000 id space keeps the contract deterministic
+    * and SQL-expressible (the oracle carries the same literal), is
+    * INACTIVE at sf ≤ 1 (max vec_id 19,999 — every committed artifact
+    * row is byte-identical), and pins the probe count at 400 beyond,
+    * which is what turns the measured sf1→sf10 slope linear.
+    */
+  val ProbeIdCap = 20000L
+
+  /** The shared gate probe frame: every `probeEvery`-th vector under
+    * [[ProbeIdCap]], as (probe_id, probe_vec).
+    */
+  private[similarity] def gateProbes(e: DataFrame, probeEvery: Int): DataFrame =
+    e.filter(pmod(col("vec_id"), lit(probeEvery)) === 0 &&
+      col("vec_id") < ProbeIdCap)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+
   /** Exact brute-force cosine top-k: for each probe vector (vec_id %
-    * probeEvery == 0), the k nearest others by cosine. Probes are
-    * broadcast; the corpus side streams through a single scan.
+    * probeEvery == 0 under the [[ProbeIdCap]]), the k nearest others
+    * by cosine. Probes are broadcast; the corpus side streams through
+    * a single scan.
     */
   def bruteForceTopK(spark: SparkSession, sfDir: String, k: Int = 5,
                      probeEvery: Int = 50): DataFrame = {
     val data = emb(spark, sfDir)
-    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    bruteForceTopKOf(data, probes, k)
+    bruteForceTopKOf(data, gateProbes(data, probeEvery), k)
   }
 
   /** [[bruteForceTopK]] over an arbitrary corpus and probe frame.
@@ -123,9 +143,7 @@ object Ann {
               probeEvery: Int = 50, nTables: Int = 8,
               planesPerTable: Int = 6): DataFrame = {
     val data = emb(spark, sfDir)
-    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    lshTopKOf(data, probes, k, nTables, planesPerTable)
+    lshTopKOf(data, gateProbes(data, probeEvery), k, nTables, planesPerTable)
   }
 
   /** [[lshTopK]] over an arbitrary corpus and probe frame — probes need
@@ -204,8 +222,7 @@ object Ann {
                      probeEvery: Int = 50, offset: Long = 1000000L,
                      nTables: Int = 8, planesPerTable: Int = 6): DataFrame = {
     val data = plantedEmbeddings(spark, sfDir, probeEvery, offset)
-    val probes = emb(spark, sfDir).filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val probes = gateProbes(emb(spark, sfDir), probeEvery)
     lshTopKOf(data, probes, k = 1, nTables, planesPerTable)
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .orderBy("probe_id")

@@ -92,9 +92,10 @@ object FilteredAnn {
     // otherwise re-evaluate them on every scan (measured: minutes at
     // sf1 vs seconds checkpointed)
     val data = taggedCorpus(spark, sfDir, probeEvery, passCos).localCheckpoint()
-    val probes = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    // gate probes carry the workload cap (Ann.ProbeIdCap): inactive at
+    // sf ≤ 1, keeps probes a workload property beyond
+    val probes = Ann.gateProbes(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), probeEvery)
     val cent = Ivf.trainCentroids(data.select("vec_id", "embedding"), nLists)
     val index = Ivf.assign(data, cent)
 
@@ -115,5 +116,61 @@ object FilteredAnn {
       nProbes > 0 && hits >= minRate * nProbes,
       nProbes > 0 && decoyTop == nProbes))
       .toDF("method", "filtered_hit_rate_ok", "decoy_is_unfiltered_top1")
+  }
+
+  /** The `ann_filtered_hnsw` gate (round-13 verdict #4): the SAME
+    * planted decoy/answer contract pushed into the GRAPH tier — the
+    * predicate is evaluated inside the beam ([[Hnsw
+    * .searchShardsFiltered]]: failing nodes are traversed and charged
+    * to the eval cap but never enter the result set), under the same
+    * IVF-equal eval budget as `ann_hnsw`. Post-filtering is again
+    * structurally unable to produce the pinned answer: each probe's
+    * exact-dup decoy is the unfiltered top-1 and FAILS the predicate,
+    * so a filtered-after-rank implementation returns the decoy's
+    * absence, not the rotated passing copy. Contract bars are RATES
+    * (≥ `minRate`) on BOTH legs — a graph search is approximate in
+    * both directions, unlike IVF where identical vectors provably
+    * share a centroid (the `filteredTop1` decoy leg pins == 1);
+    * measured 1.00/1.00 at sf0.01, 1.00/0.995 at sf0.1. budget_ok
+    * pins the measured per-probe summed evals ≤ cap × shards — the
+    * filtered beam runs longer WITHIN the budget, it does not get a
+    * bigger one.
+    */
+  def filteredTop1Hnsw(spark: SparkSession, sfDir: String,
+                       probeEvery: Int = 50, passCos: Double = 0.97,
+                       minRate: Double = 0.90,
+                       p: Hnsw.Params = Hnsw.Params()): DataFrame = {
+    import spark.implicits._
+    val data = taggedCorpus(spark, sfDir, probeEvery, passCos).localCheckpoint()
+    val probes = Ann.gateProbes(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), probeEvery)
+    val corpusN = data.count()
+    // the ann_hnsw budget formula: IVF's nProbe/nLists = 1/4 corpus
+    // scan fraction split across shards, floored at the graph's
+    // minimum working set (Hnsw.annHnsw scaladoc)
+    val evalCap = math.max(128, (corpusN / 4 / p.shards).toInt)
+    val filteredCands = Hnsw.searchShardsFiltered(data, probes, k = 1, p, evalCap)
+      .localCheckpoint()
+    val filtered = Hnsw.topK(filteredCands, 1)
+    val unfiltered = Hnsw.topK(
+      Hnsw.searchShards(data.select("vec_id", "embedding"), probes, k = 1, p,
+        evalCap), 1)
+    val nProbes = probes.count()
+    val hits = filtered
+      .filter(col("neighbor_id") === col("probe_id") + PassOffset &&
+        col("cosine") < 1.0).count()
+    val decoyTop = unfiltered
+      .filter(col("neighbor_id") === col("probe_id") + FailOffset).count()
+    val maxProbeEvalsRow = filteredCands
+      .groupBy("probe_id", "shard").agg(max("evals").as("e"))
+      .groupBy("probe_id").agg(sum("e").as("tot"))
+      .agg(max("tot")).head()
+    val maxProbeEvals =
+      if (maxProbeEvalsRow.isNullAt(0)) 0L else maxProbeEvalsRow.getLong(0)
+    Seq(("hnsw_filtered",
+      nProbes > 0 && hits >= minRate * nProbes,
+      nProbes > 0 && decoyTop >= minRate * nProbes,
+      maxProbeEvals <= evalCap.toLong * p.shards))
+      .toDF("method", "filtered_hit_rate_ok", "decoy_rate_ok", "budget_ok")
   }
 }

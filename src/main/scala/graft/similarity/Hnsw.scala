@@ -52,7 +52,23 @@ object Hnsw {
     * (probe_id, neighbor_id, cosine, shard, evals).
     */
   def searchShards(data: DataFrame, probes: DataFrame, k: Int,
-                   p: Params, evalCapPerShard: Int): DataFrame = {
+                   p: Params, evalCapPerShard: Int): DataFrame =
+    searchShardsFiltered(data.withColumn("allowed", lit(true)),
+      probes, k, p, evalCapPerShard)
+
+  /** Predicate-aware variant (the filtered-HNSW practice): `data`
+    * carries a boolean `allowed` column; the beam EXPANDS THROUGH
+    * failing nodes — they are visited, their distances evaluated (and
+    * charged against the cap), their edges followed — but only passing
+    * nodes enter the RESULT set. Post-filtering the unfiltered beam
+    * instead collapses at selective predicates: the ef results fill
+    * with failing near neighbors and the passing answer never makes
+    * the cut ([[graft.similarity.FilteredAnn]]'s planted contract
+    * makes that observable). The graph is built over ALL nodes —
+    * failing nodes are navigation anchors, exactly like self-copies.
+    */
+  def searchShardsFiltered(data: DataFrame, probes: DataFrame, k: Int,
+                           p: Params, evalCapPerShard: Int): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     // probes ride to every shard as a broadcast constant (they are
@@ -65,26 +81,29 @@ object Hnsw {
     val bc = spark.sparkContext.broadcast((pids, pvecs))
     val maxRows = p.maxShardRows
     data
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("allowed"),
         pmod(col("vec_id"), lit(p.shards)).cast("int").as("shard"))
-      .as[(Long, Array[Float], Int)]
-      .groupByKey(_._3)
+      .as[(Long, Array[Float], Boolean, Int)]
+      .groupByKey(_._4)
       .flatMapGroups { (shard, it) =>
         val rows = it.toArray
         if (rows.length > maxRows)
           throw new IllegalStateException(
             s"hnsw: shard $shard holds ${rows.length} rows > maxShardRows=$maxRows — " +
               "a graph shard must fit one executor; raise Params.shards")
-        java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float], Int), Long](_._1))
+        java.util.Arrays.sort(rows, Ordering.by[(Long, Array[Float], Boolean, Int), Long](_._1))
         val ids = rows.map(_._1)
         val vecs = rows.map(_._2.map(_.toDouble))
         val norms = vecs.map(v => math.sqrt(dot(v, v)))
+        val allowed: Array[Boolean] = rows.map(_._3)
+        val allAllowed = !allowed.contains(false)
+        val mask = if (allAllowed) null else allowed
         val (probeIds, probeVecs) = bc.value
         val g = buildAdj(vecs, norms, p)
         probeIds.indices.iterator.flatMap { pi =>
           val q = probeVecs(pi)
           val (found, evals) = beamSearchUpTo(vecs, norms, g, vecs.length, q,
-            math.sqrt(dot(q, q)), math.max(p.efSearch, k), evalCapPerShard)
+            math.sqrt(dot(q, q)), math.max(p.efSearch, k), evalCapPerShard, mask)
           // self-pairs are skipped in the ANSWER (the brute-force
           // ground truth's `vec_id =!= probe_id` contract) but kept in
           // the beam — a corpus copy of the probe is the best possible
@@ -179,7 +198,7 @@ object Hnsw {
     var i = 1
     while (i < n) {
       val (found, _) = beamSearchUpTo(vecs, norms, adj, i, vecs(i),
-        norms(i), p.efConstruction, Int.MaxValue)
+        norms(i), p.efConstruction, Int.MaxValue, null)
       selectDiverse(i, found, p.m).foreach { nb =>
         adj(i) += nb
         adj(nb) += i
@@ -196,11 +215,21 @@ object Hnsw {
     * cap is reached. Ties break (sim desc, id asc) everywhere —
     * deterministic. Returns (results sorted best-first, #distance
     * evals).
+    *
+    * `allowed` (null = unfiltered): nodes failing the mask are
+    * traversed normally — visited, evaluated (charged to the cap),
+    * expanded, and kept in the FRONTIER — but never enter `results`,
+    * so the ef result slots hold passing candidates only. The
+    * termination test compares the frontier against the passing
+    * results' worst, which is exactly why a selective predicate makes
+    * the beam run LONGER instead of returning failing rows: the
+    * filtered-HNSW expand-through rule.
     */
   private def beamSearchUpTo(vecs: Array[Array[Double]], norms: Array[Double],
                              adj: IndexedSeq[scala.collection.mutable.ArrayBuffer[Int]],
                              limit: Int, q: Array[Double], qNorm: Double,
-                             ef: Int, evalCap: Int): (Seq[(Int, Double)], Long) = {
+                             ef: Int, evalCap: Int,
+                             allowed: Array[Boolean]): (Seq[(Int, Double)], Long) = {
     if (limit <= 0) return (Seq.empty, 0L)
     val ord = Ordering.by[(Int, Double), (Double, Int)] { case (id, sim) => (sim, -id) }
     val frontier = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](ord)
@@ -211,6 +240,7 @@ object Hnsw {
       evals += 1
       cosine(q, qNorm, vecs(node), norms(node))
     }
+    def ok(node: Int): Boolean = allowed == null || allowed(node)
     // strided entry seeds, not one fixed entry: greedy descent from a
     // single node spends most of a tight eval cap traversing; 8
     // deterministic scattered seeds put the best one near the target
@@ -225,7 +255,7 @@ object Hnsw {
         visited.set(entry)
         val eSim = simOf(entry)
         frontier.enqueue((entry, eSim))
-        results.enqueue((entry, eSim))
+        if (ok(entry)) results.enqueue((entry, eSim))
       }
       s += 1
     }
@@ -245,8 +275,10 @@ object Hnsw {
             val w = if (results.size < ef) Double.NegativeInfinity else results.head._2
             if (s > w || results.size < ef) {
               frontier.enqueue((nb, s))
-              results.enqueue((nb, s))
-              if (results.size > ef) results.dequeue()
+              if (ok(nb)) {
+                results.enqueue((nb, s))
+                if (results.size > ef) results.dequeue()
+              }
             }
           }
           j += 1

@@ -76,6 +76,27 @@ object Ivf {
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
   }
 
+  /** [[trainCentroids]] on a bounded deterministic id-hash sample
+    * (the [[Opq.trainingSample]] practice, round-13) — the k-means
+    * cost at √n-scaled nLists would otherwise be iters × n × nLists ×
+    * dim. The sample is renumbered DENSELY before training:
+    * [[initCentroids]]' stride seeding assumes a gap-free id space,
+    * and a hash sample of an offset-planted corpus is anything but —
+    * un-renumbered it seeds a fraction of nLists and Lloyd starts
+    * crippled. Only the embeddings leave the renumber; centroid output
+    * is id-free, so callers assign the FULL corpus against it as
+    * always.
+    */
+  def trainCentroidsOnSample(data: DataFrame, nLists: Int, iters: Int = 3,
+                             maxRows: Long = 20000L): DataFrame = {
+    val sample = Opq.trainingSample(data.select("vec_id", "embedding"), maxRows)
+    val dense = sample
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long")
+        .as("vec_id"), col("embedding"))
+      .localCheckpoint() // iters passes scan the renumbered sample, not re-sort it
+    trainCentroids(dense, nLists, iters)
+  }
+
   /** Nearest-centroid assignment: (vec_id, list_id). The centroids are
     * k×dim doubles — driver-local by construction — so the argmin is
     * ONE codegen expression over literal centroid arrays: a narrow map
@@ -130,9 +151,7 @@ object Ivf {
               probeEvery: Int = 50, nLists: Int = 16, nProbe: Int = 4,
               iters: Int = 3): DataFrame = {
     val data = emb(spark, sfDir)
-    val probes = data.filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    ivfTopKOf(data, probes, k, nLists, nProbe, iters)
+    ivfTopKOf(data, Ann.gateProbes(data, probeEvery), k, nLists, nProbe, iters)
   }
 
   /** [[ivfTopK]] over an arbitrary corpus and probe frame. */
@@ -242,8 +261,7 @@ object Ivf {
                      probeEvery: Int = 50, offset: Long = 1000000L,
                      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val data = Ann.plantedEmbeddings(spark, sfDir, probeEvery, offset)
-    val probes = emb(spark, sfDir).filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val probes = Ann.gateProbes(emb(spark, sfDir), probeEvery)
     ivfTopKOf(data, probes, k = 1, nLists, nProbe)
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .orderBy("probe_id")

@@ -190,6 +190,40 @@ object Pq {
                   rerank: Int = 50): DataFrame = {
     val cent = Ivf.trainCentroids(data, nLists, iters)
     val books = trainCodebooks(data, m, ksub, iters)
+    ivfPqQuery(cent, books, data, probes, k, nProbe, rerank)
+  }
+
+  /** √n-SCALED IVF-PQ (the classic nLists ∝ √n sizing, implemented and
+    * measured rather than scaladoc-promised): nLists = max(16, √n), so
+    * a probe's scanned fraction nProbe/nLists SHRINKS as the corpus
+    * grows (per-probe candidates ∝ √n, not n — the fixed-nLists gate
+    * was the dominant term in the 71× sf1→sf10 slope); both the coarse
+    * quantizer AND the PQ codebooks train on a bounded deterministic
+    * id-hash sample sized to the centroid count
+    * ([[Ivf.trainCentroidsOnSample]] / [[Opq.trainingSample]] — the
+    * round-13 sampled-OPQ practice), so training cost is ~constant per
+    * centroid while encode/assignment stay the one irreducible linear
+    * indexing pass.
+    */
+  def ivfPqTopKScaled(data: DataFrame, probes: DataFrame, k: Int,
+                      nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+                      iters: Int = 3, rerank: Int = 50): DataFrame = {
+    val n = data.count()
+    val nLists = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    val trainRows = math.max(20000L, 40L * nLists)
+    val sample = graft.similarity.Opq.trainingSample(
+      data.select("vec_id", "embedding"), trainRows)
+    val cent = Ivf.trainCentroidsOnSample(data, nLists, iters, trainRows)
+    val books = trainCodebooks(sample, m, ksub, iters)
+    ivfPqQuery(cent, books, data, probes, k, nProbe, rerank)
+  }
+
+  /** The QUERY side of IVF-PQ against trained centroids + codebooks
+    * (shared by the fixed and √n-scaled builders).
+    */
+  def ivfPqQuery(cent: DataFrame, books: Codebooks, data: DataFrame,
+                 probes: DataFrame, k: Int, nProbe: Int,
+                 rerank: Int): DataFrame = {
     // compressed corpus with list assignment: ONE scan computes both
     // the coarse list id and the m sub-codes (all literal-table exprs)
     val centsLocal = cent.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
@@ -240,10 +274,14 @@ object Pq {
   def ivfPqPlantedTop1(spark: SparkSession, sfDir: String,
                        probeEvery: Int = 50, offset: Long = 1000000L): DataFrame = {
     val data = Ann.plantedEmbeddings(spark, sfDir, probeEvery, offset)
-    val probes = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter(pmod(col("vec_id"), lit(probeEvery)) === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    ivfPqTopKOf(data, probes, k = 1)
+    val probes = Ann.gateProbes(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), probeEvery)
+    // √n lists + sampled training: the planted guarantee is nLists-
+    // INVARIANT (identical vectors share the argmin list and the full
+    // code tuple under ANY trained centroids/codebooks), so the gate
+    // runs the scaled build a production corpus needs — measured 71×
+    // at 10× data under fixed nLists, linear after this change.
+    ivfPqTopKScaled(data, probes, k = 1)
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .orderBy("probe_id")
   }

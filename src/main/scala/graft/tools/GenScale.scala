@@ -98,12 +98,19 @@ object GenScale {
       .drop("c"))
 
     val nVec = t("embeddings").count()
-    // noise keyed by (vec_id, dim, COPY): without `c` in the hash the
-    // nine noisy copies of a vector would all be identical to each
-    // other — exactly the degenerate duplicate structure to avoid
+    // noise keyed by (FINAL id, dim): final ids are unique within a
+    // generation AND across chained generations' noised ranges, so no
+    // two noised vectors ever share (base, noise). The earlier key
+    // (ORIGINAL vec_id, dim, c) collided generation-over-generation:
+    // sf0.1→sf1's copy-1 of vector 0 (id 2000, key (0,i,1)) and
+    // sf1→sf10's copy-1 of vector 0 (id 20000, SAME key (0,i,1)) got
+    // identical noise on the identical base — manufacturing exactly
+    // the unplanned cosine-1.0 duplicates the noise exists to prevent
+    // (caught by the r14 sf10 oracle sweep: ann_ivf_pq's tie-break
+    // returned the accidental twin instead of the planted one).
     val noise = transform(col("embedding"), (x, i) =>
       (x.cast("double") + when(col("c") === 0, lit(0.0)).otherwise(
-        (pmod(xxhash64(col("vec_id"), i, col("c")), lit(1001L)).cast("double") - 500.0)
+        (pmod(xxhash64(col("vec_id") + col("c") * nVec, i), lit(1001L)).cast("double") - 500.0)
           / 500.0 * 0.15))
         .cast("float"))
     write("embeddings", replicate(t("embeddings"), Copies)
