@@ -146,8 +146,11 @@ object Avi {
     if (riffSize < 4 || 8 + riffSize > bytes.length) return None
     var width = -1; var height = -1; var totalFrames = -1
     var frames = Vector.empty[Array[Byte]]
-    // walk chunks in [from, until); recurse into LIST hdrl/strl/movi
-    def walk(from: Int, until: Int): Boolean = {
+    // walk chunks in [from, until); recurse into LIST hdrl/strl/movi.
+    // Frame chunks are valid ONLY under movi (inMovi) — a structurally
+    // misplaced 00dc (top level, inside hdrl) is a corrupt container,
+    // not a frame: the strictness contract, same as Wav's walk.
+    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
       var off = from
       while (off + 8 <= until) {
         val id = tag(off)
@@ -159,13 +162,14 @@ object Avi {
             if (sz < 4) return false
             val form = tag(body)
             if (form == "hdrl" || form == "strl" || form == "movi")
-              { if (!walk(body + 4, body + sz.toInt)) return false }
+              { if (!walk(body + 4, body + sz.toInt, form == "movi")) return false }
           case "avih" =>
             if (sz < 40) return false
             totalFrames = le32(body + 16).toInt
             width = le32(body + 32).toInt
             height = le32(body + 36).toInt
           case "00dc" =>
+            if (!inMovi) return false
             frames = frames :+ java.util.Arrays.copyOfRange(bytes, body, body + sz.toInt)
           case _ => () // unknown chunks skip (idx1 etc.)
         }
@@ -173,7 +177,7 @@ object Avi {
       }
       true
     }
-    if (!walk(12, 8 + riffSize.toInt)) return None
+    if (!walk(12, 8 + riffSize.toInt, inMovi = false)) return None
     if (width <= 0 || height <= 0 || totalFrames < 0) return None
     Some(Clip(width, height, totalFrames, frames))
   }

@@ -88,8 +88,17 @@ object Ivf {
     * always.
     */
   def trainCentroidsOnSample(data: DataFrame, nLists: Int, iters: Int = 3,
-                             maxRows: Long = 20000L): DataFrame = {
-    val sample = Opq.trainingSample(data.select("vec_id", "embedding"), maxRows)
+                             maxRows: Long = 20000L): DataFrame =
+    trainCentroidsFromSample(
+      Opq.trainingSample(data.select("vec_id", "embedding"), maxRows),
+      nLists, iters)
+
+  /** [[trainCentroidsOnSample]] against a PREBUILT sample — callers
+    * that already materialized one (e.g. for codebook training) must
+    * not re-scan the corpus to build it twice.
+    */
+  def trainCentroidsFromSample(sample: DataFrame, nLists: Int,
+                               iters: Int = 3): DataFrame = {
     val dense = sample
       .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long")
         .as("vec_id"), col("embedding"))

@@ -138,13 +138,18 @@ object Opq {
     * while training in 10.6 s vs the full corpus's 43 s — and the
     * cost stays CONSTANT as the corpus grows past that.
     */
-  def trainingSample(corpus: DataFrame, maxRows: Long = 8192L): DataFrame = {
-    val n = corpus.count()
+  def trainingSample(corpus: DataFrame, maxRows: Long = 8192L): DataFrame =
+    trainingSampleN(corpus, corpus.count(), maxRows)
+
+  /** [[trainingSample]] with the corpus count already in hand — callers
+    * that have counted for other sizing (√n nLists) must not pay a
+    * second full scan just to re-derive it.
+    */
+  def trainingSampleN(corpus: DataFrame, n: Long, maxRows: Long): DataFrame =
     if (n <= maxRows) corpus
     else corpus
       .filter(pmod(xxhash64(col("vec_id")), lit(n)) < maxRows)
       .localCheckpoint()
-  }
 
   /** One E+M pass for rotation `r`: (flattened Σ x·ŷᵀ, distortion
     * Σ‖R·x − ŷ‖²). Also the measurement primitive — the distortion of

@@ -211,9 +211,11 @@ object Pq {
     val n = data.count()
     val nLists = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
     val trainRows = math.max(20000L, 40L * nLists)
-    val sample = graft.similarity.Opq.trainingSample(
-      data.select("vec_id", "embedding"), trainRows)
-    val cent = Ivf.trainCentroidsOnSample(data, nLists, iters, trainRows)
+    // ONE sample, built from the already-known count, feeds both
+    // trainers — no second corpus count, no duplicate checkpoint
+    val sample = graft.similarity.Opq.trainingSampleN(
+      data.select("vec_id", "embedding"), n, trainRows)
+    val cent = Ivf.trainCentroidsFromSample(sample, nLists, iters)
     val books = trainCodebooks(sample, m, ksub, iters)
     ivfPqQuery(cent, books, data, probes, k, nProbe, rerank)
   }

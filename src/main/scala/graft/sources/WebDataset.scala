@@ -600,7 +600,13 @@ class WdsBatchWrite(schema: StructType, path: String, queryId: String,
     // the caller opted into exactly this trade.
     if (auditUniqueKeys) {
       val spark = org.apache.spark.sql.SparkSession.active
+      // explicit one-column schema, NOT inference: inference (a) names
+      // the key field __key__ whatever keyColumn was (a custom-key
+      // audit would fail its own select and abort a valid write) and
+      // (b) reads the first shard only, throwing on a legitimately
+      // empty tar from an empty write partition
       val keys = spark.read.format("graft-webdataset")
+        .schema(StructType(Seq(StructField(keyCol, StringType))))
         .option("keyColumn", keyCol).load(path)
         .select(org.apache.spark.sql.functions.col(keyCol))
       val row = keys.agg(

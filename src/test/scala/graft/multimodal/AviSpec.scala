@@ -63,15 +63,51 @@ class AviSpec extends SparkSpec {
     assert(Avi.summarizeClip(mangled).isEmpty,
       "a clip with an undecodable frame must summarize to None (ok=false), " +
         "never a partial frame census")
+    // a structurally MISPLACED frame chunk (00dc at RIFF top level, not
+    // under movi) is a corrupt container, not a frame: rebuild the good
+    // payload as RIFF(AVI (hdrl, 00dc@top)) and require None
+    def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    def u32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val hdrlLen = 8 + le32(good, 16) + (le32(good, 16) % 2)
+    val hdrl = java.util.Arrays.copyOfRange(good, 12, 12 + hdrlLen)
+    val clip = Avi.decode(good).get
+    val f0 = clip.frames.head
+    val strayFrame = "00dc".getBytes("US-ASCII") ++ u32(f0.length) ++ f0 ++
+      (if (f0.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val body2 = "AVI ".getBytes("US-ASCII") ++ hdrl ++ strayFrame
+    val misplaced = "RIFF".getBytes("US-ASCII") ++ u32(body2.length) ++ body2
+    assert(Avi.decode(misplaced).isEmpty,
+      "a 00dc chunk outside movi must fail the strict walk, never be " +
+        "counted as a frame")
   }
 
-  test("the summary never shuffles payload bytes: one mapPartitions " +
-    "pass from the documents scan to skinny rows") {
+  test("the summary never shuffles payload bytes: every exchange in " +
+    "the plan carries only the skinny census columns, no binary data") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.types.BinaryType
     val df = Avi.videoSummary(spark, sf0001)
-    val plan = df.queryExecution.executedPlan.toString
-    // the only wide operation is the final orderBy sort of skinny rows;
-    // no payload column ever appears in an exchange
-    assert(!plan.contains("payload"),
-      s"payload bytes must stay inside the partition:\n$plan")
+    df.collect() // materialize so AQE's final plan (stages included) exists
+    // AQE wraps pipeline segments in QueryStageExec leaves — recurse
+    def deepExchanges(plan: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeLike] = {
+      val direct = plan.collect { case e: ShuffleExchangeLike => e }
+      val nested = plan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case q: QueryStageExec => q.plan
+      }.flatMap(deepExchanges)
+      direct ++ nested
+    }
+    val exchanges = deepExchanges(df.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "expected the final orderBy's range exchange")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType == BinaryType),
+        s"an exchange carries binary payload bytes — generation, demux " +
+          s"and decode must all stay inside one partition-local pass: " +
+          s"${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    }
   }
 }

@@ -132,6 +132,23 @@ class WebDatasetSpec extends SparkSpec {
         "audited clean write must publish all rows")
       clean.unpersist()
     } finally rm(dirOk)
+    // the audit's read-back must survive (a) a CUSTOM key column —
+    // schema inference would name the key __key__ and fail the select —
+    // and (b) an EMPTY write partition's trailer-only shard, which
+    // schema inference refuses outright
+    val dirCustom = freshDir()
+    try {
+      import spark.implicits._
+      Seq(("a", 1L), ("b", 2L), ("cc", 3L)).toDF("id", "n")
+        .repartition(4, col("n")) // 4 partitions for 3 rows → ≥1 empty shard
+        .write.format("graft-webdataset")
+        .option("keyColumn", "id").option("auditUniqueKeys", "true")
+        .mode("append").save(dirCustom)
+      assert(spark.read.format("graft-webdataset")
+        .schema("id string, n long").option("keyColumn", "id")
+        .load(dirCustom).count() == 3,
+        "custom-key audited write with an empty partition must publish")
+    } finally rm(dirCustom)
   }
 
   test("corruption is loud: a flipped byte in a member header fails with " +
