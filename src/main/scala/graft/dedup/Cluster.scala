@@ -52,16 +52,27 @@ object Cluster {
       .select("e.src", "e.dst")
       .distinct()
       .persist()
+    // Convergence detection rides ON each round's checkpoint job via
+    // `observe` (the q_hierarchy pattern): the label sum is a metric of
+    // the SAME job that materializes the round, so each round is ONE
+    // job instead of checkpoint-then-aggregate's two (round-14: the
+    // separate labelSum job per round was pure fixed overhead — the
+    // checkpoint already scans every row it would re-scan).
+    def checkpointSumming(df: DataFrame, name: String): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation(name)
+      val out = df
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("labelsum"))
+        .localCheckpoint()
+      (out, obs.get("labelsum").asInstanceOf[java.math.BigDecimal])
+    }
     // seeded with min(self, min neighbor): the groupBy that would merely
     // enumerate distinct ids performs the first propagation round for
     // free (an isolated pair converges immediately)
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min("dst").as("mindst"))
-      .select(col("id"), least(col("id"), col("mindst")).as("label"))
-      .localCheckpoint()
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointSumming(
+      edges.groupBy(col("src").as("id"))
+        .agg(min("dst").as("mindst"))
+        .select(col("id"), least(col("id"), col("mindst")).as("label")),
+      "cc_init")
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -74,13 +85,16 @@ object Cluster {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // Pointer jump: follow the label one hop (labels are node ids, so
       // label(label) is defined) — halves remaining path lengths.
-      val jumped = stepped.as("a")
-        .join(stepped.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
-          col("a.label") === col("b.lid"), "left")
-        .select(col("a.id"), coalesce(col("b.llabel"), col("a.label")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(jumped)
-      converged = s.compareTo(prevSum) == 0
+      val (jumped, s) = checkpointSumming(
+        stepped.as("a")
+          .join(stepped.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+            col("a.label") === col("b.lid"), "left")
+          .select(col("a.id"), coalesce(col("b.llabel"), col("a.label")).as("label")),
+        s"cc_round_$it")
+      // null sums (an empty pair set) converge immediately — the labels
+      // frame is empty and every doc becomes its own singleton cluster
+      converged = (s == null && prevSum == null) ||
+        (s != null && prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       labels = jumped
       it += 1
@@ -166,7 +180,12 @@ object Cluster {
     // ever executes; checkpoint blocks live as long as the plan does
     // and the ContextCleaner reclaims them after.
     val elig = NearDup.eligibleDocs(spark, sfDir, plantEvery, minTokens).localCheckpoint()
-    val corpus = chainDocs(d, elig)
+    // checkpoint the salted chain corpus: downstream it is scanned three
+    // times (minhash signatures, shingle verification, the final id
+    // census) and each scan would otherwise re-read the parquet AND
+    // re-run the per-token salting zip_with — pay the union+salt once,
+    // read materialized rows after (guide §5: reuse × recompute cost)
+    val corpus = chainDocs(d, elig).localCheckpoint()
     val pairs = Dedup.minhashCandidatesOf(corpus)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")

@@ -137,11 +137,27 @@ object Dedup {
     minhashSignaturesOf(docs(spark, sfDir), shingleN, numHashes)
 
   /** [[minhashSignatures]] over an arbitrary (doc_id, text) frame. */
-  def minhashSignaturesOf(d: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
+  def minhashSignaturesOf(d: DataFrame, shingleN: Int, numHashes: Int): DataFrame =
+    signaturesFromExploded(
+      explodedShingles(d, shingleN).withColumn("h", xxhash64(col("shingle"))),
+      numHashes)
+
+  /** [[minhashSignaturesOf]] starting from an ALREADY-SHINGLED
+    * (doc_id, sh: array<string>) frame — identical signatures (the
+    * shingle sets are the same arrays the text path would build), so a
+    * caller that must ALSO materialize the shingle sets (the snapshot
+    * index build) tokenizes the corpus once instead of twice.
+    */
+  def minhashSignaturesFromShingleSets(grams: DataFrame, numHashes: Int): DataFrame =
+    signaturesFromExploded(
+      grams.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .withColumn("h", xxhash64(col("shingle"))),
+      numHashes)
+
+  private def signaturesFromExploded(hashed: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"h$i"))
-    explodedShingles(d, shingleN)
-      .withColumn("h", xxhash64(col("shingle")))
+    hashed
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),

@@ -115,12 +115,17 @@ object Incremental {
                          bucketCap: Int = 10000): Unit = {
     old.select(col("doc_id"), md5(col("text")).as("h"))
       .write.mode("overwrite").parquet(s"$indexDir/hashes")
-    val sigs = Dedup.minhashSignaturesOf(old, shingleN, bands * rowsPerBand)
+    // shingle ONCE: the written shingles table is also the signature
+    // input (identical arrays), so the snapshot text is tokenized once
+    // per index build instead of once per output table (round-14;
+    // guide §1.2 — remove redundant passes)
+    Dedup.shingleSets(old, shingleN)
+      .write.mode("overwrite").parquet(s"$indexDir/shingles")
+    val sigs = Dedup.minhashSignaturesFromShingleSets(
+      old.sparkSession.read.parquet(s"$indexDir/shingles"), bands * rowsPerBand)
     Dedup.capBuckets(Dedup.bandBuckets(sigs, bands, rowsPerBand),
         Seq("band", "bucket"), bucketCap)
       .write.mode("overwrite").parquet(s"$indexDir/bands")
-    Dedup.shingleSets(old, shingleN)
-      .write.mode("overwrite").parquet(s"$indexDir/shingles")
   }
 
   /** Per-drop classification against a PERSISTED snapshot index. Every

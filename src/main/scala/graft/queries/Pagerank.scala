@@ -38,16 +38,25 @@ object Pagerank {
     val edges = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // checkpointed ONCE: deg is round-invariant, and an uncheckpointed
+    // reference re-ran the edges groupBy (a full shuffle) inside every
+    // round's join (round-14; guide §2.4 — remove repeated shuffles)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).localCheckpoint()
     val verts = li.select(col("s")).distinct().localCheckpoint()
 
     var ranks = verts.select(col("s"), lit(T).as("r")).localCheckpoint()
     (1 to Rounds).foreach { _ =>
-      val inflow = edges
-        .join(ranks.withColumnRenamed("s", "src"), Seq("src"))
+      // per-VERTEX contribution r div d first (a vertex-sized join),
+      // THEN flow along edges — the same exact integer per edge, but the
+      // edge-cardinality join carries one 8-byte value instead of (r, d)
+      // and the div evaluates |V| times, not |E| (guide §2.3)
+      val contrib = ranks.withColumnRenamed("s", "src")
         .join(deg, Seq("src"))
+        .select(col("src"), expr("r div d").as("c"))
+      val inflow = edges
+        .join(contrib, Seq("src"))
         .groupBy(col("dst").as("s"))
-        .agg(sum(expr("r div d")).as("inflow"))
+        .agg(sum(col("c")).as("inflow"))
       // int64 headroom: the damping multiply bounds total rank mass at
       // 2^63/17 ≈ 5.4e17 — a strong hub can reach that on a ~5×10^5-
       // vertex graph at T=10^12 (tighter than the naive ~10^6-vertex

@@ -151,6 +151,231 @@ object Opq {
       .filter(pmod(xxhash64(col("vec_id")), lit(n)) < maxRows)
       .localCheckpoint()
 
+  // ---------------------------------------------- driver-side sample training
+
+  /** A bounded training sample pulled to the driver in ONE job:
+    * ids + the init-ordering hash key (computed by the SAME Spark
+    * expression the distributed path orders by, so the k-means seed
+    * rows are identical) + double-cast embeddings. [[trainingSample]]
+    * bounds the row count by construction (default 8,192 × 64 doubles
+    * ≈ 4 MB — constant at any corpus scale), which is what makes
+    * driver-side training the Faiss practice rather than a driver
+    * scale-killer: nothing corpus-sized is ever collected.
+    */
+  private[similarity] final case class LocalSample(ids: Array[Long],
+                                                   initOrder: Array[Int],
+                                                   vecs: Array[Array[Double]])
+
+  private[similarity] def collectSample(sample: DataFrame): LocalSample = {
+    val rows = sample.select(col("vec_id"),
+        pmod(xxhash64(col("vec_id")), lit(1000003L)).as("hk"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+    val ids = rows.map(_.getLong(0))
+    val hk = rows.map(_.getLong(1))
+    val vecs = rows.map(_.getSeq[Double](2).toArray)
+    val order = ids.indices.sortBy(i => (hk(i), ids(i))).toArray
+    LocalSample(ids, order, vecs)
+  }
+
+  /** Driver-side mirror of [[Pq.trainCodebooks]] over in-memory rows:
+    * identical init rule (first ksub rows by (id-hash, id), cycled),
+    * identical assignment rule (strict-< argmin, ties to the lowest
+    * code — [[graft.functions.VectorOps.nearestCentroid]]'s rule),
+    * identical update (member mean per (subspace, code); empty codes
+    * keep their previous centroid). Differences from the distributed
+    * path are limited to floating-point summation order, which the
+    * contrast contracts absorb by design (their thresholds carry
+    * 1.3–2× margins).
+    */
+  private[similarity] def trainCodebooksLocal(vecs: Array[Array[Double]],
+                                              initOrder: Array[Int],
+                                              m: Int, ksub: Int,
+                                              iters: Int): Array[Array[Array[Double]]] = {
+    require(vecs.nonEmpty, "empty sample — no codebook init rows")
+    val dim = vecs(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val nInit = math.min(ksub, initOrder.length)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { i =>
+        val v = vecs(initOrder(i % nInit))
+        java.util.Arrays.copyOfRange(v, s * sub, s * sub + sub)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(m, ksub)(new Array[Double](sub))
+      val counts = Array.fill(m, ksub)(0L)
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i)
+        var s = 0
+        while (s < m) {
+          val base = s * sub
+          val book = books(s)
+          var bestC = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            val cent = book(c)
+            var d2 = 0.0
+            var t = 0
+            while (t < sub) { val d = v(base + t) - cent(t); d2 += d * d; t += 1 }
+            if (d2 < bestD) { bestD = d2; bestC = c }
+            c += 1
+          }
+          val acc = sums(s)(bestC)
+          var t = 0
+          while (t < sub) { acc(t) += v(base + t); t += 1 }
+          counts(s)(bestC) += 1
+          s += 1
+        }
+        i += 1
+      }
+      books = Array.tabulate(m) { s =>
+        Array.tabulate(ksub) { c =>
+          val n = counts(s)(c)
+          if (n == 0L) books(s)(c)
+          else sums(s)(c).map(_ / n)
+        }
+      }
+    }
+    books
+  }
+
+  /** Driver-side mirror of one [[mStep]] E+M pass over the in-memory
+    * sample: rotate, train codebooks for the rotation, reconstruct,
+    * and return (Σ x·ŷᵀ flattened, Σ‖R·x − ŷ‖²) — the same quantities
+    * [[graft.functions.OpqMStepAgg]] aggregates, minus the Spark jobs.
+    */
+  private def mStepLocal(s: LocalSample, r: Array[Array[Double]],
+                         m: Int, ksub: Int, pqIters: Int): (Array[Double], Double) = {
+    val dim = r.length
+    val sub = dim / m
+    val rot = s.vecs.map(matVecLocal(r, _))
+    val books = trainCodebooksLocal(rot, s.initOrder, m, ksub, pqIters)
+    val a = new Array[Double](dim * dim)
+    var sumYY = 0.0; var sumHatY = 0.0; var sumHatHat = 0.0
+    var i = 0
+    while (i < s.vecs.length) {
+      val x = s.vecs(i)
+      val y = rot(i)
+      val yhat = new Array[Double](dim)
+      var sp = 0
+      while (sp < m) {
+        val book = books(sp)
+        val base = sp * sub
+        var bestC = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          val cent = book(c)
+          var d2 = 0.0
+          var t = 0
+          while (t < sub) { val d = y(base + t) - cent(t); d2 += d * d; t += 1 }
+          if (d2 < bestD) { bestD = d2; bestC = c }
+          c += 1
+        }
+        val cent = book(bestC)
+        var t = 0
+        while (t < sub) { yhat(base + t) = cent(t); t += 1 }
+        sp += 1
+      }
+      var j = 0
+      while (j < dim) {
+        val xj = x(j)
+        if (xj != 0.0) {
+          val row = j * dim
+          var k = 0
+          while (k < dim) { a(row + k) += xj * yhat(k); k += 1 }
+        }
+        j += 1
+      }
+      var t2 = 0
+      while (t2 < dim) {
+        sumYY += y(t2) * y(t2)
+        sumHatY += yhat(t2) * y(t2)
+        sumHatHat += yhat(t2) * yhat(t2)
+        t2 += 1
+      }
+      i += 1
+    }
+    (a, sumYY - 2.0 * sumHatY + sumHatHat)
+  }
+
+  private def matVecLocal(r: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val dim = r.length
+    val out = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      val row = r(j)
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += row(k) * v(k); k += 1 }
+      out(j) = s
+      j += 1
+    }
+    out
+  }
+
+  /** [[trainRotation]] run entirely on the driver over a collected
+    * bounded sample: same alternation (local Lloyd E-step + breeze-SVD
+    * Procrustes M-step), zero Spark jobs inside the loop. The
+    * distributed alternation spent ~12.6 s of `ann_opq_trained`'s 17 s
+    * in ~40 collect-jobs over an 8,192-row sample (measured,
+    * OpqTrainedPhases, sf0.1) — pure scheduling overhead that no
+    * cluster absorbs, because the sample is CONSTANT-sized while each
+    * Spark job costs fixed planning/scheduling time.
+    */
+  private[similarity] def trainRotationLocal(s: LocalSample, dim: Int = 64, m: Int = 8,
+                                             ksub: Int = 16, pqIters: Int = 2,
+                                             opqIters: Int = 8,
+                                             init: Option[Array[Array[Double]]] = None)
+  : (Array[Array[Double]], Double) = {
+    var r = init.getOrElse(Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0))
+    var dist = Double.MaxValue
+    for (_ <- 1 to opqIters) {
+      val (flat, d) = mStepLocal(s, r, m, ksub, pqIters)
+      dist = d
+      val a = breeze.linalg.DenseMatrix.tabulate(dim, dim)((j, k) => flat(j * dim + k))
+      val sv = breeze.linalg.svd(a)
+      val rm = sv.Vt.t * sv.U.t
+      r = Array.tabulate(dim, dim)((i, j) => rm(i, j))
+    }
+    (r, dist)
+  }
+
+  /** Driver-side [[parametricInit]] over the collected sample: local
+    * Gram accumulation + the shared eigenvalue-allocation step.
+    */
+  private[similarity] def parametricInitLocal(s: LocalSample, dim: Int = 64,
+                                              m: Int = 8): Array[Array[Double]] = {
+    val flat = new Array[Double](dim * dim)
+    var i = 0
+    while (i < s.vecs.length) {
+      val x = s.vecs(i)
+      var j = 0
+      while (j < dim) {
+        val xj = x(j)
+        if (xj != 0.0) {
+          val row = j * dim
+          var k = j
+          while (k < dim) { flat(row + k) += xj * x(k); k += 1 }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // mirror the upper triangle (GramAgg's eval does the same)
+    var j = 0
+    while (j < dim) {
+      var k = j + 1
+      while (k < dim) { flat(k * dim + j) = flat(j * dim + k); k += 1 }
+      j += 1
+    }
+    parametricFromGram(flat, dim, m)
+  }
+
   /** One E+M pass for rotation `r`: (flattened Σ x·ŷᵀ, distortion
     * Σ‖R·x − ŷ‖²). Also the measurement primitive — the distortion of
     * any FIXED rotation is this pass's second component.
@@ -189,10 +414,18 @@ object Opq {
     * starting point.
     */
   def parametricInit(data: DataFrame, dim: Int = 64, m: Int = 8): Array[Array[Double]] = {
-    val sub = dim / m
     val flat = data
       .agg(graft.functions.GraftFunctions.vec_gram(col("embedding"), dim).as("g"))
       .head().getSeq[Double](0).toArray
+    parametricFromGram(flat, dim, m)
+  }
+
+  /** The eigendecomposition + eigenvalue-allocation step of
+    * [[parametricInit]], factored out so the driver-side Gram path
+    * ([[parametricInitLocal]]) shares the exact allocation rule.
+    */
+  private def parametricFromGram(flat: Array[Double], dim: Int, m: Int): Array[Array[Double]] = {
+    val sub = dim / m
     val gram = breeze.linalg.DenseMatrix.tabulate(dim, dim)((j, k) => flat(j * dim + k))
     val es = breeze.linalg.eigSym(gram)
     // eigSym returns ascending eigenvalues; take descending order
@@ -324,19 +557,23 @@ object Opq {
     // pqTopKFlat, deliberately: this contrast is about the PQ CODES
     // (axis-aligned vs rotated), not the composed index — ann_opq_ivf
     // owns the IVF-composed statement — and the capped corpus keeps the
-    // flat scan cheap here.
-    val plain = recallOf(brute,
-      Pq.pqTopKFlat(corpus, probes, k).select("probe_id", "neighbor_id"))
+    // flat scan cheap here. The plain and rotated legs share nothing
+    // downstream of `brute` (cosine is rotation-invariant, so the
+    // rotated truth IS `brute`), so the two measurements run as
+    // concurrent jobs (guide §2.6) — identical computations, overlapped.
     val rot = rotationMatrix(64)
-    val rotCorpus = rotated(corpus, rot).localCheckpoint()
-    val rotProbes = rotated(
-      probes.select(col("probe_id").as("vec_id"), col("probe_vec").as("embedding")), rot)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      .localCheckpoint()
-    // cosine is rotation-invariant, so the rotated brute-force truth is
-    // the same pair set — reuse `brute` rather than recompute it
-    val opq = recallOf(brute,
-      Pq.pqTopKFlat(rotCorpus, rotProbes, k).select("probe_id", "neighbor_id"))
+    val (plain, opq) = graft.util.Par.par2(
+      recallOf(brute,
+        Pq.pqTopKFlat(corpus, probes, k).select("probe_id", "neighbor_id")),
+      {
+        val rotCorpus = rotated(corpus, rot).localCheckpoint()
+        val rotProbes = rotated(
+          probes.select(col("probe_id").as("vec_id"), col("probe_vec").as("embedding")), rot)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+          .localCheckpoint()
+        recallOf(brute,
+          Pq.pqTopKFlat(rotCorpus, rotProbes, k).select("probe_id", "neighbor_id"))
+      })
     Seq(
       ("opq", nProbes > 0, opq >= minOpqRecall),
       ("pq_plain", nProbes > 0, plain <= maxPlainRecall))
@@ -372,20 +609,28 @@ object Opq {
     import spark.implicits._
     val corpus = blockStructuredEmbeddings(spark, sfDir)
       .select("vec_id", "embedding").localCheckpoint()
-    val fixedD = distortionOf(corpus, rotationMatrix(64))
     val q = rotationMatrix(64, seed = 7777L)
-    val alignedD = distortionOf(corpus, Array.tabulate(64, 64)((i, j) => q(j)(i)))
     // Round-13 verdict #6 — the Faiss practice: the rotation (and its
-    // PCA init) train on a BOUNDED deterministic sample, so the ~30
-    // alternation passes scan O(sampleRows) instead of the corpus; the
-    // distortion MEASUREMENTS (and any downstream encode) stay
-    // full-corpus. At 100 TB this turns rotation training from ~30
-    // corpus scans into a constant-cost driver-side loop; the contrast
-    // booleans below hold unchanged because the sample sees every
-    // latent block (the corpus structure is id-uniform).
-    val sample = trainingSample(corpus)
-    val (trainedR, _) = trainRotation(sample, opqIters = 8, pqIters = 3,
-      init = Some(parametricInit(sample)))
+    // PCA init) train on a BOUNDED deterministic sample (≤ 8,192 rows
+    // at ANY corpus size). Round 14 completes the thought: the sample
+    // is collected ONCE (≈ 4 MB) and the whole alternation runs
+    // DRIVER-SIDE ([[trainRotationLocal]] — same init/assignment/update
+    // rules, zero Spark jobs in the loop). The distributed alternation
+    // burned ~12.6 s of this query's 17 s in ~40 tiny collect-jobs over
+    // that constant-sized sample (measured, OpqTrainedPhases sf0.1) —
+    // fixed scheduling cost no cluster amortizes. The distortion
+    // MEASUREMENTS stay full-corpus and distributed. The two fixed-
+    // rotation measurements and the training chain are independent, so
+    // they run as concurrent jobs (guide §2.6) — same computations,
+    // overlapped submission.
+    val (fixedD, alignedD, (trainedR, _)) = graft.util.Par.par3(
+      distortionOf(corpus, rotationMatrix(64)),
+      distortionOf(corpus, Array.tabulate(64, 64)((i, j) => q(j)(i))),
+      {
+        val sample = collectSample(trainingSample(corpus))
+        trainRotationLocal(sample, opqIters = 8, pqIters = 3,
+          init = Some(parametricInitLocal(sample)))
+      })
     val trainedD = distortionOf(corpus, trainedR)
     Seq(
       ("fixed_insufficient", fixedD >= minFixedVsAligned * alignedD),
@@ -417,16 +662,22 @@ object Opq {
     val nProbes = probes.count()
     val brute = Ann.bruteForceTopKOf(corpus, probes, k)
       .select("probe_id", "neighbor_id").localCheckpoint()
-    val plain = recallOf(brute,
-      Pq.ivfPqTopKOf(corpus, probes, k).select("probe_id", "neighbor_id"))
+    // the two index builds are independent downstream of `brute`
+    // (rotation invariance shares the truth set) — concurrent jobs,
+    // guide §2.6, same computations
     val rot = rotationMatrix(64)
-    val rotCorpus = rotated(corpus, rot).localCheckpoint()
-    val rotProbes = rotated(
-      probes.select(col("probe_id").as("vec_id"), col("probe_vec").as("embedding")), rot)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-      .localCheckpoint()
-    val opq = recallOf(brute,
-      Pq.ivfPqTopKOf(rotCorpus, rotProbes, k).select("probe_id", "neighbor_id"))
+    val (plain, opq) = graft.util.Par.par2(
+      recallOf(brute,
+        Pq.ivfPqTopKOf(corpus, probes, k).select("probe_id", "neighbor_id")),
+      {
+        val rotCorpus = rotated(corpus, rot).localCheckpoint()
+        val rotProbes = rotated(
+          probes.select(col("probe_id").as("vec_id"), col("probe_vec").as("embedding")), rot)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+          .localCheckpoint()
+        recallOf(brute,
+          Pq.ivfPqTopKOf(rotCorpus, rotProbes, k).select("probe_id", "neighbor_id"))
+      })
     Seq(
       ("opq_ivfpq", nProbes > 0, opq >= minOpqRecall),
       ("plain_ivfpq", nProbes > 0, plain <= maxPlainRecall))

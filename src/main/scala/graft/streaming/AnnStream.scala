@@ -87,7 +87,8 @@ object AnnStream {
   def runAnnTop1Bounded(spark: SparkSession, sfDir: String,
                         probeEvery: Int = 50, probeCos: Double = 0.97,
                         nTables: Int = 8, planesPerTable: Int = 6,
-                        minRate: Double = 0.90): DataFrame = {
+                        minRate: Double = 0.90): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/embeddings.parquet") {
     import spark.implicits._
     val data = emb(spark, sfDir).select("vec_id", "embedding")
     NearDup.guardIds(data, "vec_id")

@@ -125,6 +125,7 @@ object ChainedState {
   private def drive(spark: SparkSession, base: java.nio.file.Path,
                     merge: (DataFrame, DataFrame) => DataFrame): (DataFrame, String) = {
     val feedDir = base.resolve("feed").toString
+    FileStreams.withBoundedStreamPartitions(spark, feedDir) {
     val stateRoot = base.resolve("state").toString
     val ckptDir = base.resolve("ckpt").toString
     val statePath = new java.util.concurrent.atomic.AtomicReference[String](
@@ -143,5 +144,6 @@ object ChainedState {
       .start()
     q.awaitTermination()
     (spark.read.parquet(statePath.get), stateRoot)
+    }
   }
 }

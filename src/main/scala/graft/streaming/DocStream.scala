@@ -81,7 +81,8 @@ object DocStream {
     * SQL oracle).
     */
   def runDedupBounded(spark: SparkSession, sfDir: String,
-                      queryName: String = "graft_stream_dedup"): DataFrame = {
+                      queryName: String = "graft_stream_dedup"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/documents.parquet") {
     val stream = FileStreams.readStream(spark, s"$sfDir/documents.parquet")
     val q = dedupedDocs(stream)
       .writeStream

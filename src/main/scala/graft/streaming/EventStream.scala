@@ -106,7 +106,8 @@ object EventStream {
     * the SQL oracle — custom state must converge to it exactly.
     */
   def runUserStatsBounded(spark: SparkSession, sfDir: String,
-                          queryName: String = "graft_stream_userstats"): DataFrame = {
+                          queryName: String = "graft_stream_userstats"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
     // ts stays a plain long (micros — the external comparison
     // granularity): the state fold only needs ordering
     val stream = tsAsMicrosLong(rawEventStream(spark, sfDir), "ts")
@@ -229,7 +230,8 @@ object EventStream {
     * so the oracle IS q_funnel's SQL.
     */
   def runFunnelBounded(spark: SparkSession, sfDir: String,
-                       queryName: String = "graft_stream_funnel"): DataFrame = {
+                       queryName: String = "graft_stream_funnel"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
     val stream = tsAsMicrosLong(rawEventStream(spark, sfDir), "te")
     val q = funnelState(stream)
       .writeStream
@@ -271,7 +273,8 @@ object EventStream {
     * result must equal the batch join (the SQL oracle).
     */
   def runEnrichJoinBounded(spark: SparkSession, sfDir: String,
-                           queryName: String = "graft_stream_join"): DataFrame = {
+                           queryName: String = "graft_stream_join"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
     // no ts conversion: the enrichment join never reads event time
     val stream = rawEventStream(spark, sfDir)
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -328,7 +331,8 @@ object EventStream {
     * bounded events is the SQL oracle.
     */
   def runAttributionBounded(spark: SparkSession, sfDir: String,
-                            queryName: String = "graft_stream_ss_join"): DataFrame = {
+                            queryName: String = "graft_stream_ss_join"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
     def side(tpe: String): DataFrame =
       tsAsTimestamp(rawEventStream(spark, sfDir))
         .filter(col("event_type") === tpe)
@@ -387,7 +391,8 @@ object EventStream {
     * SQL oracle.
     */
   def runAttributionOuterBounded(spark: SparkSession, sfDir: String,
-                                 queryName: String = "graft_stream_ss_outer"): DataFrame = {
+                                 queryName: String = "graft_stream_ss_outer"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
     def side(tpe: String): DataFrame =
       tsAsTimestamp(rawEventStream(spark, sfDir))
         .filter(col("event_type") === tpe)
@@ -453,7 +458,8 @@ object EventStream {
     * purchase-only padding.
     */
   def runAttributionFullBounded(spark: SparkSession, sfDir: String,
-                                queryName: String = "graft_stream_ss_full"): DataFrame = {
+                                queryName: String = "graft_stream_ss_full"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
     def side(tpe: String): DataFrame =
       tsAsTimestamp(rawEventStream(spark, sfDir))
         .filter(col("event_type") === tpe)
@@ -489,7 +495,8 @@ object EventStream {
     * file stream, write to an in-memory sink, and return the final
     * result — used by the spec to assert batch/stream parity.
     */
-  def runBounded(spark: SparkSession, sfDir: String, queryName: String = "graft_stream"): DataFrame = {
+  def runBounded(spark: SparkSession, sfDir: String, queryName: String = "graft_stream"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
     val stream = tsAsTimestamp(rawEventStream(spark, sfDir))
     val q = windowedAgg(stream)
       .writeStream

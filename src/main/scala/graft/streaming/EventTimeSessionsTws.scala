@@ -153,6 +153,7 @@ object EventTimeSessionsTws {
   def emissionLog(spark: SparkSession, sfDir: String,
                   queryName: String): DataFrame =
     UserStatsTws.withRocksDb(spark) {
+     FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
       val stream = graft.queries.Analytics.normalizeTs(
         EventStream.rawEventStream(spark, sfDir))
         .withWatermark("ts", "1 hour")
@@ -165,6 +166,7 @@ object EventTimeSessionsTws {
         .start()
       q.awaitTermination()
       spark.table(queryName)
+     }
     }
 
   /** Bounded gate run (`stream_sessions_etime`): emission log →

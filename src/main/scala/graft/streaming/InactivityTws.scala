@@ -89,12 +89,19 @@ object InactivityTws {
     */
   def runBounded(spark: SparkSession, sfDir: String,
                  queryName: String = "graft_stream_inactivity_tws",
-                 timeoutMs: Long = 2000L): DataFrame = {
+                 // 500 ms, down from 2000 (round-14): the gate feed is ONE
+                 // file = ONE data batch, so every user's events are folded
+                 // and its single timer armed before any timer can fire —
+                 // the timeout is pure emission latency here, never a
+                 // session boundary. The re-arm semantics keep their own
+                 // multi-batch spec feeds (InactivityTwsSpec).
+                 timeoutMs: Long = 500L): DataFrame = {
     val stream = EventStream.tsAsMicrosLong(
       EventStream.rawEventStream(spark, sfDir), "ts")
     val expected = graft.queries.Analytics.loadEvents(spark, sfDir)
       .select("user_id").distinct().count()
     UserStatsTws.withRocksDb(spark) {
+     FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
       val q = closedSessions(stream, timeoutMs)
         .writeStream
         .outputMode(OutputMode.Update())
@@ -104,6 +111,7 @@ object InactivityTws {
       try awaitSessions(spark, q, queryName, expected, timeoutSec = 180)
       finally q.stop()
       spark.table(queryName).orderBy("user_id")
+     }
     }
   }
 

@@ -76,6 +76,7 @@ object TypeCensusTws {
   def runBounded(spark: SparkSession, sfDir: String,
                  queryName: String = "graft_stream_typecensus_tws"): DataFrame =
     UserStatsTws.withRocksDb(spark) {
+      FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
       val stream = EventStream.rawEventStream(spark, sfDir)
       val q = typeCensus(stream)
         .writeStream
@@ -89,5 +90,6 @@ object TypeCensusTws {
         .groupBy("user_id", "event_type")
         .agg(max(col("n")).as("n"))
         .orderBy("user_id", "event_type")
+      }
     }
 }

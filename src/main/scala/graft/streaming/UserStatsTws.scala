@@ -105,7 +105,10 @@ object UserStatsTws {
         if (System.nanoTime() > deadlineNs)
           throw new IllegalStateException(
             "graft-tws: stream did not drain within 180s — feed stuck?")
-        Thread.sleep(200)
+        // 50 ms: lastProgress polling is driver-local (no Spark job),
+        // and each of the ~4 required batchId advances would otherwise
+        // pay up to 200 ms detection latency
+        Thread.sleep(50)
         val p = q.lastProgress
         if (p != null && p.batchId != prevBatchId) {
           prevBatchId = p.batchId
@@ -141,6 +144,7 @@ object UserStatsTws {
   def runBounded(spark: SparkSession, sfDir: String,
                  queryName: String = "graft_stream_userstats_tws"): DataFrame =
     withRocksDb(spark) {
+      FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
       val stream = EventStream.tsAsMicrosLong(
         EventStream.rawEventStream(spark, sfDir), "ts")
       val q = runningUserStats(stream, java.time.Duration.ofHours(1))
@@ -151,6 +155,7 @@ object UserStatsTws {
         .start()
       drainAndStop(q) // see scaladoc: AvailableNow never terminates here
       EventStream.finalUserStats(spark.table(queryName))
+      }
     }
 
   /** Resumable runner for the spec's TTL-EVICTION WITNESS: streams a

@@ -187,7 +187,8 @@ object WatermarkDedup {
     * a batch aggregate whose only input is the file sink.
     */
   def runDedupWatermarkBounded(spark: SparkSession, sfDir: String,
-                               queryName: String = "graft_stream_wmdedup"): DataFrame = {
+                               queryName: String = "graft_stream_wmdedup"): DataFrame =
+  FileStreams.withBoundedStreamPartitions(spark, s"$sfDir/events.parquet") {
     val (q, inputDir, outDir) = startQuery(spark, sfDir, queryName)
     q.awaitTermination()
     graft.util.Fs.deleteRecursively(inputDir)
