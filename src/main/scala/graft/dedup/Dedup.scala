@@ -501,6 +501,10 @@ object Dedup {
     val d = docs(spark, sfDir)
       .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("s"))
       .select(col("doc_id"), grams(col("s")).as("g"))
+      // checkpointed: BOTH join sides read the gram arrays, and the HOF
+      // gram builder is CodegenFallback (interpreted per element) — the
+      // expensive pass would otherwise run twice per doc (round-14)
+      .localCheckpoint()
     val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
     val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("g").as("g_b"))
     a.join(b, "id_a")

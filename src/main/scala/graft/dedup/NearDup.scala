@@ -360,10 +360,12 @@ object NearDup {
       val hits = top1.filter(col("neighbor_id") === col("probe_id") - PlantOffset).count()
       if (nProbes == 0) 0.0 else hits.toDouble / nProbes
     }
-    val lshRate = top1Rate(
-      graft.similarity.Ann.lshTopKOf(data, probes, k = 1, nTables = 8, planesPerTable = 6))
-    val ivfRate = top1Rate(
-      graft.similarity.Ivf.ivfTopKOf(data, probes, k = 1, nLists = 16, nProbe = 4))
+    // independent index measurements — concurrent jobs (guide §2.6)
+    val (lshRate, ivfRate) = graft.util.Par.par2(
+      top1Rate(
+        graft.similarity.Ann.lshTopKOf(data, probes, k = 1, nTables = 8, planesPerTable = 6)),
+      top1Rate(
+        graft.similarity.Ivf.ivfTopKOf(data, probes, k = 1, nLists = 16, nProbe = 4)))
     Seq(("ivf", nProbes > 0 && ivfRate >= minRate), ("lsh", nProbes > 0 && lshRate >= minRate))
       .toDF("method", "top1_ok").orderBy("method")
   }

@@ -316,9 +316,11 @@ object Ann {
     import spark.implicits._
     val h = recallHarness(spark, sfDir, k, centerEvery, members, maxProbes)
     // bounded-probe scan variants (probes are capped above): identical
-    // semantics, no candidate-pair shuffle — parity spec-pinned
-    val lshRecall = h.recallOf(lshTopKBounded(h.data, h.probes, k, nTables = 8, planesPerTable = 6))
-    val ivfRecall = h.recallOf(Ivf.ivfTopKBounded(h.data, h.probes, k, nLists = 16, nProbe = 4))
+    // semantics, no candidate-pair shuffle — parity spec-pinned. The two
+    // index measurements are independent — concurrent jobs (guide §2.6)
+    val (lshRecall, ivfRecall) = graft.util.Par.par2(
+      h.recallOf(lshTopKBounded(h.data, h.probes, k, nTables = 8, planesPerTable = 6)),
+      h.recallOf(Ivf.ivfTopKBounded(h.data, h.probes, k, nLists = 16, nProbe = 4)))
     Seq(
       ("ivf", h.nProbes > 0, ivfRecall >= minRecallIvf),
       ("lsh", h.nProbes > 0, lshRecall >= minRecallLsh))

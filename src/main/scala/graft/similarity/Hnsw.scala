@@ -320,17 +320,23 @@ object Hnsw {
     // the shard as the corpus grows — the regime where graph routing
     // genuinely beats list scanning.
     val evalCap = math.max(128, (corpusN / 4 / p.shards).toInt)
-    val cands = Hnsw.searchShards(h.data, h.probes, k, p, evalCap).localCheckpoint()
-    val hnswRecall = h.recallOf(topK(cands, k))
-    // measured accounting: one evals value per (probe, shard), summed
-    // per probe — must respect cap × shards (0 on an empty probe set:
-    // degrade to the planted_ok=false rows, never an NPE)
-    val maxProbeEvalsRow = cands.groupBy("probe_id", "shard").agg(max("evals").as("e"))
-      .groupBy("probe_id").agg(sum("e").as("tot"))
-      .agg(max("tot")).head()
-    val maxProbeEvals = if (maxProbeEvalsRow.isNullAt(0)) 0L else maxProbeEvalsRow.getLong(0)
-    val ivfRecall = h.recallOf(
-      Ivf.ivfTopKBounded(h.data, h.probes, k, nLists = 16, nProbe = 4))
+    // the graph leg (build+search+accounting) and the IVF reference are
+    // independent downstream of the shared harness — concurrent jobs
+    // (guide §2.6), computations unchanged
+    val ((hnswRecall, maxProbeEvals), ivfRecall) = graft.util.Par.par2(
+      {
+        val cands = Hnsw.searchShards(h.data, h.probes, k, p, evalCap).localCheckpoint()
+        val r = h.recallOf(topK(cands, k))
+        // measured accounting: one evals value per (probe, shard), summed
+        // per probe — must respect cap × shards (0 on an empty probe set:
+        // degrade to the planted_ok=false rows, never an NPE)
+        val maxRow = cands.groupBy("probe_id", "shard").agg(max("evals").as("e"))
+          .groupBy("probe_id").agg(sum("e").as("tot"))
+          .agg(max("tot")).head()
+        (r, if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0))
+      },
+      h.recallOf(
+        Ivf.ivfTopKBounded(h.data, h.probes, k, nLists = 16, nProbe = 4)))
     Seq(
       ("hnsw", h.nProbes > 0, hnswRecall >= minRecall,
         maxProbeEvals <= evalCap.toLong * p.shards),

@@ -106,6 +106,63 @@ object Ivf {
     trainCentroids(dense, nLists, iters)
   }
 
+  /** Driver-side mirror of [[trainCentroidsFromSample]] over a collected
+    * bounded sample (the round-14 [[Opq.trainRotationLocal]] practice):
+    * the dense renumber is the vec_id sort rank, the stride init and
+    * the strict-first-min Lloyd assignment/mean-update/empty-list-drop
+    * rules are [[initCentroids]]/[[trainCentroids]]' exactly, and zero
+    * Spark jobs run inside the loop — the distributed alternation paid
+    * ~iters×2 collect-jobs of fixed scheduling cost over a sample that
+    * is bytes, not data. Returns (list_id, centroid) sorted by list.
+    */
+  private[similarity] def trainCentroidsLocal(s: Opq.LocalSample, nLists: Int,
+                                              iters: Int): Array[(Int, Array[Double])] = {
+    require(s.vecs.nonEmpty, "empty sample — no centroid init rows")
+    // dense renumber: position in ascending-vec_id order
+    val byId = s.ids.indices.sortBy(s.ids(_)).toArray
+    val vecs = byId.map(s.vecs(_))
+    val n = vecs.length.toLong
+    val spacing = math.max(n / nLists, 1L)
+    var cents: Array[(Int, Array[Double])] =
+      Iterator.range(0, vecs.length)
+        .filter(i => i % spacing == 0 && i < spacing * nLists)
+        .map(i => ((i / spacing).toInt, vecs(i.toInt).clone()))
+        .toArray
+    val dim = vecs(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i)
+        var bestP = 0
+        var bestD = Double.MaxValue
+        var p = 0
+        while (p < cents.length) {
+          val c = cents(p)._2
+          var d2 = 0.0
+          var t = 0
+          while (t < dim) { val d = v(t) - c(t); d2 += d * d; t += 1 }
+          if (d2 < bestD) { bestD = d2; bestP = p }
+          p += 1
+        }
+        val acc = sums(bestP)
+        var t = 0
+        while (t < dim) { acc(t) += v(t); t += 1 }
+        counts(bestP) += 1
+        i += 1
+      }
+      // empty lists DROP (trainCentroids rebuilds cent from the updated
+      // rows only), keeping the id→position mapping by list_id sort
+      cents = cents.indices.iterator
+        .filter(counts(_) > 0)
+        .map(p => (cents(p)._1, sums(p).map(_ / counts(p))))
+        .toArray
+        .sortBy(_._1)
+    }
+    cents
+  }
+
   /** Nearest-centroid assignment: (vec_id, list_id). The centroids are
     * k×dim doubles — driver-local by construction — so the argmin is
     * ONE codegen expression over literal centroid arrays: a narrow map

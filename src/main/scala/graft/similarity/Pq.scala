@@ -188,8 +188,12 @@ object Pq {
                   nLists: Int = 16, nProbe: Int = 4,
                   m: Int = 8, ksub: Int = 16, iters: Int = 3,
                   rerank: Int = 50): DataFrame = {
-    val cent = Ivf.trainCentroids(data, nLists, iters)
-    val books = trainCodebooks(data, m, ksub, iters)
+    // the coarse quantizer and the codebooks are independent trainings
+    // over the same input — their collect-driven Lloyd passes overlap
+    // as concurrent jobs (guide §2.6); each training is unchanged
+    val (cent, books) = graft.util.Par.par2(
+      Ivf.trainCentroids(data, nLists, iters),
+      trainCodebooks(data, m, ksub, iters))
     ivfPqQuery(cent, books, data, probes, k, nProbe, rerank)
   }
 
@@ -205,6 +209,15 @@ object Pq {
     * centroid while encode/assignment stay the one irreducible linear
     * indexing pass.
     */
+  /** Bounded-sample sizes up to this collect to the driver and train
+    * in-process (≤ 64k × 64 doubles ≈ 32 MB transient — the Faiss
+    * practice; zero Spark jobs inside the Lloyd loops). Larger samples
+    * — the 40·√n sizing crosses 65,536 around n ≈ 2.7×10⁶ vectors —
+    * keep the distributed trainers, so the 100 TB path never collects
+    * anything that grows with the corpus.
+    */
+  private val LocalTrainMaxRows = 65536L
+
   def ivfPqTopKScaled(data: DataFrame, probes: DataFrame, k: Int,
                       nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
                       iters: Int = 3, rerank: Int = 50): DataFrame = {
@@ -215,8 +228,24 @@ object Pq {
     // trainers — no second corpus count, no duplicate checkpoint
     val sample = graft.similarity.Opq.trainingSampleN(
       data.select("vec_id", "embedding"), n, trainRows)
-    val cent = Ivf.trainCentroidsFromSample(sample, nLists, iters)
-    val books = trainCodebooks(sample, m, ksub, iters)
+    val (cent, books) =
+      if (math.min(n, trainRows) <= LocalTrainMaxRows) {
+        // round-14: the whole training set is bounded and small — ONE
+        // collect, both trainers driver-side (identical init/assignment/
+        // update rules as the distributed mirrors; ~2·iters collect-jobs
+        // of fixed scheduling cost removed)
+        val local = graft.similarity.Opq.collectSample(sample)
+        val spark = data.sparkSession
+        import spark.implicits._
+        val c = Ivf.trainCentroidsLocal(local, nLists, iters)
+          .map { case (id, v) => (id, v.toSeq) }.toSeq.toDF("list_id", "cvec")
+        val b: Codebooks = graft.similarity.Opq
+          .trainCodebooksLocal(local.vecs, local.initOrder, m, ksub, iters)
+          .map(_.map(_.toSeq))
+        (c, b)
+      } else graft.util.Par.par2(
+        Ivf.trainCentroidsFromSample(sample, nLists, iters),
+        trainCodebooks(sample, m, ksub, iters))
     ivfPqQuery(cent, books, data, probes, k, nProbe, rerank)
   }
 
@@ -309,12 +338,14 @@ object Pq {
       maxProbes)
       .localCheckpoint()
     val nProbes = probes.count()
-    val brute = Ann.bruteForceTopKOf(data, probes, k)
-      .select("probe_id", "neighbor_id").localCheckpoint()
+    // ground truth and index training are independent until the hits
+    // join — concurrent jobs (guide §2.6), computations unchanged
+    val (brute, approx) = graft.util.Par.par2(
+      Ann.bruteForceTopKOf(data, probes, k)
+        .select("probe_id", "neighbor_id").localCheckpoint(),
+      pqTopKOf(data, probes, k).select("probe_id", "neighbor_id"))
     val nTruth = brute.count()
-    val hits = brute.join(
-      pqTopKOf(data, probes, k).select("probe_id", "neighbor_id"),
-      Seq("probe_id", "neighbor_id")).count()
+    val hits = brute.join(approx, Seq("probe_id", "neighbor_id")).count()
     val recall = if (nTruth == 0) 0.0 else hits.toDouble / nTruth
     Seq(("pq", nProbes > 0, recall >= minRecall))
       .toDF("method", "planted_ok", "recall_ok").orderBy("method")

@@ -91,8 +91,12 @@ object Datacard {
     * join.
     */
   def corpusDatacardNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = signals(spark.read.parquet(s"$sfDir/documents.parquet"))
-    val manifest = graft.dedup.Cluster.nearDupSurvivors(spark, sfDir)
+    // the signal scan (eager localCheckpoint) and the clustering
+    // pipeline's eager internals are independent until the attribution
+    // join — concurrent jobs (guide §2.6), computations unchanged
+    val (sig, manifest) = graft.util.Par.par2(
+      signals(spark.read.parquet(s"$sfDir/documents.parquet")),
+      graft.dedup.Cluster.nearDupSurvivors(spark, sfDir))
     val nd = manifest.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
       .filter(col("csize") > 1)
       .join(sig.select(col("doc_id"), col("pred")),
