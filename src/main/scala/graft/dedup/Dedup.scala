@@ -198,7 +198,7 @@ object Dedup {
     * size the cap (and the simhash band width) with the corpus — the
     * recall contract is the regression alarm for getting that wrong.
     */
-  private[dedup] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val oversized = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > cap)
       .select(keys.map(col): _*)
@@ -232,21 +232,41 @@ object Dedup {
     d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleN).as("sh"))
 
-  /** [[minhashCandidates]] over an arbitrary (doc_id, text) frame. */
+  /** [[minhashCandidates]] over an arbitrary (doc_id, text) frame.
+    *
+    * Pass structure (round-15, guide §1.2/§5): the input is tokenized +
+    * shingled ONCE — the checkpointed shingle table is BOTH the
+    * signature substrate ([[minhashSignaturesFromShingleSets]] — same
+    * arrays, identical signatures; the equivalence
+    * [[Incremental.writeSnapshotIndex]] already relies on) and the
+    * exact-Jaccard verification substrate. The shingle HOFs are
+    * CodegenFallback (interpreted per element), so the second full
+    * tokenize+shingle pass this removes was the pipeline's single most
+    * expensive redundancy. The capped band table is checkpointed too:
+    * the bucket self-join references it on BOTH sides, and each side
+    * would otherwise re-run the full signature aggregation (the
+    * pipeline's one big shuffle) — 3× with the oversized-bucket census.
+    * Both checkpoints are bounded by the corpus the caller passes
+    * (shingles ~ tokens; bands = 16 ids/doc), the same materialization
+    * the persisted snapshot index makes durable at 100 TB. They are
+    * LAZY (eager = false): materialization rides the first consuming
+    * job instead of adding a sequential driver barrier per table —
+    * the first job computes each once, later references read blocks.
+    */
   def minhashCandidatesOf(d: DataFrame,
                           shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                           bucketCap: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = minhashSignaturesOf(d, shingleN, numHashes)
+    val grams = shingleSets(d, shingleN).localCheckpoint(eager = false)
+    val sigs = minhashSignaturesFromShingleSets(grams, numHashes)
     val banded = capBuckets(bandBuckets(sigs, bands, rowsPerBand),
-      Seq("band", "bucket"), bucketCap)
+      Seq("band", "bucket"), bucketCap).localCheckpoint(eager = false)
     val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val grams = shingleSets(d, shingleN)
     cand
       .join(grams.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(grams.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -348,6 +368,11 @@ object Dedup {
 
   private[graft] def simhashCandidatesOf(d: DataFrame,
                                          shingleN: Int, bucketCap: Int = 10000): DataFrame = {
+    // NO checkpoint here, deliberately (round-15): the fingerprint
+    // aggregation ends in an exchange that every downstream reference
+    // shares, so ReuseExchange already evaluates it once per query —
+    // a measured checkpoint variant only added materialization cost
+    // (dedup_simhash_near 2.74 → 3.11 s).
     val fp = simhashFingerprintsOf(d, shingleN)
     val banded = capBuckets(
       fp.select(
@@ -450,11 +475,15 @@ object Dedup {
   private[graft] def embeddingCandidatesOf(emb: DataFrame,
                                            nTables: Int, planesPerTable: Int,
                                            bucketCap: Int = 10000): DataFrame = {
+    // checkpointed (round-15, guide §5): both sides of the bucket
+    // self-join plus the oversized census reference this table, and
+    // each reference would re-run the hyperplane projection (nTables ×
+    // planesPerTable dot products per vector). nTables ids/vector.
     val banded = capBuckets(
       emb.select(col("vec_id"),
         explode(graft.similarity.Ann.tableBuckets(col("embedding"), nTables, planesPerTable)).as("tb"))
         .select(col("vec_id"), col("tb.table"), col("tb.bucket")),
-      Seq("table", "bucket"), bucketCap)
+      Seq("table", "bucket"), bucketCap).localCheckpoint(eager = false)
     val pairIds = banded.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
       .join(banded.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
         Seq("table", "bucket"))
@@ -503,8 +532,10 @@ object Dedup {
       .select(col("doc_id"), grams(col("s")).as("g"))
       // checkpointed: BOTH join sides read the gram arrays, and the HOF
       // gram builder is CodegenFallback (interpreted per element) — the
-      // expensive pass would otherwise run twice per doc (round-14)
-      .localCheckpoint()
+      // expensive pass would otherwise run twice per doc (round-14).
+      // Lazy (round-15): the single consuming job materializes it, so
+      // no separate driver barrier precedes the join.
+      .localCheckpoint(eager = false)
     val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
     val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("g").as("g_b"))
     a.join(b, "id_a")

@@ -72,7 +72,12 @@ object Incremental {
   def incrementalClassify(spark: SparkSession, sfDir: String): DataFrame = {
     val old = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), lower(col("text")).as("text"))
-    val batch = newBatch(spark, sfDir)
+    // checkpointed (round-15, guide §5): three consumers (the exact
+    // semi-join, the LSH union, the final census) each re-ran the
+    // batch construction — a 3-way union whose truncate/reverse HOFs
+    // are interpreted per token. The batch is the SMALL side by the
+    // operator's own asymmetry, so materializing it is bounded.
+    val batch = newBatch(spark, sfDir).localCheckpoint(eager = false)
     // exact membership: content-hash semi join against the snapshot
     val exactIds = batch
       .withColumn("h", md5(col("text")))
@@ -141,8 +146,13 @@ object Incremental {
       .withColumn("h", md5(col("text")))
       .join(spark.read.parquet(s"$indexDir/hashes").select("h"), Seq("h"), "left_semi")
       .select(col("doc_id"))
+    // shingle the batch ONCE (round-15 — the writeSnapshotIndex pattern
+    // applied to the per-drop side): the checkpointed shingle table
+    // feeds both the signature/band derivation and the exact-Jaccard
+    // verify join, instead of tokenizing the batch text twice.
+    val batchGrams = Dedup.shingleSets(batch, shingleN).localCheckpoint(eager = false)
     val batchBands = Dedup.bandBuckets(
-      Dedup.minhashSignaturesOf(batch, shingleN, bands * rowsPerBand),
+      Dedup.minhashSignaturesFromShingleSets(batchGrams, bands * rowsPerBand),
       bands, rowsPerBand)
     val cand = spark.read.parquet(s"$indexDir/bands")
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"))
@@ -153,7 +163,7 @@ object Incremental {
     val nearIds = cand
       .join(spark.read.parquet(s"$indexDir/shingles")
         .select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(Dedup.shingleSets(batch, shingleN)
+      .join(batchGrams
         .select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -183,6 +193,9 @@ object Incremental {
     val old = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), lower(col("text")).as("text"))
     writeSnapshotIndex(old, indexDir)
-    classifyAgainstIndex(spark, newBatch(spark, sfDir), indexDir)
+    // checkpointed for the same reason as incrementalClassify: four
+    // consumers (hash semi-join, signatures, shingle verify, census)
+    // would otherwise each re-run the batch construction.
+    classifyAgainstIndex(spark, newBatch(spark, sfDir).localCheckpoint(eager = false), indexDir)
   }
 }
