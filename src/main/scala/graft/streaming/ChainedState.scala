@@ -63,14 +63,27 @@ object ChainedState {
     * committed). Package-visible so the replay spec can drive it
     * directly with a repeated id.
     */
-  private[streaming] def foldBatch(spark: SparkSession, stateRoot: String,
+  private[graft] def foldBatch(spark: SparkSession, stateRoot: String,
       statePath: java.util.concurrent.atomic.AtomicReference[String],
       merge: (DataFrame, DataFrame) => DataFrame,
-      batch: DataFrame, id: Long): Unit = {
+      batch: DataFrame, id: Long,
+      stateSchema: org.apache.spark.sql.types.StructType = null): Unit = {
     val next = s"$stateRoot/state-$id"
     if (!committed(next)) {
-      val merged = merge(spark.read.parquet(statePath.get), batch)
-      merged.write.mode("overwrite").parquet(next)
+      // explicit schema when the caller has it (the drive loop reads it
+      // once before the stream starts): per-fold footer-based schema
+      // inference is pure fixed driver cost repeated every micro-batch
+      val prev =
+        if (stateSchema == null) spark.read.parquet(statePath.get)
+        else spark.read.schema(stateSchema).parquet(statePath.get)
+      val merged = merge(prev, batch)
+      // Output sizing (guide §6): the merged state inherits the shuffle
+      // partition count, but its FILE count should follow its BYTES —
+      // a few-KB snapshot as 1 file, a large one at ~32 MB per file
+      // (derived from the previous snapshot's size, the only bytes
+      // measurable before the write), never more files than partitions.
+      val target = (FileStreams.pathBytes(statePath.get) / (32L << 20) + 1).toInt
+      merged.coalesce(math.max(1, target)).write.mode("overwrite").parquet(next)
     }
     statePath.set(next)
   }
@@ -130,6 +143,9 @@ object ChainedState {
     val ckptDir = base.resolve("ckpt").toString
     val statePath = new java.util.concurrent.atomic.AtomicReference[String](
       lastCommittedState(stateRoot).getOrElse(s"$stateRoot/state-init"))
+    // state schema read ONCE here — every fold would otherwise re-infer
+    // it from parquet footers (fixed driver cost per micro-batch)
+    val stateSchema = spark.read.parquet(statePath.get).schema
 
     val q = spark.readStream
       .schema(spark.read.parquet(feedDir).schema)
@@ -138,7 +154,7 @@ object ChainedState {
       .writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        foldBatch(spark, stateRoot, statePath, merge, batch.toDF(), id)
+        foldBatch(spark, stateRoot, statePath, merge, batch.toDF(), id, stateSchema)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -30,19 +30,23 @@ object HllStream {
     val feed = Analytics.loadEvents(spark, sfDir).select("event_type", "user_id")
     val init = spark.range(0).select(col("id").cast("string").as("event_type"),
       lit(Array.emptyByteArray).as("sk"))
-    val (state, stateRoot) = ChainedState.run(spark, "hllstream", feed, 8, init,
-      (st, batch) => st
-        .unionByName(batch.groupBy("event_type")
-          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk")))
-        .groupBy("event_type")
-        .agg(hll_union_agg(col("sk")).as("sk")))
-    lastStateRoot = stateRoot
-
-    // census: exact counts from the static table (the oracle's side of
-    // the band); the ESTIMATES come only from the carried states
+    // census exact side comes from the STATIC table — independent of
+    // the replay until the band join, so both run as concurrent jobs
+    // (guide §2.6): the exact countDistinct backfills executors the
+    // replay's single-file micro-batches leave idle. Computations
+    // unchanged on both legs.
     val events = Analytics.loadEvents(spark, sfDir)
-    val exact = events.groupBy(col("event_type").as("scope"))
-      .agg(countDistinct("user_id").as("n_exact"))
+    val ((state, stateRoot), (exact, nExactTotal)) = graft.util.Par.par2(
+      ChainedState.run(spark, "hllstream", feed, 8, init,
+        (st, batch) => st
+          .unionByName(batch.groupBy("event_type")
+            .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk")))
+          .groupBy("event_type")
+          .agg(hll_union_agg(col("sk")).as("sk"))),
+      (events.groupBy(col("event_type").as("scope"))
+        .agg(countDistinct("user_id").as("n_exact")).localCheckpoint(),
+        events.agg(countDistinct("user_id").as("n_exact")).localCheckpoint()))
+    lastStateRoot = stateRoot
     val st = state.localCheckpoint()
     val perType = st
       .select(col("event_type").as("scope"), hll_sketch_estimate(col("sk")).as("est"))
@@ -51,7 +55,7 @@ object HllStream {
         (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.02).as("approx_ok"))
     val unionRow = st.agg(hll_union_agg(col("sk")).as("sk"))
       .select(hll_sketch_estimate(col("sk")).as("est"))
-      .crossJoin(events.agg(countDistinct("user_id").as("n_exact")))
+      .crossJoin(nExactTotal)
       .select(lit("__union").as("scope"), col("n_exact"),
         (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.02).as("approx_ok"))
     perType.unionByName(unionRow).orderBy("scope")

@@ -62,7 +62,9 @@ object QualitySvm {
   /** The four text_quality ratio signals as an ML feature vector —
     * all codegen regexp_count arithmetic, one scan.
     */
-  private def featureCols(text: Column): Column = array_to_vector(array(
+  private def featureCols(text: Column): Column = featureColsPublic(text)
+
+  private[graft] def featureColsPublic(text: Column): Column = array_to_vector(array(
     regexp_count(text, lit(TextOps.PunctClass)).cast("double") /
       greatest(length(text), lit(1)),
     regexp_count(text, lit("[0-9]")).cast("double") /
@@ -81,7 +83,7 @@ object QualitySvm {
     * and are verified by the SQL oracle.
     */
   def qualitySvm(spark: SparkSession, sfDir: String,
-                 maxIter: Int = 10, regParam: Double = 1e-3): DataFrame = {
+                 maxIter: Int = 5, regParam: Double = 1e-3): DataFrame = {
     import spark.implicits._
     val feat = plantedQualityDocs(spark, sfDir).select(
       col("doc_id"), col("label"),
@@ -94,16 +96,23 @@ object QualitySvm {
       // tasks would drag session → ObservationManager (non-serializable
       // once any observe() query has run in the session, e.g.
       // q_hierarchy's convergence census) into the task closure.
-      // tol 1e-4 / 10 iters: the digit_ratio gap is structural, so the
-      // separator emerges in the first few OWLQN steps — each further
-      // iteration is 2+ fixed-overhead treeAggregate jobs for zero
-      // contract value (20 iters @ 1e-6 measured ~10 s warm at sf0.1,
-      // ~4x the whole rest of the query).
-      val model = new LinearSVC()
-        .setMaxIter(maxIter).setRegParam(regParam).setTol(1e-4)
-        .fit(train)
-        .copy(org.apache.spark.ml.param.ParamMap.empty)
-      val byClass = model.transform(feat.filter(col("fold") === 1))
+      // tol 1e-4 / 5 iters (round-15, from 10; round-14 came from 20 @
+      // 1e-6): the digit_ratio gap is structural (0 exactly vs ≥ ~0.3),
+      // so the separator is fixed within the first OWLQN steps — the
+      // probed objective history is flat after iteration ~4 and the
+      // held-out contract is identical at 5 and 10 iterations on every
+      // SF (QualitySvmPhases; oracle re-verified at sf0.001/0.01/0.1).
+      // Each pruned iteration is 2-3 full training-set passes — fixed
+      // scheduling cost at sf0.1 and real corpus scans at 100 TB alike.
+      // The eval-fold featurization is independent of training, so it
+      // materializes as a concurrent job while OWLQN iterates (§2.6).
+      val (model, evalFeat) = graft.util.Par.par2(
+        new LinearSVC()
+          .setMaxIter(maxIter).setRegParam(regParam).setTol(1e-4)
+          .fit(train)
+          .copy(org.apache.spark.ml.param.ParamMap.empty),
+        feat.filter(col("fold") === 1).localCheckpoint())
+      val byClass = model.transform(evalFeat)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_eval"),
           sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_hit"))
